@@ -1,0 +1,231 @@
+"""Typed configuration tree for the whole pipeline.
+
+Mirrors the reference's single-XML parameter system
+(reference: src/cactus/cactus_progressive_config.xml, parsed on the Python
+side by shared/configWrapper.py and on the C side by
+api/impl/cactus_params_parser.c).  Here it is a dataclass tree with the same
+defaults and the same divergence-dependent preset mechanism
+(<divergences one..five> at cactus_progressive_config.xml:10-13 select
+per-divergence argument sets; selection logic per caf/impl/caf.c:159-183).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+# Divergence preset thresholds (config XML :12): the preset is the first
+# whose threshold is >= the max ingroup path length in the guide tree.
+DIVERGENCE_THRESHOLDS = {
+    "one": 0.05, "two": 0.10, "three": 0.15, "four": 0.20, "five": 0.25,
+}
+PRESET_ORDER = ["one", "two", "three", "four", "five", "default"]
+
+
+def divergence_preset(max_path_length: float) -> str:
+    for name in PRESET_ORDER[:-1]:
+        if max_path_length <= DIVERGENCE_THRESHOLDS[name]:
+            return name
+    return "default"
+
+
+@dataclass
+class SeedParams:
+    """Seeding for the pairwise anchoring stage (lastz-equivalent).
+
+    The reference tunes lastz --step by divergence (config XML :130-137);
+    we tune k-mer seed step the same way.  The seed is an exact k-mer by
+    default (spaced seeds optional via `pattern`).
+    """
+    k: int = 15
+    steps: dict[str, int] = field(default_factory=lambda: {
+        "one": 2, "two": 5, "three": 4, "four": 3, "five": 2, "default": 1})
+    pattern: str = ""  # spaced-seed pattern of 1/0, empty = contiguous k-mer
+    max_occurrences: int = 64   # drop seeds occurring more often (repeat guard)
+    max_anchors: int = 1 << 22  # fixed-size anchor buffer per chunk pair
+
+    def step_for(self, preset: str) -> int:
+        return self.steps.get(preset, self.steps["default"])
+
+
+@dataclass
+class ExtendParams:
+    """Gapped/ungapped extension scores (lastz-equivalent defaults).
+
+    lastz default scoring: match 91 / mismatch -114ish (HOXD70-like);
+    we use the same 5x5 substitution matrix the reference feeds abPOA
+    (config XML :312-318) for consistency across stages.
+    """
+    match: int = 91
+    mismatch: int = -114
+    gap_open: int = 400
+    gap_extend: int = 30
+    xdrop: int = 910       # ungapped extension drop
+    ydrop: int = 3000      # gapped extension drop (config :131 ydrop values)
+    hsp_threshold: int = 1500  # min ungapped HSP score to seed gapped ext
+    gapped_threshold: int = 2400  # min gapped alignment score to report
+    band: int = 128        # band half-width (diagonal units) for gapped DP
+
+
+@dataclass
+class BlastParams:
+    """Blast (pairwise anchoring) phase — config XML <blast> (:90-123)."""
+    chunk_size: int = 30_000_000
+    overlap_size: int = 10_000
+    minimum_sequence_length: int = 30
+    # chaining (paffy chain equivalents, config :106-113)
+    chain_gap_open: int = 5000
+    chain_gap_extend: int = 1
+    chain_max_gap_length: int = 1_000_000
+    chain_trim_fraction: float = 1.0
+    paf_trim_identity: float = 0.2
+    min_primary_chain_score: int = 10_000
+    # ingroup/outgroup trimming (config :114-119)
+    trim_ingroups: bool = True
+    trim_outgroups: bool = True
+    trim_min_size: int = 100
+    trim_flanking: int = 100
+    trim_outgroup_flanking: int = 2000
+    output_secondary_alignments: bool = False
+    seed: SeedParams = field(default_factory=SeedParams)
+    extend: ExtendParams = field(default_factory=ExtendParams)
+
+
+@dataclass
+class CafParams:
+    """CAF phase — config XML <caf> (:195-231)."""
+    deannealing_rounds: tuple[int, ...] = (2, 32, 256)
+    annealing_rounds: dict[str, tuple[int, ...]] = field(default_factory=lambda: {
+        "one": (2048,), "two": (1024,), "three": (1024,),
+        "four": (512,), "five": (512,), "default": (256,)})
+    trim: int = 3
+    block_trim: int = 5
+    minimum_block_degree: int = 2
+    minimum_number_of_species: int = 1
+    minimum_ingroup_degree: int = 1
+    minimum_outgroup_degree: int = 0
+    minimum_tree_coverage: float = 0.0
+    alignment_filter: str = "filterSecondariesByMultipleSequences"
+    max_adjacency_component_size_ratio: float = 50.0
+    min_length_for_chromosome: int = 1_000_000
+    proportion_unaligned_bases_for_new_chromosome: float = 0.95
+    max_median_sequence_length_between_linked_ends: int = 100_000
+    remove_recoverable_chains: str = "unequalNumberOfIngroupCopies"
+    max_recoverable_chains_iterations: int = 10
+    max_recoverable_chain_length: int = 500_000
+    minimum_block_homology_support: float = 0.05
+
+    def annealing_for(self, preset: str) -> tuple[int, ...]:
+        return self.annealing_rounds.get(preset, self.annealing_rounds["default"])
+
+
+@dataclass
+class PecanParams:
+    """cPecan pair-HMM MSA params — config XML <pecan> (:271-286)."""
+    spanning_trees: int = 5
+    gap_gamma: float = 0.0
+    match_gamma: float = 0.2
+    use_banding: bool = True
+    split_matrix_bigger_than_this: int = 3000
+    anchor_matrix_bigger_than_this: int = 500
+    diagonal_expansion: int = 20
+    constraint_diagonal_trim: int = 14
+    align_ambiguity_characters: bool = True
+    use_progressive_merging: bool = True
+    use_mum_anchors: bool = True
+    recursive_mums: bool = True
+
+
+@dataclass
+class PoaParams:
+    """abPOA-equivalent MSA params — config XML <poa> (:307-326)."""
+    window: int = 10_000            # sliding window, 50% overlap
+    band_constant: int = 1000       # adaptive band = const + frac*len
+    band_fraction: float = 0.1
+    # 5x5 ACGTN substitution matrix (config :312-318)
+    sub_matrix: tuple[int, ...] = (
+        91, -114, -61, -123, -100,
+        -114, 100, -125, -61, -100,
+        -61, -125, 100, -114, -100,
+        -123, -61, -114, 91, -100,
+        -100, -100, -100, -100, 100)
+    gap_open1: int = 400
+    gap_extend1: int = 30
+    gap_open2: int = 1200
+    gap_extend2: int = 1
+    progressive_mode: bool = True
+
+
+@dataclass
+class BarParams:
+    """BAR phase — config XML <bar> (:244-260)."""
+    run_bar: bool = True
+    banding_limit: int = 1_000_000
+    partial_order_alignment: bool = True
+    minimum_block_degree: int = 2
+    minimum_ingroup_degree: int = 1
+    minimum_outgroup_degree: int = 0
+    minimum_number_of_species: int = 1
+    pecan: PecanParams = field(default_factory=PecanParams)
+    poa: PoaParams = field(default_factory=PoaParams)
+
+
+@dataclass
+class ReferenceParams:
+    """Reference phase — config XML <reference> (:345-361)."""
+    matching_algorithm: str = "blossom5"  # blossom5|maxWeight|maxCardinality|greedy
+    reference_event: str = "reference"
+    use_simulated_annealing: bool = True
+    theta: float = 1e-6
+    phi: float = 1.0
+    max_walk_for_calculating_z: int = 100_000
+    permutations: int = 10
+    ignore_unaligned_gaps: bool = True
+    wiggle: float = 0.9999
+    number_of_ns: int = 10
+    min_sequences_to_support_adjacency: int = 1
+    make_scaffolds: bool = True
+
+
+@dataclass
+class PreprocessorParams:
+    """Preprocessor chain — config XML <preprocessor> entries (:20-43)."""
+    cut_headers: bool = True
+    check_unique_headers: bool = True
+    repeat_mask: bool = True          # Red-equivalent k-mer masking
+    mask_kmer: int = 13               # k-mer length for repeat statistics
+    mask_min_contig: int = 20_000     # redPrefilterOpts -m
+    mask_gc_skew_limit: float = 0.98  # redPrefilterOpts -b
+    min_period: int = 50
+
+
+@dataclass
+class CheckParams:
+    run_check: bool = False
+
+
+@dataclass
+class OutgroupParams:
+    """Greedy outgroup selection — config XML <outgroup> (:539-547) and
+    src/cactus/progressive/outgroup.py."""
+    max_num_outgroups: int = 3
+    strategy: str = "greedyLeaves"
+
+
+@dataclass
+class Config:
+    distance_to_add_to_root_alignment: float = 0.1
+    preprocessor: PreprocessorParams = field(default_factory=PreprocessorParams)
+    blast: BlastParams = field(default_factory=BlastParams)
+    caf: CafParams = field(default_factory=CafParams)
+    bar: BarParams = field(default_factory=BarParams)
+    reference: ReferenceParams = field(default_factory=ReferenceParams)
+    check: CheckParams = field(default_factory=CheckParams)
+    outgroup: OutgroupParams = field(default_factory=OutgroupParams)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def default(cls) -> "Config":
+        return cls()

@@ -1,0 +1,169 @@
+"""Synthetic genome evolution with known homology truth.
+
+Plays the role of the evolver-simulated test genomes in the reference test
+suite (reference: test/evolverTest.py fixtures from cactusTestData — not
+fetchable here), providing an exact truth alignment oracle: every leaf base
+carries the index of the root base it descends from (or -1 for inserted
+bases), so true homology pairs between any two leaves are known exactly.
+
+Model: Jukes-Cantor substitutions at the branch length rate, geometric
+indels, optional inversions.  This gives evolver-like inputs at arbitrary
+scale for accuracy gates (see testutil/comparator.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.fasta import Sequence, revcomp
+from ..utils.trees import Tree
+
+
+@dataclass
+class SimGenome:
+    name: str
+    codes: np.ndarray           # uint8 base codes
+    anc_idx: np.ndarray         # int64: index into ROOT sequence, -1 = inserted
+    anc_strand: np.ndarray      # int8: +1/-1 orientation vs root
+
+    def to_sequence(self, seqname: str | None = None) -> Sequence:
+        return Sequence(name=seqname or self.name, codes=self.codes)
+
+
+@dataclass
+class SimResult:
+    tree: Tree
+    genomes: dict[str, SimGenome]
+    root_len: int
+
+    def truth_pairs(self, a: str, b: str) -> set[tuple[int, int, int]]:
+        """All (posA, posB, rel_strand) truly-homologous base pairs."""
+        ga, gb = self.genomes[a], self.genomes[b]
+        # map root index -> position for each genome (root positions unique
+        # as long as no duplications; duplications handled via lists)
+        out = set()
+        idx_b: dict[int, list[int]] = {}
+        for p, r in enumerate(gb.anc_idx):
+            if r >= 0:
+                idx_b.setdefault(int(r), []).append(p)
+        for p, r in enumerate(ga.anc_idx):
+            if r >= 0 and int(r) in idx_b:
+                for q in idx_b[int(r)]:
+                    rel = int(ga.anc_strand[p]) * int(gb.anc_strand[q])
+                    out.add((p, q, rel))
+        return out
+
+
+def _evolve_branch(codes, anc_idx, anc_strand, dist, rng,
+                   indel_rate=0.02, indel_mean=3.0,
+                   inversion_rate=0.0, inversion_mean=500.0,
+                   duplication_rate=0.0, duplication_mean=300.0):
+    """Evolve one branch of length `dist` (expected substitutions/site)."""
+    n = len(codes)
+    codes = codes.copy()
+    # Jukes-Cantor substitutions: P(observe change) = 3/4 (1 - exp(-4/3 d))
+    p_sub = 0.75 * (1.0 - np.exp(-4.0 / 3.0 * dist))
+    sub_mask = rng.random(n) < p_sub
+    shifts = rng.integers(1, 4, size=n, dtype=np.uint8)
+    codes = np.where(sub_mask & (codes < 4), (codes + shifts) % 4, codes)
+
+    # indels: expected indel events per site = indel_rate * dist
+    n_events = rng.poisson(indel_rate * dist * n)
+    segs_c, segs_i, segs_s = [codes], [anc_idx], [anc_strand]
+
+    def rebuild():
+        return (np.concatenate(segs_c), np.concatenate(segs_i),
+                np.concatenate(segs_s))
+
+    codes, anc_idx, anc_strand = rebuild()
+    for _ in range(n_events):
+        m = len(codes)
+        if m < 10:
+            break
+        pos = int(rng.integers(0, m))
+        length = 1 + int(rng.geometric(1.0 / indel_mean))
+        if rng.random() < 0.5:  # deletion
+            codes = np.delete(codes, slice(pos, pos + length))
+            anc_idx = np.delete(anc_idx, slice(pos, pos + length))
+            anc_strand = np.delete(anc_strand, slice(pos, pos + length))
+        else:  # insertion of random bases (no ancestor)
+            ins = rng.integers(0, 4, size=length).astype(np.uint8)
+            codes = np.insert(codes, pos, ins)
+            anc_idx = np.insert(anc_idx, pos, np.full(length, -1, dtype=np.int64))
+            anc_strand = np.insert(anc_strand, pos, np.ones(length, dtype=np.int8))
+
+    # inversions
+    n_inv = rng.poisson(inversion_rate * dist * len(codes))
+    for _ in range(n_inv):
+        m = len(codes)
+        length = min(m, 10 + int(rng.geometric(1.0 / inversion_mean)))
+        if m <= length:
+            continue
+        pos = int(rng.integers(0, m - length))
+        sl = slice(pos, pos + length)
+        codes[sl] = revcomp(codes[sl])
+        anc_idx[sl] = anc_idx[sl][::-1]
+        anc_strand[sl] = -anc_strand[sl][::-1]
+
+    # tandem duplications
+    n_dup = rng.poisson(duplication_rate * dist * len(codes))
+    for _ in range(n_dup):
+        m = len(codes)
+        length = min(m, 10 + int(rng.geometric(1.0 / duplication_mean)))
+        if m <= length:
+            continue
+        pos = int(rng.integers(0, m - length))
+        sl = slice(pos, pos + length)
+        codes = np.insert(codes, pos + length, codes[sl])
+        anc_idx = np.insert(anc_idx, pos + length, anc_idx[sl])
+        anc_strand = np.insert(anc_strand, pos + length, anc_strand[sl])
+
+    return codes, anc_idx, anc_strand
+
+
+def simulate(tree: Tree, root_len: int = 50_000, seed: int = 0,
+             **branch_kwargs) -> SimResult:
+    """Simulate genomes for every node of `tree` from a random root."""
+    rng = np.random.default_rng(seed)
+    root_codes = rng.integers(0, 4, size=root_len).astype(np.uint8)
+    root = SimGenome(tree.name or "root", root_codes,
+                     np.arange(root_len, dtype=np.int64),
+                     np.ones(root_len, dtype=np.int8))
+    genomes: dict[str, SimGenome] = {}
+
+    def walk(node: Tree, g: SimGenome):
+        genomes[g.name] = g
+        for child in node.children:
+            c, i, s = _evolve_branch(g.codes, g.anc_idx, g.anc_strand,
+                                     child.length or 0.0, rng, **branch_kwargs)
+            walk(child, SimGenome(child.name, c, i, s))
+
+    walk(tree, root)
+    return SimResult(tree=tree, genomes=genomes, root_len=root_len)
+
+
+def write_sim_fastas(sim: SimResult, outdir, leaves_only: bool = True) -> dict[str, str]:
+    """Write one FASTA per genome; returns {genome: path}."""
+    import os
+    from ..io.fasta import write_fasta
+    os.makedirs(outdir, exist_ok=True)
+    names = (sim.tree.leaf_names() if leaves_only else list(sim.genomes))
+    paths = {}
+    for name in names:
+        p = os.path.join(outdir, f"{name}.fa")
+        write_fasta(p, [sim.genomes[name].to_sequence(f"{name}_chr0")])
+        paths[name] = p
+    return paths
+
+
+def write_seqfile(sim: SimResult, outdir, path: str | None = None) -> str:
+    import os
+    paths = write_sim_fastas(sim, outdir)
+    sf = path or os.path.join(outdir, "seqfile.txt")
+    with open(sf, "w") as fh:
+        fh.write(sim.tree.to_newick() + "\n")
+        for name, p in paths.items():
+            fh.write(f"{name} {p}\n")
+    return sf
