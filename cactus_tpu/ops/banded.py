@@ -1,0 +1,319 @@
+"""Batched banded affine-gap pairwise alignment (TPU-first design).
+
+This is the DP workhorse replacing the inner loops of lastz gapped extension
+and cPecan's banded aligner (reference: submodules lastz, cPecan
+pairwiseAligner.h; banding params at cactus_progressive_config.xml:276-280).
+
+Design
+------
+Row-wise banded DP in diagonal-band coordinates, batched over pairs:
+
+ - Each pair p aligns q_p (len M_p) vs t_p (len N_p) globally inside a band
+   of B diagonals [lo_p, lo_p + B).  The HOST pre-shifts each target into a
+   buffer ``t_shift[p, y] = t_p[y + lo_p]`` so the kernel geometry is
+   uniform across the batch: row i reads the contiguous slice
+   ``t_shift[:, i-1 : i-1+B]`` — a static-width dynamic slice, ideal for
+   the VPU (8x128 tiles: batch on sublanes, band on 128 lanes).
+ - Affine gaps via the 3-matrix recurrence; the intra-row D-chain
+   (gap consuming target) is computed with an O(log B) Kogge-Stone
+   max-scan instead of a sequential sweep, so every row is pure vector ops.
+ - Direction bits are emitted per cell for host-side traceback
+   (bit0-1: H predecessor in {H,I,D}; bit2: I opened fresh; bit3: D opened
+   fresh).  Scores/end-state are captured at each pair's true endpoint
+   (M_p, N_p) with a masked select, so ragged batches pad to a bin shape
+   without affecting results.
+
+Cell updates/s on this kernel is the headline perf metric (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(1 << 28)  # -inf substitute, safe against int32 accumulation
+PAD_Q = 5         # query pad code
+PAD_T = 5         # target pad code
+
+
+def score_matrix_6(sub_matrix_5x5, pad_score: int = -1000) -> np.ndarray:
+    """Extend the 5x5 ACGTN matrix (config XML :312-318) with a pad code."""
+    m = np.full((6, 6), pad_score, dtype=np.int32)
+    m[:5, :5] = np.asarray(sub_matrix_5x5, dtype=np.int32).reshape(5, 5)
+    return m
+
+
+@dataclass(frozen=True)
+class GapParams:
+    gap_open: int = 400    # first gap base costs open+extend
+    gap_extend: int = 30
+
+
+# --------------------------------------------------------------------------
+# numpy oracle: plain full-matrix affine DP with traceback (small inputs)
+# --------------------------------------------------------------------------
+
+def align_affine_np(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
+                    gap: GapParams) -> tuple[int, list[tuple[str, int]]]:
+    """Global affine alignment, full O(MN) DP.  Test oracle only."""
+    M, N = len(q), len(t)
+    H = np.full((M + 1, N + 1), NEG, dtype=np.int64)
+    I = np.full_like(H, NEG)
+    D = np.full_like(H, NEG)
+    H[0, 0] = 0
+    for j in range(1, N + 1):
+        D[0, j] = -(gap.gap_open + j * gap.gap_extend)
+    for i in range(1, M + 1):
+        I[i, 0] = -(gap.gap_open + i * gap.gap_extend)
+    for i in range(1, M + 1):
+        si = submat[q[i - 1]]
+        for j in range(1, N + 1):
+            best_prev = max(H[i - 1, j - 1], I[i - 1, j - 1], D[i - 1, j - 1])
+            H[i, j] = best_prev + si[t[j - 1]]
+            I[i, j] = max(H[i - 1, j] - gap.gap_open, I[i - 1, j]) - gap.gap_extend
+            D[i, j] = max(H[i, j - 1] - gap.gap_open, D[i, j - 1]) - gap.gap_extend
+    # traceback
+    i, j = M, N
+    mats = {0: H, 1: I, 2: D}
+    cur = int(np.argmax([H[i, j], I[i, j], D[i, j]]))
+    score = int(mats[cur][i, j])
+    ops: list[tuple[str, int]] = []
+
+    def push(op):
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + 1)
+        else:
+            ops.append((op, 1))
+
+    while i > 0 or j > 0:
+        if cur == 0:
+            prev = max(H[i - 1, j - 1], I[i - 1, j - 1], D[i - 1, j - 1])
+            nxt = int(np.argmax([H[i - 1, j - 1], I[i - 1, j - 1], D[i - 1, j - 1]]))
+            push("M")
+            i, j, cur = i - 1, j - 1, nxt
+        elif cur == 1:
+            fresh = H[i - 1, j] - gap.gap_open >= I[i - 1, j]
+            push("I")
+            i, cur = i - 1, (0 if fresh else 1)
+        else:
+            fresh = H[i, j - 1] - gap.gap_open >= D[i, j - 1]
+            push("D")
+            j, cur = j - 1, (0 if fresh else 2)
+    return score, ops[::-1]
+
+
+# --------------------------------------------------------------------------
+# batched banded JAX kernel (XLA path; Pallas variant in banded_pallas.py)
+# --------------------------------------------------------------------------
+
+def pack_band_batch(pairs, band: int, submat: np.ndarray | None = None):
+    """Pack a list of (q_codes, t_codes) into uniform banded-batch arrays.
+
+    Returns dict of arrays: q (P, Mmax) uint8, t_shift (P, Mmax+band) uint8,
+    m_len, n_len, lo (P,) int32.  Band offset lo_p is chosen to center the
+    [0, N-M] diagonal range; caller must bin pairs so that
+    |N_p - M_p| + slack <= band.
+    """
+    # quantize batch and row count to limit distinct jit shapes
+    P = max(8, 1 << (len(pairs) - 1).bit_length())
+    Mmax = max(len(q) for q, _ in pairs)
+    Mmax = max(32, 1 << (Mmax - 1).bit_length())
+    q_arr = np.full((P, Mmax), PAD_Q, dtype=np.uint8)
+    t_arr = np.full((P, Mmax + band), PAD_T, dtype=np.uint8)
+    m_len = np.zeros(P, dtype=np.int32)
+    n_len = np.zeros(P, dtype=np.int32)
+    lo = np.zeros(P, dtype=np.int32)
+    for p, (q, t) in enumerate(pairs):
+        M, N = len(q), len(t)
+        if abs(N - M) >= band:
+            raise ValueError(f"pair {p}: diag span {N - M} exceeds band {band}")
+        # center band on the [min(0,N-M), max(0,N-M)] diagonal range
+        dmin, dmax = min(0, N - M), max(0, N - M)
+        lo_p = dmin - (band - (dmax - dmin)) // 2
+        # j = i + lo_p + b must reach j=0 at i=0 (lo_p <= 0) and j=N at i=M
+        lo_p = min(lo_p, 0)
+        lo_p = max(lo_p, (N - M) - band + 1)
+        q_arr[p, :M] = q
+        m_len[p] = M
+        n_len[p] = N
+        lo[p] = lo_p
+        # t_shift[y] = t[y + lo_p]
+        y0 = max(0, -lo_p)           # first y with valid t index
+        src0 = y0 + lo_p             # = max(lo_p, 0)
+        n_copy = min(N - src0, Mmax + band - y0)
+        if n_copy > 0:
+            t_arr[p, y0:y0 + n_copy] = t[src0:src0 + n_copy]
+    return dict(q=q_arr, t_shift=t_arr, m_len=m_len, n_len=n_len, lo=lo)
+
+
+@partial(jax.jit, static_argnames=("band", "gap_open", "gap_extend"))
+def banded_align_batch(q, t_shift, m_len, n_len, lo, submat,
+                       band: int, gap_open: int, gap_extend: int):
+    """Batched banded global affine alignment.
+
+    Returns (dirs (P, Mmax, band) uint8, end_scores (P, 3) int32 [H,I,D at
+    endpoint], end_mat (P,) int32 argmax).  Traceback on host.
+    """
+    P, Mmax = q.shape
+    B = band
+    submat = submat.astype(jnp.int32)
+    b_idx = jnp.arange(B, dtype=jnp.int32)[None, :]          # (1, B)
+    lo_c = lo[:, None].astype(jnp.int32)                     # (P, 1)
+
+    # row 0 carry: j = lo + b at i=0
+    j0 = lo_c + b_idx
+    H0 = jnp.where(j0 == 0, 0, NEG).astype(jnp.int32)
+    D0 = jnp.where(j0 > 0, -(gap_open + j0 * gap_extend), NEG).astype(jnp.int32)
+    I0 = jnp.full((P, B), NEG, dtype=jnp.int32)
+
+    ext_ramp = (gap_extend * jnp.arange(B, dtype=jnp.int32))[None, :]
+
+    def shift_left(x, fill=NEG):   # x[b] <- x[b+1]
+        return jnp.concatenate([x[:, 1:], jnp.full((P, 1), fill, x.dtype)], axis=1)
+
+    def shift_right(x, fill=NEG):  # x[b] <- x[b-1]
+        return jnp.concatenate([jnp.full((P, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    def row_step(carry, i):
+        H, I, D, endH, endI, endD = carry
+        qc = jax.lax.dynamic_slice_in_dim(q, i - 1, 1, axis=1)        # (P,1)
+        tc = jax.lax.dynamic_slice_in_dim(t_shift, i - 1, B, axis=1)  # (P,B)
+        s = submat[qc.astype(jnp.int32), tc.astype(jnp.int32)]        # (P,B)
+
+        # H: diagonal predecessor is the SAME band index in the previous row
+        prev_best = jnp.maximum(jnp.maximum(H, I), D)
+        h_src = jnp.where(H >= I, 0, 1)
+        h_src = jnp.where(D > jnp.maximum(H, I), 2, h_src).astype(jnp.uint8)
+        H_new = prev_best + s
+
+        # I (gap consuming query): predecessor band index b+1 in prev row
+        H_up = shift_left(H)
+        I_up = shift_left(I)
+        i_fresh = (H_up - gap_open) >= I_up
+        I_new = jnp.maximum(H_up - gap_open, I_up) - gap_extend
+
+        # boundary: j = i + lo + b; j == 0 cells are the left DP boundary
+        j = i + lo_c + b_idx
+        I_new = jnp.where(j == 0, -(gap_open + i * gap_extend), I_new)
+        H_new = jnp.where(j <= 0, NEG, H_new)
+        I_new = jnp.where(j < 0, NEG, I_new)
+
+        # D (gap consuming target): intra-row chain via max-scan.
+        # D[b] = max_{c<=b} (H_new[c-1] + e*c) - open - e*(b+1)
+        Hl = shift_right(H_new)
+        Y = Hl + ext_ramp
+        # Kogge-Stone inclusive max-scan along the band
+        off = 1
+        while off < B:
+            shifted = jnp.concatenate(
+                [jnp.full((P, off), NEG, Y.dtype), Y[:, :-off]], axis=1)
+            Y = jnp.maximum(Y, shifted)
+            off *= 2
+        D_new = Y - gap_open - gap_extend * (b_idx + 1)
+        d_fresh = D_new == (Hl - gap_open - gap_extend)
+        D_new = jnp.where(j <= 0, NEG, D_new)
+        D_new = jnp.maximum(D_new, NEG)
+        H_new = jnp.maximum(H_new, NEG)
+        I_new = jnp.maximum(I_new, NEG)
+
+        dirs = (h_src
+                | (i_fresh.astype(jnp.uint8) << 2)
+                | (d_fresh.astype(jnp.uint8) << 3))
+
+        at_end = (i == m_len)[:, None]
+        endH = jnp.where(at_end, H_new, endH)
+        endI = jnp.where(at_end, I_new, endI)
+        endD = jnp.where(at_end, D_new, endD)
+        return (H_new, I_new, D_new, endH, endI, endD), dirs
+
+    init = (H0, I0, D0,
+            jnp.where((m_len == 0)[:, None], H0, jnp.full((P, B), NEG, jnp.int32)),
+            jnp.full((P, B), NEG, jnp.int32),
+            jnp.where((m_len == 0)[:, None], D0, jnp.full((P, B), NEG, jnp.int32)))
+    (H, I, D, endH, endI, endD), dirs = jax.lax.scan(
+        row_step, init, jnp.arange(1, Mmax + 1))
+    dirs = jnp.transpose(dirs, (1, 0, 2))  # (P, Mmax, B)
+
+    b_end = (n_len - m_len - lo).astype(jnp.int32)
+    take = lambda mat: jnp.take_along_axis(mat, b_end[:, None], axis=1)[:, 0]
+    eh, ei, ed = take(endH), take(endI), take(endD)
+    end_scores = jnp.stack([eh, ei, ed], axis=1)
+    end_mat = jnp.argmax(end_scores, axis=1).astype(jnp.int32)
+    return dirs, end_scores, end_mat
+
+
+def traceback_band(dirs: np.ndarray, m: int, n: int, lo: int,
+                   end_mat: int) -> list[tuple[str, int]]:
+    """Host traceback from banded direction bits for one pair.
+
+    dirs is (Mmax, B) uint8 from banded_align_batch; walk from (m, n) back
+    to (0, 0).  Returns cigar ops in forward order (M/I/D; I consumes query).
+    """
+    B = dirs.shape[1]
+    i, j, cur = m, n, int(end_mat)
+    ops: list[tuple[str, int]] = []
+
+    def push(op):
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + 1)
+        else:
+            ops.append((op, 1))
+
+    while i > 0 or j > 0:
+        if i == 0:
+            push("D")
+            j -= 1
+            continue
+        if j == 0:
+            push("I")
+            i -= 1
+            continue
+        b = j - i - lo
+        if not (0 <= b < B):
+            raise RuntimeError(f"traceback left the band at ({i},{j}) b={b}")
+        byte = int(dirs[i - 1, b])
+        if cur == 0:      # in H: M op, predecessor from bits 0-1
+            push("M")
+            cur = byte & 3
+            i -= 1
+            j -= 1
+        elif cur == 1:    # in I
+            push("I")
+            cur = 0 if (byte >> 2) & 1 else 1
+            i -= 1
+        else:             # in D
+            push("D")
+            cur = 0 if (byte >> 3) & 1 else 2
+            j -= 1
+    return ops[::-1]
+
+
+def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
+                       backend=banded_align_batch):
+    """Convenience: pack, run the batched kernel, trace back on host.
+
+    Returns list of (score, cigar_ops) matching `pairs` order.
+    """
+    if not pairs:
+        return []
+    packed = pack_band_batch(pairs, band)
+    dirs, end_scores, end_mat = backend(
+        jnp.asarray(packed["q"]), jnp.asarray(packed["t_shift"]),
+        jnp.asarray(packed["m_len"]), jnp.asarray(packed["n_len"]),
+        jnp.asarray(packed["lo"]), jnp.asarray(submat),
+        band=band, gap_open=gap.gap_open, gap_extend=gap.gap_extend)
+    dirs = np.asarray(dirs)
+    end_scores = np.asarray(end_scores)
+    end_mat = np.asarray(end_mat)
+    out = []
+    for p in range(len(pairs)):
+        m, n = int(packed["m_len"][p]), int(packed["n_len"][p])
+        score = int(end_scores[p, end_mat[p]])
+        ops = traceback_band(dirs[p], m, n, int(packed["lo"][p]),
+                             int(end_mat[p]))
+        out.append((score, ops))
+    return out

@@ -1,0 +1,282 @@
+"""Blast phase: all-pairs pairwise anchoring → PAF (lastz+paffy equivalent).
+
+Pipeline per (query contig, target contig), both strands (reference flow:
+src/cactus/paf/local_alignment.py:370-408 make_chunked_alignments and
+:660-727 chain/tile/filter):
+
+  1. k-mer seed join on device (ops/seeds.py)
+  2. merge seed hits into diagonal runs (host)
+  3. collinear chaining with affine gap costs (ops/chain.py, device scan)
+  4. gap-fill between chained runs with the batched banded DP kernel
+     (ops/banded.py, device) → full base-level cigars
+  5. emit PafRecords; primary/secondary selection by query coverage
+     (tp:A:P / tp:A:S as in paffy; local_alignment.py:133-143 consumes them)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import BlastParams, PoaParams
+from ..io.fasta import Sequence, revcomp
+from ..io.paf import PafRecord, merge_cigar
+from ..ops import seeds as seed_ops
+from ..ops import chain as chain_ops
+from ..ops.banded import (GapParams, align_pairs_banded, score_matrix_6)
+
+
+def _pad_pow2(codes: np.ndarray, min_len: int = 256) -> np.ndarray:
+    n = max(min_len, 1 << (max(1, len(codes)) - 1).bit_length())
+    if n == len(codes):
+        return codes
+    out = np.full(n, 4, dtype=np.uint8)  # N pad → invalid seeds
+    out[:len(codes)] = codes
+    return out
+
+
+def find_anchors(q: np.ndarray, t: np.ndarray, k: int, step: int,
+                 max_occ: int, q_seed_mask: np.ndarray | None = None,
+                 t_seed_mask: np.ndarray | None = None,
+                 max_anchors: int = 1 << 20):
+    """Seed join for one strand; returns (qpos, tpos) numpy arrays."""
+    import jax.numpy as jnp
+    qp = _pad_pow2(q)
+    tp = _pad_pow2(t)
+    qv = np.ones(len(qp), dtype=bool)
+    tv = np.ones(len(tp), dtype=bool)
+    qv[len(q):] = False
+    tv[len(t):] = False
+    if q_seed_mask is not None:
+        qv[:len(q)] &= ~q_seed_mask
+    if t_seed_mask is not None:
+        tv[:len(t)] &= ~t_seed_mask
+    qpos, tpos, n = seed_ops.seed_join(
+        jnp.asarray(qp), jnp.asarray(qv), jnp.asarray(tp), jnp.asarray(tv),
+        k=k, step=step, max_occ=max_occ, max_anchors=max_anchors)
+    n = int(n)
+    return np.asarray(qpos[:n]), np.asarray(tpos[:n])
+
+
+@dataclass
+class _PendingGap:
+    """A gap between chained runs awaiting banded alignment."""
+    chain_id: int
+    slot: int          # position in the chain's op layout
+    q0: int
+    q1: int
+    t0: int
+    t1: int
+
+
+def _fill_gaps_banded(gaps, qcodes, tcodes, submat, gap_params):
+    """Batch-align all pending gaps, binned by band requirement."""
+    results = {}
+    by_band: dict[int, list] = {}
+    for g in gaps:
+        span = abs((g.t1 - g.t0) - (g.q1 - g.q0))
+        band = 128
+        while band <= span + 16:
+            band *= 2
+        by_band.setdefault(band, []).append(g)
+    for band, group in by_band.items():
+        pairs = [(qcodes[g.q0:g.q1], tcodes[g.t0:g.t1]) for g in group]
+        out = align_pairs_banded(pairs, submat, gap_params, band=band)
+        for g, (_score, ops) in zip(group, out):
+            results[(g.chain_id, g.slot)] = ops
+    return results
+
+
+def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
+                      strand, cfg: BlastParams, submat, max_fill: int = 8192):
+    """Convert extracted chains into PafRecords with full cigars.
+
+    qcodes are on the aligned strand ('-' = already reverse-complemented);
+    coordinates are converted to forward-strand PAF at the end.
+    """
+    gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
+    qlen = len(qcodes)
+    # collect per-chain segments: list of (kind, payload)
+    pending: list[_PendingGap] = []
+    layouts = []  # per chain: list of ops or placeholders ("gap", slot)
+    for cid, ch in enumerate(chains):
+        runs = chain_ops.trim_chain_overlaps(ch["runs"])
+        if len(runs) == 0:
+            layouts.append(None)
+            continue
+        layout = []       # ("run", qs, ts, ln) | ("gap", slot) | ("split",)
+        slot = 0
+        prev = None
+        for qs, ts, ln in runs:
+            if prev is not None:
+                pqe, pte = prev
+                qg, tg = qs - pqe, ts - pte
+                if qg > max_fill or tg > max_fill:
+                    layout.append(("split",))
+                elif qg == 0 and tg == 0:
+                    pass
+                elif qg == 0:
+                    layout.append(("ops", [("D", int(tg))]))
+                elif tg == 0:
+                    layout.append(("ops", [("I", int(qg))]))
+                else:
+                    layout.append(("gap", slot))
+                    pending.append(_PendingGap(cid, slot, int(pqe), int(qs),
+                                               int(pte), int(ts)))
+                    slot += 1
+            layout.append(("run", int(qs), int(ts), int(ln)))
+            prev = (qs + ln, ts + ln)
+        layouts.append(layout)
+
+    filled = _fill_gaps_banded(pending, qcodes, tcodes, submat, gap_params)
+
+    records = []
+    for cid, layout in enumerate(layouts):
+        if not layout:
+            continue
+        # split layout into segments at "split" markers
+        segs: list[list] = [[]]
+        for item in layout:
+            if item[0] == "split":
+                segs.append([])
+            else:
+                segs[-1].append(item)
+        for seg in segs:
+            runs_in_seg = [it for it in seg if it[0] == "run"]
+            if not runs_in_seg:
+                continue
+            q0, t0 = runs_in_seg[0][1], runs_in_seg[0][2]
+            q1 = runs_in_seg[-1][1] + runs_in_seg[-1][3]
+            t1 = runs_in_seg[-1][2] + runs_in_seg[-1][3]
+            ops = []
+            for it in seg:
+                if it[0] == "run":
+                    ops.append(("M", it[3]))
+                elif it[0] == "ops":
+                    ops.extend(it[1])
+                else:  # gap
+                    ops.extend(filled[(cid, it[1])])
+            ops = merge_cigar(ops)
+            nmatch, score = _score_alignment(qcodes, tcodes, q0, t0, ops,
+                                             submat, gap_params)
+            if strand == "+":
+                fq0, fq1 = q0, q1
+            else:
+                fq0, fq1 = qlen_full - q1, qlen_full - q0
+            alnlen = sum(l for _o, l in ops)
+            rec = PafRecord(qname=qname, qlen=qlen_full, qstart=fq0, qend=fq1,
+                            strand=strand, tname=tname, tlen=tlen,
+                            tstart=t0, tend=t1, nmatch=nmatch, alnlen=alnlen,
+                            mapq=60)
+            rec.cigar = ops
+            rec.set_tag("AS", "i", score)
+            records.append(rec)
+    return records
+
+
+def _score_alignment(qcodes, tcodes, q0, t0, ops, submat, gp: GapParams):
+    i, j = q0, t0
+    nmatch = 0
+    score = 0
+    for op, ln in ops:
+        if op == "M":
+            qs = qcodes[i:i + ln].astype(np.int32)
+            ts = tcodes[j:j + ln].astype(np.int32)
+            nmatch += int(np.sum(qs == ts))
+            score += int(np.sum(submat[qs, ts]))
+            i += ln
+            j += ln
+        elif op == "I":
+            score -= gp.gap_open + ln * gp.gap_extend
+            i += ln
+        else:
+            score -= gp.gap_open + ln * gp.gap_extend
+            j += ln
+    return nmatch, score
+
+
+def align_contig_pair(qseq: Sequence, tseq: Sequence, qname: str, tname: str,
+                      cfg: BlastParams, preset: str = "one",
+                      self_alignment: bool = False) -> list[PafRecord]:
+    """Full anchoring of one contig pair, both strands → PAF records."""
+    sp = cfg.seed
+    step = sp.step_for(preset)
+    submat = score_matrix_6(PoaParams().sub_matrix)
+    t = tseq.codes
+    records: list[PafRecord] = []
+    min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match, sp.k)
+    for strand in ("+", "-"):
+        q = qseq.codes if strand == "+" else revcomp(qseq.codes)
+        qpos, tpos = find_anchors(q, t, k=sp.k, step=step,
+                                  max_occ=sp.max_occurrences,
+                                  max_anchors=sp.max_anchors)
+        if self_alignment and strand == "+":
+            keep = qpos != tpos  # drop the trivial self-diagonal
+            qpos, tpos = qpos[keep], tpos[keep]
+        runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=sp.k, max_gap=step)
+        if len(runs) == 0:
+            continue
+        # seed-run-level chaining: gaps larger than max_fill split records
+        # anyway, so cap max_gap there; the paffy-level chain constants
+        # (chainGapOpen etc.) apply to record-level re-chaining.
+        order, scores, preds = chain_ops.chain_anchors(runs, max_gap=8192)
+        chains = chain_ops.extract_chains(runs, order, scores, preds,
+                                          min_score=min_chain)
+        records.extend(chains_to_records(
+            chains, q, t, qname, tname, len(qseq.codes), len(tseq.codes),
+            strand, cfg, submat))
+    return records
+
+
+def mark_primaries(records: list[PafRecord],
+                   min_primary_score: int = 0) -> list[PafRecord]:
+    """Primary/secondary selection by query-interval coverage.
+
+    Mirrors the role of paffy tile/trim + minPrimaryChainScore
+    (local_alignment.py:660-727): the best-scoring record covering a query
+    region is primary; others become secondary (tp:A:S).
+    """
+    by_query: dict[str, list[PafRecord]] = {}
+    for r in records:
+        by_query.setdefault(r.qname, []).append(r)
+    for recs in by_query.values():
+        recs.sort(key=lambda r: -r.score)
+        covered: list[tuple[int, int]] = []
+        for r in recs:
+            ov = _overlap_len(covered, r.qstart, r.qend)
+            if (ov < 0.5 * (r.qend - r.qstart)
+                    and r.score >= min_primary_score):
+                r.set_tag("tp", "A", "P")
+                covered.append((r.qstart, r.qend))
+            else:
+                r.set_tag("tp", "A", "S")
+    return records
+
+
+def _overlap_len(intervals, s, e) -> int:
+    total = 0
+    for a, b in intervals:
+        total += max(0, min(b, e) - max(a, s))
+    return total
+
+
+def align_genomes(q_genome: dict[str, Sequence], t_genome: dict[str, Sequence],
+                  q_event: str, t_event: str, cfg: BlastParams,
+                  preset: str = "one") -> list[PafRecord]:
+    """All contig pairs between two genomes → PAF with tp:A tags."""
+    records: list[PafRecord] = []
+    for qn, qs in q_genome.items():
+        if len(qs) < cfg.minimum_sequence_length:
+            continue
+        for tn, ts in t_genome.items():
+            if len(ts) < cfg.minimum_sequence_length:
+                continue
+            self_aln = (q_event == t_event and qn == tn)
+            records.extend(align_contig_pair(
+                qs, ts, f"{q_event}.{qn}", f"{t_event}.{tn}", cfg, preset,
+                self_alignment=self_aln))
+    # TODO(paffy parity): apply minPrimaryChainScore after cross-record
+    # re-chaining like local_alignment.py:700-727; per-record it would drop
+    # legitimately fragmented alignments.
+    return mark_primaries(records, min_primary_score=0)

@@ -7,7 +7,13 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if not os.environ.get("CACTUS_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+# persistent compile cache: the DP kernels jit once per shape bin
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cactus_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,116 @@
+import numpy as np
+import pytest
+
+from cactus_tpu.config import PoaParams
+from cactus_tpu.ops import banded
+from cactus_tpu.ops.banded import (GapParams, align_affine_np,
+                                   align_pairs_banded, score_matrix_6)
+
+SUBMAT = score_matrix_6(PoaParams().sub_matrix)
+GAP = GapParams(gap_open=400, gap_extend=30)
+
+
+def cigar_consumes(ops, m, n):
+    qc = sum(l for op, l in ops if op in "MI")
+    tc = sum(l for op, l in ops if op in "MD")
+    return qc == m and tc == n
+
+
+def score_of_cigar(q, t, ops, submat, gap):
+    """Recompute alignment score from a cigar (independent check)."""
+    i = j = 0
+    s = 0
+    for op, ln in ops:
+        if op == "M":
+            for k in range(ln):
+                s += submat[q[i + k], t[j + k]]
+            i += ln
+            j += ln
+        elif op == "I":
+            s -= gap.gap_open + ln * gap.gap_extend
+            i += ln
+        else:
+            s -= gap.gap_open + ln * gap.gap_extend
+            j += ln
+    assert i == len(q) and j == len(t)
+    return s
+
+
+def random_pair(rng, m_range=(20, 120), mut=0.1, indel=0.05):
+    m = int(rng.integers(*m_range))
+    q = rng.integers(0, 4, m).astype(np.uint8)
+    # derive t from q with mutations and indels so alignment is meaningful
+    t = []
+    for c in q:
+        r = rng.random()
+        if r < indel / 2:
+            continue  # deletion
+        if r < indel:
+            t.append(int(rng.integers(0, 4)))  # insertion
+        if rng.random() < mut:
+            t.append(int((c + rng.integers(1, 4)) % 4))
+        else:
+            t.append(int(c))
+    return q, np.array(t, dtype=np.uint8)
+
+
+def test_oracle_simple():
+    q = np.array([0, 1, 2, 3], dtype=np.uint8)
+    t = np.array([0, 1, 2, 3], dtype=np.uint8)
+    score, ops = align_affine_np(q, t, SUBMAT, GAP)
+    assert ops == [("M", 4)]
+    assert score == SUBMAT[0, 0] + SUBMAT[1, 1] + SUBMAT[2, 2] + SUBMAT[3, 3]
+
+
+def test_oracle_gap():
+    q = np.array([0, 1, 2, 3], dtype=np.uint8)
+    t = np.array([0, 1, 1, 1, 2, 3], dtype=np.uint8)
+    score, ops = align_affine_np(q, t, SUBMAT, GAP)
+    assert cigar_consumes(ops, 4, 6)
+    assert any(op == "D" and ln == 2 for op, ln in ops)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_banded_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    pairs = [random_pair(rng) for _ in range(8)]
+    results = align_pairs_banded(pairs, SUBMAT, GAP, band=128)
+    for (q, t), (score, ops) in zip(pairs, results):
+        ref_score, _ = align_affine_np(q, t, SUBMAT, GAP)
+        assert cigar_consumes(ops, len(q), len(t))
+        assert score == ref_score, f"banded {score} != oracle {ref_score}"
+        # cigar must actually realize the claimed score
+        assert score_of_cigar(q, t, ops, SUBMAT, GAP) == score
+
+
+def test_banded_ragged_batch():
+    rng = np.random.default_rng(42)
+    pairs = [random_pair(rng, m_range=(5, 200)) for _ in range(16)]
+    results = align_pairs_banded(pairs, SUBMAT, GAP, band=128)
+    for (q, t), (score, ops) in zip(pairs, results):
+        ref_score, _ = align_affine_np(q, t, SUBMAT, GAP)
+        assert score == ref_score
+        assert cigar_consumes(ops, len(q), len(t))
+
+
+def test_banded_empty_query():
+    # degenerate: empty query vs short target -> all D
+    results = align_pairs_banded(
+        [(np.zeros(0, dtype=np.uint8), np.array([0, 1, 2], dtype=np.uint8)),
+         (np.array([0, 1], dtype=np.uint8), np.array([0, 1], dtype=np.uint8))],
+        SUBMAT, GAP, band=128)
+    score0, ops0 = results[0]
+    assert ops0 == [("D", 3)]
+    assert score0 == -(GAP.gap_open + 3 * GAP.gap_extend)
+    assert results[1][1] == [("M", 2)]
+
+
+def test_banded_diag_offset():
+    # strongly asymmetric lengths exercise nonzero band offsets
+    rng = np.random.default_rng(7)
+    q = rng.integers(0, 4, 50).astype(np.uint8)
+    t = np.concatenate([rng.integers(0, 4, 60).astype(np.uint8), q])
+    (score, ops), = align_pairs_banded([(q, t)], SUBMAT, GAP, band=128)
+    ref_score, _ = align_affine_np(q, t, SUBMAT, GAP)
+    assert score == ref_score
+    assert cigar_consumes(ops, 50, 110)

@@ -1,0 +1,129 @@
+import numpy as np
+import pytest
+
+from cactus_tpu.config import BlastParams
+from cactus_tpu.io.fasta import Sequence, revcomp
+from cactus_tpu.ops import seeds as seed_ops
+from cactus_tpu.ops import chain as chain_ops
+from cactus_tpu.phases import blast
+from cactus_tpu.testutil import evolver
+from cactus_tpu.utils.trees import parse_newick
+
+
+def test_kmer_hashes():
+    import jax.numpy as jnp
+    codes = jnp.array([0, 1, 2, 3, 0, 1], dtype=jnp.uint8)
+    valid = jnp.ones(6, dtype=bool)
+    h, pos = seed_ops.kmer_hashes(codes, valid, k=3, step=1)
+    assert list(pos) == [0, 1, 2, 3]
+    # hash of [0,1,2] = 0b000110 = 6
+    assert int(h[0]) == 0b000110
+    # invalid (N) kills overlapping kmers
+    codes2 = codes.at[2].set(4)
+    h2, _ = seed_ops.kmer_hashes(codes2, valid, k=3, step=1)
+    assert int(h2[0]) == seed_ops.INVALID_Q and int(h2[3]) != seed_ops.INVALID_Q
+
+
+def test_seed_join_exact():
+    rng = np.random.default_rng(0)
+    t = rng.integers(0, 4, 256).astype(np.uint8)
+    q = t[50:114].copy()  # exact 64bp substring
+    qpos, tpos = blast.find_anchors(q, t, k=15, step=1, max_occ=8)
+    # every query kmer should hit its true position
+    true_hits = {(i, 50 + i) for i in range(64 - 15 + 1)}
+    got = set(zip(qpos.tolist(), tpos.tolist()))
+    assert true_hits <= got
+
+
+def test_merge_diagonal_runs():
+    qpos = np.array([0, 1, 2, 10, 50])
+    tpos = np.array([5, 6, 7, 15, 70])
+    runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=4, max_gap=6)
+    # first four all on diag 5 with gaps <= 10 -> one run; last separate
+    runs_set = {tuple(r) for r in runs.tolist()}
+    assert (0, 5, 14) in runs_set
+    assert (50, 70, 4) in runs_set
+
+
+def test_chain_anchors_collinear():
+    runs = np.array([
+        [0, 0, 20],
+        [30, 32, 20],    # small diag shift
+        [60, 62, 20],
+        [500, 100, 20],  # off-chain (target jumps backwards relative)
+    ], dtype=np.int64)
+    order, scores, preds = chain_ops.chain_anchors(runs, gap_open=10,
+                                                   gap_extend=1, max_gap=1000)
+    chains = chain_ops.extract_chains(runs, order, scores, preds)
+    assert len(chains) >= 1
+    best = chains[0]
+    assert len(best["runs"]) == 3
+    assert best["score"] > 40
+
+
+def test_trim_chain_overlaps():
+    runs = np.array([[0, 0, 20], [10, 10, 20], [40, 40, 5]], dtype=np.int64)
+    out = chain_ops.trim_chain_overlaps(runs)
+    assert out[0].tolist() == [0, 0, 20]
+    assert out[1].tolist() == [20, 20, 10]
+    assert out[2].tolist() == [40, 40, 5]
+
+
+def _identity_of(rec, q, t):
+    n = same = 0
+    qf = q
+    for qp, tp in rec.aligned_pairs():
+        n += 1
+        same += int(qf[qp] == t[tp]) if rec.strand == "+" else 0
+    return n
+
+
+def test_align_contig_pair_identical():
+    rng = np.random.default_rng(1)
+    s = rng.integers(0, 4, 2000).astype(np.uint8)
+    cfg = BlastParams()
+    recs = blast.align_contig_pair(Sequence("a", s), Sequence("b", s.copy()),
+                                   "A.a", "B.b", cfg)
+    primary = [r for r in recs if r.strand == "+"]
+    assert primary
+    best = max(primary, key=lambda r: r.nmatch)
+    assert best.nmatch >= 1990
+    assert best.cigar[0][0] == "M"
+
+
+def test_align_contig_pair_revcomp():
+    rng = np.random.default_rng(2)
+    s = rng.integers(0, 4, 1500).astype(np.uint8)
+    q = revcomp(s)
+    cfg = BlastParams()
+    recs = blast.align_contig_pair(Sequence("a", q), Sequence("b", s),
+                                   "A.a", "B.b", cfg)
+    minus = [r for r in recs if r.strand == "-"]
+    assert minus
+    best = max(minus, key=lambda r: r.nmatch)
+    assert best.nmatch >= 1490
+    # verify aligned pairs are true homologies: q[i] == revcomp base of t
+    from cactus_tpu.io.fasta import complement
+    for qp, tp in list(best.aligned_pairs())[:100]:
+        assert q[qp] == complement(s[tp:tp + 1])[0]
+
+
+def test_pairwise_accuracy_on_sim():
+    """End-to-end pairwise anchoring accuracy vs simulator truth."""
+    tree = parse_newick("(a:0.05,b:0.05)root;")
+    sim = evolver.simulate(tree, root_len=20_000, seed=5)
+    ga, gb = sim.genomes["a"], sim.genomes["b"]
+    cfg = BlastParams()
+    recs = blast.align_contig_pair(Sequence("c", ga.codes),
+                                   Sequence("c", gb.codes), "a.c", "b.c", cfg)
+    pred = set()
+    for r in recs:
+        if r.is_primary:
+            for qp, tp in r.aligned_pairs():
+                pred.add((qp, tp))
+    truth = {(p, q) for p, q, _s in sim.truth_pairs("a", "b")}
+    inter = len(truth & pred)
+    recall = inter / len(truth)
+    precision = inter / len(pred)
+    assert recall > 0.90, f"recall {recall:.3f}"
+    assert precision > 0.90, f"precision {precision:.3f}"
