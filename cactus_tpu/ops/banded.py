@@ -168,7 +168,10 @@ def banded_align_batch(q, t_shift, m_len, n_len, lo, submat,
     j0 = lo_c + b_idx
     H0 = jnp.where(j0 == 0, 0, NEG).astype(jnp.int32)
     D0 = jnp.where(j0 > 0, -(gap_open + j0 * gap_extend), NEG).astype(jnp.int32)
-    I0 = jnp.full((P, B), NEG, dtype=jnp.int32)
+    # derive the all-NEG init from H0 so its sharding/varying-axis type
+    # matches the scan outputs under shard_map
+    negs = 0 * H0 + jnp.int32(NEG)
+    I0 = negs
 
     ext_ramp = (gap_extend * jnp.arange(B, dtype=jnp.int32))[None, :]
 
@@ -231,9 +234,9 @@ def banded_align_batch(q, t_shift, m_len, n_len, lo, submat,
         return (H_new, I_new, D_new, endH, endI, endD), dirs
 
     init = (H0, I0, D0,
-            jnp.where((m_len == 0)[:, None], H0, jnp.full((P, B), NEG, jnp.int32)),
-            jnp.full((P, B), NEG, jnp.int32),
-            jnp.where((m_len == 0)[:, None], D0, jnp.full((P, B), NEG, jnp.int32)))
+            jnp.where((m_len == 0)[:, None], H0, negs),
+            negs,
+            jnp.where((m_len == 0)[:, None], D0, negs))
     (H, I, D, endH, endI, endD), dirs = jax.lax.scan(
         row_step, init, jnp.arange(1, Mmax + 1))
     dirs = jnp.transpose(dirs, (1, 0, 2))  # (P, Mmax, B)

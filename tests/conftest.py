@@ -18,3 +18,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+if not os.environ.get("CACTUS_TEST_TPU"):
+    # The axon site hook force-registers the TPU backend at interpreter
+    # startup and overrides JAX_PLATFORMS; re-pin the default platform to
+    # CPU after import so tests run on the virtual 8-device CPU mesh.
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
