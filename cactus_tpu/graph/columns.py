@@ -139,10 +139,47 @@ class PinchColumns:
         return len(self.col)
 
 
-def build_columns(records, table: SeqTable) -> PinchColumns:
-    """Connected components over the bidirected base graph → columns."""
+def edges_from_runs(runs, table: SeqTable) -> tuple[np.ndarray, np.ndarray]:
+    """Bidirected edges from global-coordinate match runs.
+
+    runs: iterable of (ga, gb, ln, strand) — global base ga..ga+ln-1 pairs
+    with gb..gb+ln-1 (strand +1) or gb+ln-1..gb (strand -1).  This is the
+    format of phases.caf.blocks_to_match_edges and the BAR MSA output.
+    """
+    us, vs = [], []
+    for ga, gb, ln, strand in runs:
+        apos = ga + np.arange(ln, dtype=np.int64)
+        if strand == 1:
+            bpos = gb + np.arange(ln, dtype=np.int64)
+            us.append(2 * apos)
+            vs.append(2 * bpos)
+            us.append(2 * apos + 1)
+            vs.append(2 * bpos + 1)
+        else:
+            bpos = gb + np.arange(ln - 1, -1, -1, dtype=np.int64)
+            us.append(2 * apos)
+            vs.append(2 * bpos + 1)
+            us.append(2 * apos + 1)
+            vs.append(2 * bpos)
+    if not us:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(us), np.concatenate(vs)
+
+
+def build_columns(records, table: SeqTable,
+                  runs=None) -> PinchColumns:
+    """Connected components over the bidirected base graph → columns.
+
+    Evidence edges come from PAF records and/or raw match runs (both may
+    be given; they are unioned — the CAF+BAR merge path).
+    """
     N = table.total
-    u, v = edges_from_pafs(records, table)
+    u, v = edges_from_pafs(records or [], table)
+    if runs is not None:
+        u2, v2 = edges_from_runs(runs, table)
+        u = np.concatenate([u, u2])
+        v = np.concatenate([v, v2])
     n_nodes = 2 * N
     data = np.ones(len(u), dtype=np.int8)
     g = coo_matrix((data, (u, v)), shape=(n_nodes, n_nodes))

@@ -1,0 +1,206 @@
+"""BAR phase: base-level refinement of the unaligned tangles left by CAF.
+
+Reference flow (bar/impl/bar.c:52-176): for each leaf flower, gather the
+adjacency sequences hanging off each block End (cap→cap strings, capped at
+bandingLimit=1e6, cactus_progressive_config.xml:245), build one MSA per
+End (abPOA windowed partial-order alignment, poaBarAligner.c:1115-1240, or
+cPecan pair-HMM), keep every base in exactly ONE end's alignment
+(consistency trimming, poaBarAligner.c:751-806), and pinch the MSA blocks
+back into the graph (mini CAF anneal/melt, bar.c:133-145).
+
+TPU-first design here:
+ - the MSA engine is a batched STAR alignment on the banded affine-DP
+   kernel (ops/banded.py): per end, the longest adjacency string is the
+   backbone and every other member is banded-aligned to it; transitivity
+   through backbone columns yields the multiple alignment (the poset-MSA
+   analog).  All (member, backbone) pairs across ALL ends are packed into
+   shape-binned device batches — the vmap-over-padded-bins replacement
+   for the reference's OpenMP flower loop (SURVEY.md §2.4).
+ - consistency: each adjacency gap is split at its midpoint; the left
+   half belongs to the exit end's alignment, the right half (reverse
+   complement) to the entry end's (degenerate form of the reference's
+   best-cut trimming — a later-round refinement).
+ - BAR match runs merge with the CAF block runs and columns/blocks are
+   rebuilt in one vectorized pass (graph/columns.py), replacing the
+   reference's incremental re-pinching.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import BarParams, PoaParams
+from ..io.fasta import Sequence, revcomp
+from ..graph import chains as chain_graph
+from ..graph.columns import SeqTable, build_columns, columns_to_blocks
+from ..ops.banded import GapParams, align_pairs_banded, score_matrix_6
+from .caf import CafResult, blocks_to_match_edges, filter_blocks_by_events, event_of
+
+BOUNDARY = chain_graph.BOUNDARY
+
+
+def global_codes(table: SeqTable, seqs: dict[str, Sequence]) -> np.ndarray:
+    """Concatenate per-sequence codes into the table's global index space."""
+    out = np.empty(table.total, dtype=np.uint8)
+    for name, i in table.index.items():
+        o = int(table.offsets[i])
+        out[o:o + int(table.lengths[i])] = seqs[name].codes
+    return out
+
+
+@dataclass
+class EndString:
+    """One adjacency string oriented walking away from its end.
+
+    Oriented position i maps to global base:
+      forward: gstart + i            (strand +1)
+      reverse: gend - 1 - i          (strand -1)
+    """
+    gstart: int
+    gend: int
+    forward: bool
+
+    def length(self) -> int:
+        return self.gend - self.gstart
+
+    def codes(self, gcodes: np.ndarray) -> np.ndarray:
+        c = gcodes[self.gstart:self.gend]
+        return c if self.forward else revcomp(c)
+
+    def to_run(self, i0: int, ln: int) -> tuple[int, int]:
+        """Oriented run [i0, i0+ln) → (global ascending start, strand)."""
+        if self.forward:
+            return self.gstart + i0, 1
+        return self.gend - i0 - ln, -1
+
+
+def end_strings(caf: CafResult, cfg: BarParams,
+                min_len: int = 2) -> dict[int, list[EndString]]:
+    """Collect the adjacency strings per block end.
+
+    Each thread adjacency contributes its gap: split at the midpoint
+    between two real ends; assigned wholly to the real end when the other
+    side is a thread boundary.  Strings are capped at the POA window
+    (reference caps at bandingLimit then windows at 10 kb;
+    config:245,308).
+    """
+    cap = min(cfg.banding_limit, cfg.poa.window)
+    adj = chain_graph.thread_adjacencies(caf.blocks, caf.alive)
+    table = caf.table
+    per_end: dict[int, list[EndString]] = {}
+    for k in range(len(adj.seq)):
+        u, v = int(adj.end_u[k]), int(adj.end_v[k])
+        s = int(adj.seq[k])
+        g0 = int(table.offsets[s] + adj.gap_start[k])
+        g1 = int(table.offsets[s] + adj.gap_end[k])
+        L = g1 - g0
+        if L < min_len:
+            continue
+        if u == BOUNDARY and v == BOUNDARY:
+            continue
+        if v == BOUNDARY:
+            lo, hi = g0, g0 + min(L, cap)
+            per_end.setdefault(u, []).append(EndString(lo, hi, True))
+        elif u == BOUNDARY:
+            lo, hi = g1 - min(L, cap), g1
+            per_end.setdefault(v, []).append(EndString(lo, hi, False))
+        else:
+            mid = g0 + (L + 1) // 2
+            left = min(mid - g0, cap)
+            right = min(g1 - mid, cap)
+            if left >= min_len:
+                per_end.setdefault(u, []).append(
+                    EndString(g0, g0 + left, True))
+            if right >= min_len:
+                per_end.setdefault(v, []).append(
+                    EndString(g1 - right, g1, False))
+    return per_end
+
+
+def star_align_ends(per_end: dict[int, list[EndString]],
+                    gcodes: np.ndarray, cfg: BarParams,
+                    max_band: int = 2048):
+    """Batched star MSA over all ends → global match runs.
+
+    Returns a list of (ga, gb, ln, strand) runs (edges_from_runs format).
+    Pairs are length-trimmed so the backbone slice matches the member
+    length (+slack), keeping bands narrow; the pair list across all ends
+    is aligned in shape-binned device batches.
+    """
+    poa: PoaParams = cfg.poa
+    submat = score_matrix_6(poa.sub_matrix)
+    gap = GapParams(poa.gap_open1, poa.gap_extend1)
+
+    jobs = []        # (member EndString, backbone EndString, t_len)
+    for end, members in per_end.items():
+        if len(members) < 2:
+            continue
+        members = sorted(members, key=lambda e: -e.length())
+        backbone = members[0]
+        bb_len = backbone.length()
+        for m in members[1:]:
+            ml = m.length()
+            # adaptive band (reference: abPOA band 1000 + 0.1*len,
+            # config:310-311); skip pathological length ratios
+            t_len = min(bb_len, ml + poa.band_constant // 4)
+            band = 128
+            need = abs(t_len - ml) + min(
+                poa.band_constant + int(poa.band_fraction * ml), max_band)
+            while band <= need:
+                band *= 2
+            if band > max_band:
+                continue
+            jobs.append((m, backbone, t_len, band))
+
+    runs: list[tuple[int, int, int, int]] = []
+    by_band: dict[int, list] = {}
+    for job in jobs:
+        by_band.setdefault(job[3], []).append(job)
+    for band, group in by_band.items():
+        pairs = [(m.codes(gcodes), b.codes(gcodes)[:t_len])
+                 for m, b, t_len, _ in group]
+        out = align_pairs_banded(pairs, submat, gap, band=band)
+        for (m, b, t_len, _), (_score, ops) in zip(group, out):
+            i = j = 0
+            for op, ln in ops:
+                if op == "M":
+                    ga, sa = m.to_run(i, ln)
+                    gb, sb = b.to_run(j, ln)
+                    if sa == 1:
+                        runs.append((ga, gb, ln, sb))
+                    elif sb == 1:
+                        runs.append((gb, ga, ln, sa))
+                    else:
+                        # both reversed: forward pairing of the reversed
+                        # intervals (bases descend in lockstep)
+                        runs.append((ga, gb, ln, 1))
+                    i += ln
+                    j += ln
+                elif op == "I":
+                    i += ln
+                else:
+                    j += ln
+    return runs
+
+
+def run_bar(caf: CafResult, seqs: dict[str, Sequence],
+            cfg: BarParams) -> CafResult:
+    """Refine the CAF result with base-level end alignments.
+
+    CAF block evidence and BAR MSA evidence are merged and the
+    columns/blocks rebuilt; block filters re-apply (bar re-runs the CAF
+    filters on the refined graph, reference bar.c:133-145).
+    """
+    if not cfg.run_bar:
+        return caf
+    gcodes = global_codes(caf.table, seqs)
+    per_end = end_strings(caf, cfg)
+    bar_runs = star_align_ends(per_end, gcodes, cfg)
+    caf_runs = blocks_to_match_edges(caf.blocks, caf.alive)
+    pc = build_columns([], caf.table, runs=caf_runs + bar_runs)
+    blocks = columns_to_blocks(pc, min_degree=cfg.minimum_block_degree)
+    alive = np.ones(blocks.n_blocks, dtype=bool)
+    return CafResult(table=caf.table, blocks=blocks, alive=alive,
+                     events_of_seq=caf.events_of_seq)

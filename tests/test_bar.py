@@ -1,0 +1,132 @@
+"""BAR phase: star-MSA end refinement + MAF export accuracy gates."""
+
+import numpy as np
+import pytest
+
+from cactus_tpu.config import BarParams, BlastParams, CafParams
+from cactus_tpu.io.fasta import Sequence
+from cactus_tpu.phases import bar, blast, maf_export
+from cactus_tpu.phases.caf import run_caf
+from cactus_tpu.testutil import evolver
+from cactus_tpu.testutil.comparator import score_maf_vs_sim
+from cactus_tpu.utils.trees import parse_newick
+
+
+def _align_all_pairs(sim, leaves, cfg):
+    recs = []
+    for i, a in enumerate(leaves):
+        for b in leaves[i + 1:]:
+            recs.extend(blast.align_contig_pair(
+                Sequence("c", sim.genomes[a].codes),
+                Sequence("c", sim.genomes[b].codes),
+                f"{a}.c", f"{b}.c", cfg))
+    return recs
+
+
+def _pipeline(sim, leaves, min_chain=64, with_bar=True):
+    recs = _align_all_pairs(sim, leaves, BlastParams())
+    lengths = {f"{g}.c": len(sim.genomes[g].codes) for g in leaves}
+    caf = run_caf(recs, lengths, CafParams(), preset="one",
+                  min_chain_override=min_chain)
+    if with_bar:
+        seqs = {f"{g}.c": Sequence(f"{g}.c", sim.genomes[g].codes)
+                for g in leaves}
+        caf = bar.run_bar(caf, seqs, BarParams())
+    return caf
+
+
+def _score(sim, leaves, caf):
+    seqs = {f"{g}.c": Sequence(f"{g}.c", sim.genomes[g].codes)
+            for g in leaves}
+    blocks = maf_export.blocks_to_maf(caf, seqs)
+    _per_pair, overall = score_maf_vs_sim(blocks, sim)
+    return overall
+
+
+def test_end_strings_split():
+    """Adjacency gaps split between their two ends; boundary gaps whole."""
+    from cactus_tpu.graph.columns import SeqTable, build_columns, columns_to_blocks
+    from cactus_tpu.io.paf import PafRecord
+    table = SeqTable.build({"A.c": 100, "B.c": 100})
+    r = PafRecord("A.c", 100, 10, 30, "+", "B.c", 100, 10, 30, 0, 0)
+    r.cigar = [("M", 20)]
+    r.set_tag("tp", "A", "P")
+    r2 = PafRecord("A.c", 100, 60, 90, "+", "B.c", 100, 60, 90, 0, 0)
+    r2.cigar = [("M", 30)]
+    r2.set_tag("tp", "A", "P")
+    pc = build_columns([r, r2], table)
+    blocks = columns_to_blocks(pc)
+    from cactus_tpu.phases.caf import CafResult
+    caf = CafResult(table=table, blocks=blocks,
+                    alive=np.ones(blocks.n_blocks, bool),
+                    events_of_seq=["A", "B"])
+    per_end = bar.end_strings(caf, BarParams())
+    # every string stays within its sequence and within the gap
+    for end, members in per_end.items():
+        for m in members:
+            sid = table.seq_of(np.array([m.gstart]))[0]
+            sid2 = table.seq_of(np.array([m.gend - 1]))[0]
+            assert sid == sid2
+            assert m.length() >= 2
+    # the middle gap (30..60 on both seqs) contributes 2 strings to the
+    # right end of block1 and 2 to the left end of block2
+    sizes = sorted(len(v) for v in per_end.values())
+    assert sizes.count(2) >= 2
+
+
+def test_bar_recovers_unaligned_gap():
+    """CAF blocks flank a region blast missed; BAR stitches it."""
+    rng = np.random.default_rng(0)
+    # two sequences identical except a diverged middle that we don't give
+    # to blast: feed CAF only the flanking alignments
+    n = 600
+    a = rng.integers(0, 4, n).astype(np.uint8)
+    b = a.copy()
+    # mutate the middle lightly (still homologous)
+    mid = slice(250, 350)
+    mask = rng.random(100) < 0.1
+    b[mid] = np.where(mask, (b[mid] + 1) % 4, b[mid])
+    from cactus_tpu.graph.columns import SeqTable, build_columns, columns_to_blocks
+    from cactus_tpu.io.paf import PafRecord
+    table = SeqTable.build({"A.c": n, "B.c": n})
+    recs = []
+    for qs, qe in [(0, 250), (350, 600)]:
+        r = PafRecord("A.c", n, qs, qe, "+", "B.c", n, qs, qe, 0, 0)
+        r.cigar = [("M", qe - qs)]
+        r.set_tag("tp", "A", "P")
+        recs.append(r)
+    pc = build_columns(recs, table)
+    blocks = columns_to_blocks(pc)
+    from cactus_tpu.phases.caf import CafResult
+    caf = CafResult(table=table, blocks=blocks,
+                    alive=np.ones(blocks.n_blocks, bool),
+                    events_of_seq=["A", "B"])
+    seqs = {"A.c": Sequence("A.c", a), "B.c": Sequence("B.c", b)}
+    refined = bar.run_bar(caf, seqs, BarParams())
+    # the middle 100bp must now be covered by blocks
+    covered = refined.blocks.block_of_base[250:350] >= 0
+    assert covered.mean() > 0.9
+
+
+def test_full_pipeline_accuracy_two_leaves():
+    tree = parse_newick("(a:0.04,b:0.04)root;")
+    sim = evolver.simulate(tree, root_len=12_000, seed=7)
+    leaves = ["a", "b"]
+    caf = _pipeline(sim, leaves, with_bar=False)
+    s0 = _score(sim, leaves, caf)
+    caf_bar = _pipeline(sim, leaves, with_bar=True)
+    s1 = _score(sim, leaves, caf_bar)
+    assert s1.recall > 0.90, f"recall {s1.recall:.3f}"
+    assert s1.precision > 0.90, f"precision {s1.precision:.3f}"
+    # BAR must not lose recall vs CAF alone
+    assert s1.recall >= s0.recall - 0.005
+
+
+def test_full_pipeline_accuracy_three_leaves():
+    tree = parse_newick("((a:0.03,b:0.03)ab:0.02,c:0.05)root;")
+    sim = evolver.simulate(tree, root_len=10_000, seed=8)
+    leaves = ["a", "b", "c"]
+    caf = _pipeline(sim, leaves)
+    s = _score(sim, leaves, caf)
+    assert s.recall > 0.85, f"recall {s.recall:.3f}"
+    assert s.precision > 0.85, f"precision {s.precision:.3f}"
