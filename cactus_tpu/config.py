@@ -29,23 +29,44 @@ def divergence_preset(max_path_length: float) -> str:
     return "default"
 
 
+# lastz's default T=1 spaced seed (12-of-19) and a lighter 11-of-18
+# variant for the most diverged preset tiers
+SEED_12_OF_19 = "1110100110010101111"
+SEED_11_OF_18 = "111010011001010111"
+
+
 @dataclass
 class SeedParams:
     """Seeding for the pairwise anchoring stage (lastz-equivalent).
 
-    The reference tunes lastz --step by divergence (config XML :130-137);
-    we tune k-mer seed step the same way.  The seed is an exact k-mer by
-    default (spaced seeds optional via `pattern`).
+    The reference tunes lastz --step and seed scheme by divergence
+    (config XML :130-137; lastz default seed = spaced 12-of-19).  Here
+    close presets use exact 15-mers (fast, specific) and distant presets
+    spaced seeds (mismatch-tolerant with retained specificity).
     """
     k: int = 15
     steps: dict[str, int] = field(default_factory=lambda: {
-        "one": 2, "two": 5, "three": 4, "four": 3, "five": 2, "default": 1})
-    pattern: str = ""  # spaced-seed pattern of 1/0, empty = contiguous k-mer
+        "one": 2, "two": 2, "three": 1, "four": 1, "five": 1, "default": 1})
+    pattern: str = ""  # override: spaced-seed 1/0 pattern for ALL presets
+    patterns: dict[str, str] = field(default_factory=lambda: {
+        "one": "", "two": "",                      # contiguous k
+        "three": SEED_12_OF_19,
+        "four": SEED_11_OF_18, "five": SEED_11_OF_18,
+        "default": SEED_11_OF_18})
     max_occurrences: int = 64   # drop seeds occurring more often (repeat guard)
     max_anchors: int = 1 << 22  # fixed-size anchor buffer per chunk pair
 
     def step_for(self, preset: str) -> int:
         return self.steps.get(preset, self.steps["default"])
+
+    def pattern_for(self, preset: str) -> str:
+        if self.pattern:
+            return self.pattern
+        return self.patterns.get(preset, self.patterns["default"])
+
+    def span_for(self, preset: str) -> int:
+        p = self.pattern_for(preset)
+        return len(p) if p else self.k
 
 
 @dataclass

@@ -155,25 +155,12 @@ def chain_components(n_blocks: int, links: np.ndarray) -> tuple[np.ndarray, np.n
 def melt(blocks: Blocks, alive: np.ndarray, min_chain_length: int,
          max_iterations: int = 20) -> np.ndarray:
     """Destroy blocks in chains shorter than min_chain_length, iterating
-    until stable (removal can merge flanking chains into longer ones —
-    reference behavior: stCaf_melt loops until convergence).
+    until stable (stCaf_melt semantics).  Chains come from the cactus
+    decomposition (graph/cactus.py) — the exclusive-link approximation
+    this module previously used breaks on blocks nested inside links.
     """
-    alive = alive.copy()
-    block_len = blocks.block_length()
-    for _ in range(max_iterations):
-        if not alive.any():
-            break
-        adj = thread_adjacencies(blocks, alive)
-        links = find_links(adj, blocks.n_blocks)
-        chain_id, _ = chain_components(blocks.n_blocks, links)
-        # chain length = sum of live block lengths in the chain
-        lengths = np.zeros(chain_id.max() + 1, dtype=np.int64)
-        np.add.at(lengths, chain_id[alive], block_len[alive])
-        kill = alive & (lengths[chain_id] < min_chain_length)
-        if not kill.any():
-            break
-        alive &= ~kill
-    return alive
+    from .cactus import melt as cactus_melt
+    return cactus_melt(blocks, alive, min_chain_length, max_iterations)
 
 
 @dataclass

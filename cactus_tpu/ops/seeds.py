@@ -26,33 +26,41 @@ INVALID_T = np.int32(-1)             # sorts before all real hashes
 MAX_K = 15
 
 
-def kmer_hashes(codes, valid, k: int, step: int):
-    """Hash every k-mer at positions 0, step, 2*step, ...
+def kmer_hashes(codes, valid, k: int, step: int, pattern: str = ""):
+    """Hash every (possibly spaced) seed at positions 0, step, 2*step, ...
 
     codes: (L,) uint8 base codes; valid: (L,) bool (False = N or masked).
-    Returns (hashes (n,) int64 with sentinel for invalid, positions (n,) int32).
-    Static shapes for fixed L, k, step.
+    pattern: string of 1/0 — hash only the '1' positions over a window of
+    len(pattern) (lastz-style spaced seeds, e.g. the 12-of-19
+    '1110100110010101111'; empty = contiguous k-mer).  Returns (hashes
+    (n,) int32 with sentinel for invalid, positions (n,) int32).  Static
+    shapes for fixed L, k/pattern, step.
     """
-    if k > MAX_K:
-        raise ValueError(f"k={k} exceeds MAX_K={MAX_K} (int32 hash space)")
+    care = ([i for i, ch in enumerate(pattern) if ch == "1"]
+            if pattern else list(range(k)))
+    span = len(pattern) if pattern else k
+    if len(care) > MAX_K:
+        raise ValueError(f"seed weight {len(care)} exceeds MAX_K={MAX_K} "
+                         "(int32 hash space)")
     L = codes.shape[0]
-    n = max(0, (L - k) // step + 1)
+    n = max(0, (L - span) // step + 1)
     pos = jnp.arange(n, dtype=jnp.int32) * step
     h = jnp.zeros(n, dtype=jnp.int32)
     ok = jnp.ones(n, dtype=bool)
-    for j in range(k):
-        c = jax.lax.dynamic_slice_in_dim(codes, j, L - k + 1, axis=0)
-        v = jax.lax.dynamic_slice_in_dim(valid, j, L - k + 1, axis=0)
+    for j in care:
+        c = jax.lax.dynamic_slice_in_dim(codes, j, L - span + 1, axis=0)
+        v = jax.lax.dynamic_slice_in_dim(valid, j, L - span + 1, axis=0)
         cj = c[pos].astype(jnp.int32)
         h = (h << 2) | jnp.where(cj > 3, 0, cj)
         ok = ok & v[pos] & (cj <= 3)
     return jnp.where(ok, h, INVALID_Q), pos
 
 
-@partial(jax.jit, static_argnames=("k", "step", "max_occ", "max_anchors"))
+@partial(jax.jit, static_argnames=("k", "step", "max_occ", "max_anchors",
+                                   "pattern"))
 def seed_join(q_codes, q_valid, t_codes, t_valid,
               k: int = 15, step: int = 1, max_occ: int = 64,
-              max_anchors: int = 1 << 20):
+              max_anchors: int = 1 << 20, pattern: str = ""):
     """All matching (qpos, tpos) k-mer pairs between query and target.
 
     Per-query-kmer hits are capped at `max_occ` (repeat guard, mirroring
@@ -62,8 +70,8 @@ def seed_join(q_codes, q_valid, t_codes, t_valid,
     Returns (qpos (A,) int32, tpos (A,) int32, n_anchors () int32) where
     entries beyond n_anchors are -1.
     """
-    qh, qpos = kmer_hashes(q_codes, q_valid, k, step)
-    th, tpos = kmer_hashes(t_codes, t_valid, k, 1)
+    qh, qpos = kmer_hashes(q_codes, q_valid, k, step, pattern)
+    th, tpos = kmer_hashes(t_codes, t_valid, k, 1, pattern)
     th = jnp.where(th == INVALID_Q, INVALID_T, th)
 
     order = jnp.argsort(th)

@@ -186,7 +186,9 @@ def star_align_ends(per_end: dict[int, list[EndString]],
 
 
 def run_bar(caf: CafResult, seqs: dict[str, Sequence],
-            cfg: BarParams) -> CafResult:
+            cfg: BarParams,
+            ingroup_events: set[str] | None = None,
+            outgroup_events: set[str] | None = None) -> CafResult:
     """Refine the CAF result with base-level end alignments.
 
     CAF block evidence and BAR MSA evidence are merged and the
@@ -202,5 +204,10 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
     pc = build_columns([], caf.table, runs=caf_runs + bar_runs)
     blocks = columns_to_blocks(pc, min_degree=cfg.minimum_block_degree)
     alive = np.ones(blocks.n_blocks, dtype=bool)
+    # BarParams carries the same degree/species knobs as CafParams, so the
+    # CAF block filter applies directly to the refined graph
+    alive = filter_blocks_by_events(blocks, alive, cfg,
+                                    ingroup_events or set(),
+                                    outgroup_events or set())
     return CafResult(table=caf.table, blocks=blocks, alive=alive,
                      events_of_seq=caf.events_of_seq)

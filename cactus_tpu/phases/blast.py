@@ -39,7 +39,7 @@ def _pad_pow2(codes: np.ndarray, min_len: int = 256) -> np.ndarray:
 def find_anchors(q: np.ndarray, t: np.ndarray, k: int, step: int,
                  max_occ: int, q_seed_mask: np.ndarray | None = None,
                  t_seed_mask: np.ndarray | None = None,
-                 max_anchors: int = 1 << 20):
+                 max_anchors: int = 1 << 20, pattern: str = ""):
     """Seed join for one strand; returns (qpos, tpos) numpy arrays."""
     import jax.numpy as jnp
     qp = _pad_pow2(q)
@@ -54,7 +54,8 @@ def find_anchors(q: np.ndarray, t: np.ndarray, k: int, step: int,
         tv[:len(t)] &= ~t_seed_mask
     qpos, tpos, n = seed_ops.seed_join(
         jnp.asarray(qp), jnp.asarray(qv), jnp.asarray(tp), jnp.asarray(tv),
-        k=k, step=step, max_occ=max_occ, max_anchors=max_anchors)
+        k=k, step=step, max_occ=max_occ, max_anchors=max_anchors,
+        pattern=pattern)
     n = int(n)
     return np.asarray(qpos[:n]), np.asarray(tpos[:n])
 
@@ -160,6 +161,8 @@ def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
             ops = merge_cigar(ops)
             nmatch, score = _score_alignment(qcodes, tcodes, q0, t0, ops,
                                              submat, gap_params)
+            if score < cfg.extend.gapped_threshold:
+                continue  # lastz gappedThresh equivalent: drop weak records
             if strand == "+":
                 fq0, fq1 = q0, q1
             else:
@@ -202,19 +205,23 @@ def align_contig_pair(qseq: Sequence, tseq: Sequence, qname: str, tname: str,
     """Full anchoring of one contig pair, both strands → PAF records."""
     sp = cfg.seed
     step = sp.step_for(preset)
+    pattern = sp.pattern_for(preset)
+    span = sp.span_for(preset)
     submat = score_matrix_6(PoaParams().sub_matrix)
     t = tseq.codes
     records: list[PafRecord] = []
-    min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match, sp.k)
+    min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match, span)
     for strand in ("+", "-"):
         q = qseq.codes if strand == "+" else revcomp(qseq.codes)
         qpos, tpos = find_anchors(q, t, k=sp.k, step=step,
                                   max_occ=sp.max_occurrences,
-                                  max_anchors=sp.max_anchors)
+                                  max_anchors=sp.max_anchors,
+                                  pattern=pattern)
         if self_alignment and strand == "+":
             keep = qpos != tpos  # drop the trivial self-diagonal
             qpos, tpos = qpos[keep], tpos[keep]
-        runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=sp.k, max_gap=step)
+        runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=span,
+                                            max_gap=step)
         if len(runs) == 0:
             continue
         # seed-run-level chaining: gaps larger than max_fill split records
@@ -235,11 +242,16 @@ def mark_primaries(records: list[PafRecord],
 
     Mirrors the role of paffy tile/trim + minPrimaryChainScore
     (local_alignment.py:660-727): the best-scoring record covering a query
-    region is primary; others become secondary (tp:A:S).
+    region is primary; others become secondary (tp:A:S).  Selection is per
+    (query, target genome): the reference chains ingroup and outgroup
+    alignments separately (chain_alignments_splitting_ingroups_and_
+    outgroups, local_alignment.py:556-595) — competing a close outgroup
+    against a distant sibling would wrongly demote the sibling's records.
     """
-    by_query: dict[str, list[PafRecord]] = {}
+    by_query: dict[tuple[str, str], list[PafRecord]] = {}
     for r in records:
-        by_query.setdefault(r.qname, []).append(r)
+        t_event = r.tname.split(".", 1)[0]
+        by_query.setdefault((r.qname, t_event), []).append(r)
     for recs in by_query.values():
         recs.sort(key=lambda r: -r.score)
         covered: list[tuple[int, int]] = []

@@ -1,0 +1,311 @@
+"""Progressive alignment driver: bottom-up ancestor reconstruction.
+
+Replaces the Toil workflow orchestration (reference:
+src/cactus/progressive/cactus_progressive.py:86-193 progressive_schedule /
+progressive_step): internal nodes of the guide tree are processed in
+postorder; each ancestor step runs blast → CAF → BAR → reference on its
+children (+ nearest outgroups), producing the ancestral genome consumed by
+the parent's step.  Instead of HAL files between Toil jobs, steps exchange
+in-memory genomes plus vectorized child→ancestor coordinate maps (the
+top/bottom-segment structure of HAL, hal/impl/hal.c:14-77), which also
+give transitive leaf↔leaf homology through lowest common ancestors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import Config, divergence_preset
+from .io.fasta import Sequence
+from .phases import bar as bar_phase
+from .phases import blast as blast_phase
+from .phases import reference as ref_phase
+from .phases.caf import CafResult, run_caf
+from .utils.trees import Tree
+
+
+@dataclass
+class SeqMap:
+    """Base-level map from one sequence into an ancestor genome.
+
+    tgt_idx[i]: index into the ancestor's ordered sequence-name list
+    (-1 = unaligned base); tgt_pos[i]: position there; strand[i]: +/-1.
+    """
+    tgt_idx: np.ndarray
+    tgt_pos: np.ndarray
+    strand: np.ndarray
+
+
+@dataclass
+class AncestorStep:
+    event: str
+    caf: CafResult
+    ref: ref_phase.ReferenceResult
+    anc_seq_names: list[str]
+    maps: dict[str, SeqMap]            # child/outgroup seq → ancestor coords
+    ingroup_events: set[str]
+    outgroup_events: set[str]
+
+
+@dataclass
+class ProgressiveResult:
+    tree: Tree
+    steps: dict[str, AncestorStep]
+    genomes: dict[str, dict[str, Sequence]]   # event → {seq name → Sequence}
+
+    def step_of_child(self, event: str) -> AncestorStep | None:
+        """The ancestor step in which `event` participates as a child."""
+        node = self.tree.find(event)
+        if node is None or node.parent is None:
+            return None
+        return self.steps.get(node.parent.name)
+
+
+def seq_maps_from_step(caf: CafResult,
+                       ref: ref_phase.ReferenceResult) -> dict[str, SeqMap]:
+    """Vectorized child→ancestor coordinate maps from block structure."""
+    table = caf.table
+    anc_names = list(ref.sequences)
+    anc_index = {n: i for i, n in enumerate(anc_names)}
+    maps = {n: SeqMap(np.full(int(L), -1, np.int32),
+                      np.full(int(L), -1, np.int64),
+                      np.zeros(int(L), np.int8))
+            for n, L in zip(table.names, table.lengths)}
+    blocks = caf.blocks
+    lens = blocks.block_length()
+    for i in range(len(blocks.seg_block)):
+        b = int(blocks.seg_block[i])
+        if not caf.alive[b] or b not in ref.block_coord:
+            continue
+        anc_seq, astart, orient = ref.block_coord[b]
+        ai = anc_index[anc_seq]
+        st = int(blocks.seg_start[i])
+        ln = int(blocks.seg_len[i])
+        L = int(lens[b])
+        name = table.names[int(blocks.seg_seq[i])]
+        m = maps[name]
+        k = np.arange(ln)
+        # member base st+k sits at block column k (strand +1) or L-1-k (-1)
+        col = k if int(blocks.seg_strand[i]) == 1 else L - 1 - k
+        # ancestor position of column c: astart+c (orient +1) else
+        # astart + L-1-c
+        apos = astart + (col if orient == 1 else L - 1 - col)
+        rel = int(blocks.seg_strand[i]) * orient
+        m.tgt_idx[st:st + ln] = ai
+        m.tgt_pos[st:st + ln] = apos
+        m.strand[st:st + ln] = rel
+    return maps
+
+
+def compose_maps(m1: SeqMap, names1: list[str],
+                 maps2: dict[str, SeqMap]) -> SeqMap:
+    """child→A composed with A→B gives child→B (missing data propagates)."""
+    n = len(m1.tgt_idx)
+    out = SeqMap(np.full(n, -1, np.int32), np.full(n, -1, np.int64),
+                 np.zeros(n, np.int8))
+    for ai in np.unique(m1.tgt_idx):
+        if ai < 0:
+            continue
+        name = names1[int(ai)]
+        m2 = maps2.get(name)
+        if m2 is None:
+            continue
+        sel = np.flatnonzero(m1.tgt_idx == ai)
+        p = m1.tgt_pos[sel]
+        t_idx = m2.tgt_idx[p]
+        ok = t_idx >= 0
+        sel, p = sel[ok], p[ok]
+        out.tgt_idx[sel] = m2.tgt_idx[p]
+        out.tgt_pos[sel] = m2.tgt_pos[p]
+        out.strand[sel] = m1.strand[sel] * m2.strand[p]
+    return out
+
+
+def nearest_outgroups(tree: Tree, node: Tree, k: int) -> list[str]:
+    """Nearest leaves outside `node`'s subtree (greedyLeaves strategy,
+    reference: src/cactus/progressive/outgroup.py — distance-ranked)."""
+    if k <= 0 or node.parent is None:
+        return []
+    inside = set(node.leaf_names()) | {node.name}
+    cands = [lf for lf in tree.leaf_names() if lf not in inside]
+    cands.sort(key=lambda lf: tree.distance(node.name, lf))
+    return cands[:k]
+
+
+class ProgressiveAligner:
+    """Runs the full progressive pipeline over a guide tree."""
+
+    def __init__(self, tree: Tree, genomes: dict[str, dict[str, Sequence]],
+                 config: Config | None = None,
+                 min_chain_override: int | None = None):
+        self.tree = tree.copy()
+        self.tree.name_internal_nodes()
+        self.config = config or Config.default()
+        self.genomes = dict(genomes)
+        self.min_chain_override = min_chain_override
+
+    def run(self) -> ProgressiveResult:
+        steps: dict[str, AncestorStep] = {}
+        for node in self.tree.postorder():
+            if node.is_leaf():
+                continue
+            steps[node.name] = self._ancestor_step(node)
+        return ProgressiveResult(tree=self.tree, steps=steps,
+                                 genomes=self.genomes)
+
+    # ---- one ancestor ----
+    def _ancestor_step(self, node: Tree) -> AncestorStep:
+        cfg = self.config
+        children = [c.name for c in node.children]
+        outgroups = nearest_outgroups(self.tree, node,
+                                      cfg.outgroup.max_num_outgroups)
+        events = children + outgroups
+        seqs: dict[str, Sequence] = {}
+        for ev in events:
+            for name, s in self.genomes[ev].items():
+                seqs[name] = s
+
+        # divergence preset from the deepest ingroup path (caf.c:159-183)
+        max_path = max((c.length or 0.0) + c.max_leaf_depth()
+                       for c in node.children)
+        preset = divergence_preset(2.0 * max_path)
+
+        records = self._blast(node, children, outgroups, preset)
+        lengths = {n: len(s) for n, s in seqs.items()}
+        caf = run_caf(records, lengths, cfg.caf, preset=preset,
+                      ingroup_events=set(children),
+                      outgroup_events=set(outgroups),
+                      min_chain_override=self.min_chain_override)
+        caf = bar_phase.run_bar(caf, seqs, cfg.bar,
+                                ingroup_events=set(children),
+                                outgroup_events=set(outgroups))
+
+        gcodes = bar_phase.global_codes(caf.table, seqs)
+        event_tree = self._event_tree(node, outgroups)
+        ref = ref_phase.run_reference(caf, gcodes, event_tree, node.name,
+                                      cfg.reference)
+        self.genomes[node.name] = dict(ref.sequences)
+        maps = seq_maps_from_step(caf, ref)
+        return AncestorStep(event=node.name, caf=caf, ref=ref,
+                            anc_seq_names=list(ref.sequences),
+                            maps=maps, ingroup_events=set(children),
+                            outgroup_events=set(outgroups))
+
+    def _blast(self, node: Tree, children: list[str], outgroups: list[str],
+               preset: str):
+        """All ingroup pairs + each ingroup vs outgroups (reference:
+        make_paf_alignments, paf/local_alignment.py:751-858).  Genome seq
+        names already carry the event prefix."""
+        cfg = self.config.blast
+        records = []
+
+        def pair(ev_a, ev_b):
+            for qn, qs in self.genomes[ev_a].items():
+                if len(qs) < cfg.minimum_sequence_length:
+                    continue
+                for tn, ts in self.genomes[ev_b].items():
+                    if len(ts) < cfg.minimum_sequence_length:
+                        continue
+                    records.extend(blast_phase.align_contig_pair(
+                        qs, ts, qn, tn, cfg, preset))
+
+        for i, a in enumerate(children):
+            for b in children[i + 1:]:
+                pair(a, b)
+            for og in outgroups:
+                pair(a, og)
+        return blast_phase.mark_primaries(records)
+
+    def _event_tree(self, node: Tree, outgroups: list[str]) -> Tree:
+        """Felsenstein tree: the ancestor's children subtrees collapsed to
+        leaf events + outgroups attached at the root by path distance."""
+        root = Tree(node.name)
+        for c in node.children:
+            root.add_child(Tree(c.name, c.length))
+        for og in outgroups:
+            root.add_child(Tree(og, self.tree.distance(node.name, og)))
+        return root
+
+
+# --------------------------------------------------------------------------
+# transitive leaf homology (scoring surface)
+# --------------------------------------------------------------------------
+
+def leaf_map_to_ancestor(result: ProgressiveResult, leaf: str,
+                         ancestor: str) -> dict[str, SeqMap]:
+    """Compose maps from `leaf`'s sequences up to `ancestor`'s genome."""
+    node = result.tree.find(leaf)
+    maps: dict[str, SeqMap] | None = None
+    names: list[str] = []
+    while node is not None and node.name != ancestor:
+        parent = node.parent
+        if parent is None:
+            raise KeyError(f"{ancestor} is not an ancestor of {leaf}")
+        step = result.steps[parent.name]
+        if maps is None:
+            maps = {n: step.maps[n] for n in result.genomes[leaf]}
+        else:
+            maps = {n: compose_maps(m, names, step.maps)
+                    for n, m in maps.items()}
+        names = step.anc_seq_names
+        node = parent
+    if maps is None:  # leaf == ancestor
+        raise KeyError("leaf equals ancestor")
+    return maps
+
+
+def _lca(tree: Tree, a: str, b: str) -> str:
+    ancs = set()
+    n = tree.find(a)
+    while n is not None:
+        ancs.add(n.name)
+        n = n.parent
+    n = tree.find(b)
+    while n is not None:
+        if n.name in ancs:
+            return n.name
+        n = n.parent
+    raise KeyError(f"no LCA of {a},{b}")
+
+
+def leaf_pairs(result: ProgressiveResult, a: str, b: str
+               ) -> set[tuple[int, int, int]]:
+    """All predicted homologous base pairs between leaf genomes a and b,
+    joined through their LCA's coordinates.  Positions are per-genome
+    concatenated (single-contig genomes: plain positions)."""
+    lca = _lca(result.tree, a, b)
+    ma = leaf_map_to_ancestor(result, a, lca)
+    mb = leaf_map_to_ancestor(result, b, lca)
+
+    def flat(maps, genome):
+        offs = {}
+        off = 0
+        for n, s in result.genomes[genome].items():
+            offs[n] = off
+            off += len(s)
+        pos_l, key_l, strand_l = [], [], []
+        for n, m in maps.items():
+            sel = np.flatnonzero(m.tgt_idx >= 0)
+            pos_l.append(sel + offs[n])
+            key_l.append(m.tgt_idx[sel].astype(np.int64) << 40
+                         | m.tgt_pos[sel])
+            strand_l.append(m.strand[sel])
+        if not pos_l:
+            z = np.zeros(0, np.int64)
+            return z, z, z.astype(np.int8)
+        return (np.concatenate(pos_l), np.concatenate(key_l),
+                np.concatenate(strand_l))
+
+    pa, ka, sa = flat(ma, a)
+    pb, kb, sb = flat(mb, b)
+    order = np.argsort(kb, kind="stable")
+    kb_s, pb_s, sb_s = kb[order], pb[order], sb[order]
+    left = np.searchsorted(kb_s, ka, side="left")
+    right = np.searchsorted(kb_s, ka, side="right")
+    pairs: set[tuple[int, int, int]] = set()
+    for i in np.flatnonzero(right > left):
+        for j in range(left[i], right[i]):
+            pairs.add((int(pa[i]), int(pb_s[j]), int(sa[i] * sb_s[j])))
+    return pairs

@@ -1,0 +1,89 @@
+"""Progressive driver: multi-ancestor recursion + transitive homology."""
+
+import numpy as np
+import pytest
+
+from cactus_tpu.config import Config
+from cactus_tpu.io.fasta import Sequence
+from cactus_tpu import progressive
+from cactus_tpu.testutil import evolver
+from cactus_tpu.testutil.comparator import score_pairs
+from cactus_tpu.utils.trees import parse_newick
+
+
+def _genomes_from_sim(sim, events):
+    return {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
+            for ev in events}
+
+
+def _truth(sim, a, b):
+    return {(p, q, s) for p, q, s in sim.truth_pairs(a, b)}
+
+
+def test_nearest_outgroups():
+    tree = parse_newick("((a:0.1,b:0.1)ab:0.05,(c:0.1,d:0.3)cd:0.05)root;")
+    ab = tree.find("ab")
+    ogs = progressive.nearest_outgroups(tree, ab, 1)
+    assert ogs == ["c"]
+    assert progressive.nearest_outgroups(tree, tree, 3) == []
+
+
+def test_compose_maps_roundtrip():
+    m1 = progressive.SeqMap(
+        tgt_idx=np.array([0, 0, -1, 0], np.int32),
+        tgt_pos=np.array([2, 3, -1, 0], np.int64),
+        strand=np.array([1, 1, 0, -1], np.int8))
+    m2 = progressive.SeqMap(
+        tgt_idx=np.array([1, -1, 1, 1], np.int32),
+        tgt_pos=np.array([7, -1, 9, 10], np.int64),
+        strand=np.array([-1, 0, 1, 1], np.int8))
+    out = progressive.compose_maps(m1, ["anc.s"], {"anc.s": m2})
+    assert out.tgt_idx.tolist() == [1, 1, -1, 1]
+    assert out.tgt_pos.tolist() == [9, 10, -1, 7]
+    assert out.strand.tolist() == [1, 1, 0, 1]
+
+
+def test_progressive_two_level():
+    tree = parse_newick("((a:0.03,b:0.03)ab:0.03,c:0.06)root;")
+    sim = evolver.simulate(tree, root_len=10_000, seed=21)
+    leaves = ["a", "b", "c"]
+    genomes = _genomes_from_sim(sim, leaves)
+    aligner = progressive.ProgressiveAligner(tree, genomes,
+                                             min_chain_override=64)
+    result = aligner.run()
+    assert set(result.steps) == {"ab", "root"}
+    # ancestors materialized
+    assert result.genomes["ab"]
+    assert result.genomes["root"]
+    anc_len = sum(len(s) for s in result.genomes["ab"].values())
+    assert 0.7 * 10_000 < anc_len < 1.3 * 10_000
+
+    # sibling pair accuracy (within one step)
+    s_ab = score_pairs(_truth(sim, "a", "b"),
+                       progressive.leaf_pairs(result, "a", "b"))
+    assert s_ab.recall > 0.90, s_ab
+    assert s_ab.precision > 0.90, s_ab
+    # cross-subtree pair: a vs c through the root ancestor
+    s_ac = score_pairs(_truth(sim, "a", "c"),
+                       progressive.leaf_pairs(result, "a", "c"))
+    assert s_ac.recall > 0.80, s_ac
+    assert s_ac.precision > 0.85, s_ac
+
+
+def test_progressive_four_leaves_with_outgroup():
+    tree = parse_newick(
+        "((a:0.02,b:0.02)ab:0.02,(c:0.02,d:0.02)cd:0.02)root;")
+    sim = evolver.simulate(tree, root_len=8_000, seed=22)
+    leaves = ["a", "b", "c", "d"]
+    genomes = _genomes_from_sim(sim, leaves)
+    result = progressive.ProgressiveAligner(
+        tree, genomes, min_chain_override=64).run()
+    # outgroup was available for ab's step (c or d)
+    assert result.steps["ab"].outgroup_events
+    scores = {}
+    for x, y in [("a", "b"), ("c", "d"), ("a", "c"), ("b", "d")]:
+        s = score_pairs(_truth(sim, x, y),
+                        progressive.leaf_pairs(result, x, y))
+        scores[(x, y)] = s
+        assert s.recall > 0.80, (x, y, s)
+        assert s.precision > 0.85, (x, y, s)
