@@ -1,0 +1,152 @@
+"""Command-line entry points (python -m cactus_tpu <command>).
+
+Mirrors the reference's console scripts (setup.py:41-65): `cactus`
+(progressive alignment), `cactus-blast` (standalone anchoring stage),
+`cactus-hal2maf` (MAF export), plus halStats-style inspection.  All
+commands work off the AlignmentStore directory, the restartable-artifact
+analogue of the Toil jobstore + HAL archive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import Config
+from .io.fasta import Sequence, read_fasta
+from .io.seqfile import SeqFile
+from .progressive import ProgressiveAligner
+from .store import AlignmentStore
+
+
+def _log(msg: str) -> None:
+    print(f"[cactus-tpu] {msg}", file=sys.stderr, flush=True)
+
+
+def _init_jax() -> None:
+    """Fall back to auto platform choice if JAX_PLATFORMS names a backend
+    that can't initialize (e.g. a plugin missing from this process)."""
+    import jax
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        _log(f"requested JAX platform unavailable ({e}); auto-selecting")
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+
+
+def load_genomes_from_seqfile(sf: SeqFile) -> dict[str, dict[str, Sequence]]:
+    genomes = {}
+    for event, path in sf.paths.items():
+        seqs = read_fasta(path)
+        genomes[event] = {
+            f"{event}.{name}": Sequence(name=f"{event}.{name}",
+                                        codes=s.codes, mask=s.mask)
+            for name, s in seqs.items()}
+    return genomes
+
+
+def cmd_align(args) -> int:
+    sf = SeqFile.parse(args.seqfile)
+    tree = sf.tree if sf.tree is not None else sf.star_tree()
+    genomes = load_genomes_from_seqfile(sf)
+    store = AlignmentStore(args.outdir)
+    aligner = ProgressiveAligner(
+        tree, genomes, config=Config.default(),
+        min_chain_override=args.min_chain, store=store, log=_log)
+    result = aligner.run()
+    from .phases import hal as hal_phase
+    hal_phase.write_result_c2h(result, args.outdir + "/c2h")
+    if args.maf:
+        hal_phase.write_hal2maf(args.maf, result, args.ref_genome)
+        _log(f"wrote {args.maf}")
+    stats = hal_phase.hal_stats(result)
+    with open(args.outdir + "/stats.json", "w") as fh:
+        json.dump(stats, fh, indent=1)
+    for row in stats:
+        _log(f"{row['genome']}: {row['n_sequences']} seqs, "
+             f"{row['length']} bp, {row['n_top_segments']} top, "
+             f"{row['n_bottom_segments']} bottom")
+    return 0
+
+
+def cmd_blast(args) -> int:
+    """Standalone pairwise anchoring → PAF (cactus-blast equivalent)."""
+    from .phases import blast as blast_phase
+    from .io.paf import write_paf
+    sf = SeqFile.parse(args.seqfile)
+    genomes = load_genomes_from_seqfile(sf)
+    events = args.events.split(",") if args.events else list(genomes)
+    records = []
+    for i, a in enumerate(events):
+        for b in events[i + 1:]:
+            for qn, qs in genomes[a].items():
+                for tn, ts in genomes[b].items():
+                    records.extend(blast_phase.align_contig_pair(
+                        qs, ts, qn, tn, Config.default().blast,
+                        preset=args.preset))
+    records = blast_phase.mark_primaries(records)
+    with open(args.out, "w") as fh:
+        write_paf(fh, records)
+    _log(f"wrote {len(records)} PAF records to {args.out}")
+    return 0
+
+
+def cmd_hal2maf(args) -> int:
+    from .phases import hal as hal_phase
+    store = AlignmentStore(args.store)
+    result = store.load_result()
+    hal_phase.write_hal2maf(args.out, result, args.ref_genome)
+    _log(f"wrote {args.out}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .phases import hal as hal_phase
+    store = AlignmentStore(args.store)
+    result = store.load_result()
+    for row in hal_phase.hal_stats(result):
+        print("{genome}\t{n_sequences}\t{length}\t{n_top_segments}\t"
+              "{n_bottom_segments}".format(**row))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cactus-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pa = sub.add_parser("align", help="progressive alignment from a seqfile")
+    pa.add_argument("seqfile")
+    pa.add_argument("outdir")
+    pa.add_argument("--maf", help="also write a MAF referenced on the root")
+    pa.add_argument("--ref-genome", default=None)
+    pa.add_argument("--min-chain", type=int, default=None,
+                    help="override the melting minimum chain length")
+    pa.set_defaults(fn=cmd_align)
+
+    pb = sub.add_parser("blast", help="pairwise anchoring stage → PAF")
+    pb.add_argument("seqfile")
+    pb.add_argument("out")
+    pb.add_argument("--events", default=None,
+                    help="comma-separated genome names (default: all pairs)")
+    pb.add_argument("--preset", default="default")
+    pb.set_defaults(fn=cmd_blast)
+
+    pm = sub.add_parser("hal2maf", help="export MAF from an alignment store")
+    pm.add_argument("store")
+    pm.add_argument("out")
+    pm.add_argument("--ref-genome", default=None)
+    pm.set_defaults(fn=cmd_hal2maf)
+
+    ps = sub.add_parser("stats", help="halStats-style genome table")
+    ps.add_argument("store")
+    ps.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    _init_jax()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

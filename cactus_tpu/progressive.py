@@ -139,19 +139,44 @@ class ProgressiveAligner:
 
     def __init__(self, tree: Tree, genomes: dict[str, dict[str, Sequence]],
                  config: Config | None = None,
-                 min_chain_override: int | None = None):
+                 min_chain_override: int | None = None,
+                 store=None, log=None):
         self.tree = tree.copy()
         self.tree.name_internal_nodes()
         self.config = config or Config.default()
         self.genomes = dict(genomes)
         self.min_chain_override = min_chain_override
+        self.store = store          # AlignmentStore for checkpoint/resume
+        self.log = log or (lambda msg: None)
 
     def run(self) -> ProgressiveResult:
+        import time
         steps: dict[str, AncestorStep] = {}
+        if self.store is not None:
+            self.store.save_tree(self.tree)
+            for ev, genome in self.genomes.items():
+                if not self.store.has_genome(ev):
+                    self.store.save_genome(ev, genome)
         for node in self.tree.postorder():
             if node.is_leaf():
                 continue
-            steps[node.name] = self._ancestor_step(node)
+            if (self.store is not None and self.store.has_step(node.name)
+                    and self.store.has_genome(node.name)):
+                # resume: reuse the checkpointed step (--restart semantics)
+                step = self.store.load_step(node.name)
+                self.genomes[node.name] = dict(step.ref.sequences)
+                steps[node.name] = step
+                self.log(f"{node.name}: resumed from store")
+                continue
+            t0 = time.time()
+            step = self._ancestor_step(node)
+            steps[node.name] = step
+            self.log(f"{node.name}: {int(step.caf.alive.sum())} blocks, "
+                     f"{step.ref.total_length()} bp ancestor, "
+                     f"{time.time() - t0:.1f}s")
+            if self.store is not None:
+                self.store.save_genome(node.name, self.genomes[node.name])
+                self.store.save_step(step)
         return ProgressiveResult(tree=self.tree, steps=steps,
                                  genomes=self.genomes)
 

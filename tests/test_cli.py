@@ -1,0 +1,91 @@
+"""CLI + store: seqfile → align → resume → hal2maf/stats round trip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cactus_tpu import cli
+from cactus_tpu.store import AlignmentStore
+from cactus_tpu.testutil import evolver
+from cactus_tpu.utils.trees import parse_newick
+
+
+@pytest.fixture(scope="module")
+def sim_dir(tmp_path_factory):
+    outdir = tmp_path_factory.mktemp("sim")
+    tree = parse_newick("((a:0.04,b:0.04)ab:0.04,c:0.08)root;")
+    sim = evolver.simulate(tree, root_len=6_000, seed=41)
+    seqfile = evolver.write_seqfile(sim, str(outdir))
+    return sim, seqfile, outdir
+
+
+def test_cli_align_and_artifacts(sim_dir, tmp_path):
+    sim, seqfile, _d = sim_dir
+    out = str(tmp_path / "aln")
+    maf = str(tmp_path / "out.maf")
+    rc = cli.main(["align", seqfile, out, "--maf", maf,
+                   "--min-chain", "64"])
+    assert rc == 0
+    assert os.path.exists(out + "/stats.json")
+    assert os.path.exists(maf)
+    stats = {r["genome"]: r for r in json.load(open(out + "/stats.json"))}
+    assert stats["root"]["n_bottom_segments"] > 0
+    c2h = os.listdir(out + "/c2h")
+    assert any(f.endswith(".c2h") for f in c2h)
+    assert any(f.endswith(".hal.fa") for f in c2h)
+
+    # MAF quality straight from the file
+    from cactus_tpu.testutil.comparator import maf_pairs, score_pairs
+    from cactus_tpu.io.maf import read_maf
+    blocks = list(read_maf(maf))
+    truth = {(p, q, s) for p, q, s in sim.truth_pairs("a", "b")}
+    s = score_pairs(truth, maf_pairs(blocks, "a", "b"))
+    assert s.recall > 0.85 and s.precision > 0.85, s
+
+    # store round-trip: hal2maf + stats commands work off the store
+    maf2 = str(tmp_path / "out2.maf")
+    assert cli.main(["hal2maf", out, maf2]) == 0
+    assert os.path.getsize(maf2) > 0
+    assert cli.main(["stats", out]) == 0
+
+
+def test_cli_align_resume(sim_dir, tmp_path, capsys):
+    _sim, seqfile, _d = sim_dir
+    out = str(tmp_path / "aln")
+    assert cli.main(["align", seqfile, out, "--min-chain", "64"]) == 0
+    # second run must resume every ancestor from the store
+    assert cli.main(["align", seqfile, out, "--min-chain", "64"]) == 0
+    err = capsys.readouterr().err
+    assert err.count("resumed from store") >= 2
+
+
+def test_cli_blast_paf(sim_dir, tmp_path):
+    _sim, seqfile, _d = sim_dir
+    out = str(tmp_path / "out.paf")
+    assert cli.main(["blast", seqfile, out, "--events", "a,b",
+                     "--preset", "one"]) == 0
+    from cactus_tpu.io.paf import read_paf
+    recs = read_paf(out)
+    assert recs
+    assert any(r.is_primary for r in recs)
+
+
+def test_store_roundtrip_equivalence(sim_dir, tmp_path):
+    """Loaded result reproduces the same leaf pairs as the in-memory one."""
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu import progressive
+    sim, _seqfile, _d = sim_dir
+    leaves = ["a", "b", "c"]
+    genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
+               for ev in leaves}
+    tree = parse_newick("((a:0.04,b:0.04)ab:0.04,c:0.08)root;")
+    store = AlignmentStore(str(tmp_path / "store"))
+    res = progressive.ProgressiveAligner(
+        tree, genomes, min_chain_override=64, store=store).run()
+    res2 = store.load_result()
+    for x, y in [("a", "b"), ("a", "c")]:
+        p1 = progressive.leaf_pairs(res, x, y)
+        p2 = progressive.leaf_pairs(res2, x, y)
+        assert p1 == p2
