@@ -25,6 +25,8 @@ def main() -> None:
     from cactus_tpu.config import PoaParams
     from cactus_tpu.ops.banded import banded_align_batch, score_matrix_6
 
+    from cactus_tpu.ops.banded_pallas import banded_align_batch_pallas
+
     platform = jax.devices()[0].platform
     # workload: batch of long pairs at a wide band to saturate the VPU
     P, M, band = (64, 4096, 512) if platform == "tpu" else (16, 1024, 256)
@@ -40,11 +42,14 @@ def main() -> None:
     rest = (jnp.asarray(t_shift), jnp.asarray(m_len), jnp.asarray(n_len),
             jnp.asarray(lo), jnp.asarray(submat))
 
+    kernel = (banded_align_batch_pallas if platform == "tpu"
+              else banded_align_batch)
+
     @jax.jit
     def run(qx, i):
         # roll by the iteration index so every call is distinct work
         # (defeats any result caching in remote-execution relays)
-        dirs, scores, mat = banded_align_batch(
+        dirs, scores, mat = kernel(
             jnp.roll(qx, i, axis=0), *rest,
             band=band, gap_open=400, gap_extend=30)
         return scores

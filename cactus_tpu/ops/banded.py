@@ -295,14 +295,25 @@ def traceback_band(dirs: np.ndarray, m: int, n: int, lo: int,
     return ops[::-1]
 
 
+def default_backend():
+    """Pallas kernel on TPU, XLA scan elsewhere (CPU tests, fallback)."""
+    import jax
+    if jax.devices()[0].platform == "tpu":
+        from .banded_pallas import banded_align_batch_pallas
+        return banded_align_batch_pallas
+    return banded_align_batch
+
+
 def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
-                       backend=banded_align_batch):
+                       backend=None):
     """Convenience: pack, run the batched kernel, trace back on host.
 
     Returns list of (score, cigar_ops) matching `pairs` order.
     """
     if not pairs:
         return []
+    if backend is None:
+        backend = default_backend()
     packed = pack_band_batch(pairs, band)
     dirs, end_scores, end_mat = backend(
         jnp.asarray(packed["q"]), jnp.asarray(packed["t_shift"]),
