@@ -36,21 +36,49 @@ def _init_jax() -> None:
         jax.devices()
 
 
-def load_genomes_from_seqfile(sf: SeqFile) -> dict[str, dict[str, Sequence]]:
+def load_genomes_from_seqfile(sf: SeqFile,
+                              do_mask: bool = False
+                              ) -> dict[str, dict[str, Sequence]]:
+    """Load + sanitize (+ optionally repeat-mask) every genome.
+
+    Mirrors the reference preprocessing chain: cutHeaders →
+    checkUniqueHeaders → event prefixing → repeat masking
+    (cactus_preprocessor.py; config XML <preprocessor> entries :20-43).
+    """
+    from .preprocessor.headers import sanitize_genome
+    from .preprocessor.masking import mask_genome
     genomes = {}
     for event, path in sf.paths.items():
         seqs = read_fasta(path)
-        genomes[event] = {
-            f"{event}.{name}": Sequence(name=f"{event}.{name}",
-                                        codes=s.codes, mask=s.mask)
-            for name, s in seqs.items()}
+        genome = sanitize_genome(event, seqs)
+        if do_mask:
+            genome = mask_genome(genome)
+        genomes[event] = genome
     return genomes
+
+
+def cmd_preprocess(args) -> int:
+    """Repeat-mask + sanitize genomes, write masked FASTAs
+    (cactus-preprocess equivalent)."""
+    import os
+    from .io.fasta import write_fasta
+    from .preprocessor.stats import assembly_stats
+    sf = SeqFile.parse(args.seqfile)
+    genomes = load_genomes_from_seqfile(sf, do_mask=not args.no_mask)
+    os.makedirs(args.outdir, exist_ok=True)
+    for event, genome in genomes.items():
+        p = os.path.join(args.outdir, f"{event}.fa")
+        write_fasta(p, genome)
+        st = assembly_stats(genome)
+        _log(f"{event}: {st['n_sequences']} seqs, {st['total_length']} bp, "
+             f"N50 {st['n50']}, masked {st['masked_fraction']:.1%} → {p}")
+    return 0
 
 
 def cmd_align(args) -> int:
     sf = SeqFile.parse(args.seqfile)
     tree = sf.tree if sf.tree is not None else sf.star_tree()
-    genomes = load_genomes_from_seqfile(sf)
+    genomes = load_genomes_from_seqfile(sf, do_mask=args.mask)
     store = AlignmentStore(args.outdir)
     aligner = ProgressiveAligner(
         tree, genomes, config=Config.default(),
@@ -102,6 +130,16 @@ def cmd_hal2maf(args) -> int:
     return 0
 
 
+def cmd_pangenome(args) -> int:
+    from .pangenome.driver import run_pangenome
+    sf = SeqFile.parse(args.seqfile)
+    genomes = load_genomes_from_seqfile(sf)
+    ref = args.reference or sf.order[0]
+    run_pangenome(genomes, ref, args.outdir,
+                  min_chain_override=args.min_chain, log=_log)
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .phases import hal as hal_phase
     store = AlignmentStore(args.store)
@@ -123,7 +161,16 @@ def main(argv=None) -> int:
     pa.add_argument("--ref-genome", default=None)
     pa.add_argument("--min-chain", type=int, default=None,
                     help="override the melting minimum chain length")
+    pa.add_argument("--mask", action="store_true",
+                    help="repeat-mask inputs before aligning")
     pa.set_defaults(fn=cmd_align)
+
+    pp = sub.add_parser("preprocess",
+                        help="sanitize + repeat-mask genomes → FASTAs")
+    pp.add_argument("seqfile")
+    pp.add_argument("outdir")
+    pp.add_argument("--no-mask", action="store_true")
+    pp.set_defaults(fn=cmd_preprocess)
 
     pb = sub.add_parser("blast", help="pairwise anchoring stage → PAF")
     pb.add_argument("seqfile")
@@ -142,6 +189,15 @@ def main(argv=None) -> int:
     ps = sub.add_parser("stats", help="halStats-style genome table")
     ps.add_argument("store")
     ps.set_defaults(fn=cmd_stats)
+
+    pg = sub.add_parser("pangenome",
+                        help="star pangenome build → GFA + VCF")
+    pg.add_argument("seqfile")
+    pg.add_argument("outdir")
+    pg.add_argument("--reference", default=None,
+                    help="reference genome (default: first in seqfile)")
+    pg.add_argument("--min-chain", type=int, default=64)
+    pg.set_defaults(fn=cmd_pangenome)
 
     args = p.parse_args(argv)
     _init_jax()

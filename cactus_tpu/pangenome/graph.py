@@ -1,0 +1,176 @@
+"""Pangenome sequence graph from the block structure.
+
+Replaces the minigraph-cactus graph products (reference:
+refmap/cactus_graphmap_join.py — vg/GFAffix normalize → GFA/GBZ; graph
+semantics per the HPRC pipeline): nodes are allele strings, haplotypes
+are walks, and every walk spells its input sequence EXACTLY (the `vg
+validate` invariant, enforced by validate()).
+
+Construction from one CAF/BAR result (the star-tree alignment of all
+haplotypes, reference: cactus-align --pangenome star mode):
+ - each live block contributes one node per DISTINCT member string
+   (segments grouped by their rendered bases in block orientation —
+   SNP/MNP alleles become parallel nodes, the bubble structure);
+ - every unaligned gap contributes a private insertion node;
+ - each haplotype's walk visits its segments' nodes in thread order
+   with orientations; edges are induced by consecutive walk steps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.fasta import Sequence, revcomp, _BASE_OF
+from ..phases.bar import global_codes
+from ..phases.caf import CafResult
+
+
+@dataclass
+class PanGraph:
+    node_seq: list[np.ndarray]                  # node id → codes
+    walks: dict[str, list[tuple[int, int]]]     # seq name → [(node, orient)]
+    node_block: list[int]                       # node id → block (-1 insert)
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.node_seq)
+
+    def node_len(self, v: int) -> int:
+        return len(self.node_seq[v])
+
+    def edges(self) -> set[tuple[int, int, int, int]]:
+        """Distinct oriented edges (u, ou, v, ov), canonicalized."""
+        out = set()
+        for walk in self.walks.values():
+            for (u, ou), (v, ov) in zip(walk, walk[1:]):
+                e = (u, ou, v, ov)
+                rc = (v, -ov, u, -ou)
+                out.add(min(e, rc))
+        return out
+
+    def validate(self, seqs: dict[str, Sequence]) -> None:
+        """Every walk must spell its sequence exactly (vg validate)."""
+        for name, walk in self.walks.items():
+            parts = []
+            for v, o in walk:
+                c = self.node_seq[v]
+                parts.append(c if o == 1 else revcomp(c))
+            got = (np.concatenate(parts) if parts
+                   else np.zeros(0, np.uint8))
+            want = seqs[name].codes
+            if len(got) != len(want) or not np.array_equal(got, want):
+                raise AssertionError(
+                    f"walk for {name} spells {len(got)} bp, "
+                    f"expected {len(want)}")
+
+
+def build_graph(caf: CafResult, seqs: dict[str, Sequence]) -> PanGraph:
+    gcodes = global_codes(caf.table, seqs)
+    table = caf.table
+    blocks = caf.blocks
+
+    node_seq: list[np.ndarray] = []
+    node_block: list[int] = []
+    allele_of: dict[tuple[int, bytes], int] = {}
+
+    def allele_node(b: int, codes_oriented: np.ndarray) -> int:
+        key = (b, codes_oriented.tobytes())
+        v = allele_of.get(key)
+        if v is None:
+            v = len(node_seq)
+            node_seq.append(codes_oriented.copy())
+            node_block.append(b)
+            allele_of[key] = v
+        return v
+
+    def insert_node(codes: np.ndarray) -> int:
+        v = len(node_seq)
+        node_seq.append(codes.copy())
+        node_block.append(-1)
+        return v
+
+    # order segments per sequence
+    order = np.lexsort((blocks.seg_start, blocks.seg_seq))
+    walks: dict[str, list[tuple[int, int]]] = {n: [] for n in table.names}
+    seg_by_seq: dict[int, list[int]] = {}
+    for i in order:
+        b = int(blocks.seg_block[i])
+        if caf.alive[b]:
+            seg_by_seq.setdefault(int(blocks.seg_seq[i]), []).append(int(i))
+
+    for si, name in enumerate(table.names):
+        off = int(table.offsets[si])
+        total = int(table.lengths[si])
+        pos = 0
+        walk = walks[name]
+        for i in seg_by_seq.get(si, []):
+            st = int(blocks.seg_start[i])
+            ln = int(blocks.seg_len[i])
+            strand = int(blocks.seg_strand[i])
+            b = int(blocks.seg_block[i])
+            if st > pos:
+                walk.append((insert_node(gcodes[off + pos:off + st]), 1))
+            seg = gcodes[off + st:off + st + ln]
+            # render in block orientation so alleles of a block compare
+            oriented = seg if strand == 1 else revcomp(seg)
+            walk.append((allele_node(b, oriented), strand))
+            pos = st + ln
+        if pos < total:
+            walk.append((insert_node(gcodes[off + pos:off + total]), 1))
+    return PanGraph(node_seq=node_seq, walks=walks, node_block=node_block)
+
+
+# --------------------------------------------------------------------------
+# GFA v1.1
+# --------------------------------------------------------------------------
+
+def write_gfa(path_or_file, graph: PanGraph, ref_name: str | None = None,
+              with_walks: bool = True) -> None:
+    """GFA: S-lines (nodes), L-lines (edges), P-line per haplotype
+    (+ W-lines when with_walks, as graphmap-join emits for GBZ)."""
+    own = not hasattr(path_or_file, "write")
+    fh = open(path_or_file, "w") if own else path_or_file
+    try:
+        fh.write("H\tVN:Z:1.1\n")
+        for v, codes in enumerate(graph.node_seq):
+            s = _BASE_OF[codes].tobytes().decode("ascii")
+            fh.write(f"S\t{v + 1}\t{s}\n")
+        for u, ou, v, ov in sorted(graph.edges()):
+            fh.write(f"L\t{u + 1}\t{'+' if ou == 1 else '-'}"
+                     f"\t{v + 1}\t{'+' if ov == 1 else '-'}\t0M\n")
+        for name, walk in graph.walks.items():
+            p = ",".join(f"{v + 1}{'+' if o == 1 else '-'}"
+                         for v, o in walk)
+            fh.write(f"P\t{name}\t{p}\t*\n")
+            if with_walks:
+                sample = name.split(".", 1)[0]
+                w = "".join(f"{'>' if o == 1 else '<'}{v + 1}"
+                            for v, o in walk)
+                total = sum(graph.node_len(v) for v, _o in walk)
+                fh.write(f"W\t{sample}\t0\t{name}\t0\t{total}\t{w}\n")
+    finally:
+        if own:
+            fh.close()
+
+
+def read_gfa_nodes(path) -> dict[int, str]:
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("S\t"):
+                _s, vid, seq = line.rstrip("\n").split("\t")[:3]
+                out[int(vid)] = seq
+    return out
+
+
+def graph_stats(graph: PanGraph) -> dict:
+    lens = [graph.node_len(v) for v in range(graph.n_nodes)]
+    return dict(
+        n_nodes=graph.n_nodes,
+        n_edges=len(graph.edges()),
+        n_paths=len(graph.walks),
+        total_node_length=int(sum(lens)),
+        max_node_length=int(max(lens)) if lens else 0,
+    )

@@ -211,12 +211,17 @@ def align_contig_pair(qseq: Sequence, tseq: Sequence, qname: str, tname: str,
     t = tseq.codes
     records: list[PafRecord] = []
     min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match, span)
+    t_mask = tseq.mask if tseq.mask is not None and tseq.mask.any() else None
     for strand in ("+", "-"):
         q = qseq.codes if strand == "+" else revcomp(qseq.codes)
+        q_mask = None
+        if qseq.mask is not None and qseq.mask.any():
+            q_mask = qseq.mask if strand == "+" else qseq.mask[::-1]
         qpos, tpos = find_anchors(q, t, k=sp.k, step=step,
                                   max_occ=sp.max_occurrences,
                                   max_anchors=sp.max_anchors,
-                                  pattern=pattern)
+                                  pattern=pattern,
+                                  q_seed_mask=q_mask, t_seed_mask=t_mask)
         if self_alignment and strand == "+":
             keep = qpos != tpos  # drop the trivial self-diagonal
             qpos, tpos = qpos[keep], tpos[keep]
