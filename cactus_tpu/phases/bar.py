@@ -158,30 +158,55 @@ def star_align_ends(per_end: dict[int, list[EndString]],
     by_band: dict[int, list] = {}
     for job in jobs:
         by_band.setdefault(job[3], []).append(job)
+
+    def emit(m: EndString, b: EndString, i0: int, j0: int, ln: int):
+        ga, sa = m.to_run(i0, ln)
+        gb, sb = b.to_run(j0, ln)
+        if sa == 1:
+            runs.append((ga, gb, ln, sb))
+        elif sb == 1:
+            runs.append((gb, ga, ln, sa))
+        else:
+            # both reversed: forward pairing of the reversed intervals
+            runs.append((ga, gb, ln, 1))
+
+    use_poa = cfg.partial_order_alignment
     for band, group in by_band.items():
         pairs = [(m.codes(gcodes), b.codes(gcodes)[:t_len])
                  for m, b, t_len, _ in group]
-        out = align_pairs_banded(pairs, submat, gap, band=band)
-        for (m, b, t_len, _), (_score, ops) in zip(group, out):
-            i = j = 0
-            for op, ln in ops:
-                if op == "M":
-                    ga, sa = m.to_run(i, ln)
-                    gb, sb = b.to_run(j, ln)
-                    if sa == 1:
-                        runs.append((ga, gb, ln, sb))
-                    elif sb == 1:
-                        runs.append((gb, ga, ln, sa))
+        if use_poa:
+            out = align_pairs_banded(pairs, submat, gap, band=band)
+            for (m, b, t_len, _), (_score, ops) in zip(group, out):
+                i = j = 0
+                for op, ln in ops:
+                    if op == "M":
+                        emit(m, b, i, j, ln)
+                        i += ln
+                        j += ln
+                    elif op == "I":
+                        i += ln
                     else:
-                        # both reversed: forward pairing of the reversed
-                        # intervals (bases descend in lockstep)
-                        runs.append((ga, gb, ln, 1))
-                    i += ln
-                    j += ln
-                elif op == "I":
-                    i += ln
-                else:
-                    j += ln
+                        j += ln
+        else:
+            # pecan path: pair-HMM posterior matches (bar.c cPecan branch)
+            from ..ops.pairhmm import HmmParams, posterior_pairs_banded
+            hits = posterior_pairs_banded(pairs, HmmParams(), band=band,
+                                          gamma=0.5)
+            for (m, b, t_len, _), matched in zip(group, hits):
+                # merge consecutive (i,j) hits into runs
+                start = None
+                for k, (i, j, _p) in enumerate(matched):
+                    if (start is not None
+                            and i == matched[k - 1][0] + 1
+                            and j == matched[k - 1][1] + 1):
+                        continue
+                    if start is not None:
+                        i0, j0 = matched[start][:2]
+                        emit(m, b, i0, j0, matched[k - 1][0] - i0 + 1)
+                    start = k
+                if start is not None:
+                    i0, j0 = matched[start][:2]
+                    emit(m, b, i0, j0, matched[-1][0] - i0 + 1)
     return runs
 
 

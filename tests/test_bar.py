@@ -122,6 +122,23 @@ def test_full_pipeline_accuracy_two_leaves():
     assert s1.recall >= s0.recall - 0.005
 
 
+def test_pecan_engine_matches_poa_quality():
+    """BAR with the pair-HMM (pecan) engine reaches POA-level accuracy
+    (reference: partialOrderAlignment=0 selects the cPecan path)."""
+    tree = parse_newick("(a:0.05,b:0.05)root;")
+    sim = evolver.simulate(tree, root_len=6_000, seed=19)
+    leaves = ["a", "b"]
+    recs = _align_all_pairs(sim, leaves, BlastParams())
+    lengths = {f"{g}.c": len(sim.genomes[g].codes) for g in leaves}
+    caf = run_caf(recs, lengths, CafParams(), preset="one",
+                  min_chain_override=64)
+    seqs = {f"{g}.c": Sequence(f"{g}.c", sim.genomes[g].codes)
+            for g in leaves}
+    out = bar.run_bar(caf, seqs, BarParams(partial_order_alignment=False))
+    s = _score(sim, leaves, out)
+    assert s.recall > 0.95 and s.precision > 0.95, s
+
+
 def test_full_pipeline_accuracy_three_leaves():
     tree = parse_newick("((a:0.03,b:0.03)ab:0.02,c:0.05)root;")
     sim = evolver.simulate(tree, root_len=10_000, seed=8)
