@@ -26,7 +26,14 @@ def _log(msg: str) -> None:
 
 def _init_jax() -> None:
     """Fall back to auto platform choice if JAX_PLATFORMS names a backend
-    that can't initialize (e.g. a plugin missing from this process)."""
+    that can't initialize (e.g. a plugin missing from this process), and
+    enable the persistent compile cache so repeated CLI invocations skip
+    XLA recompilation of the DP kernels."""
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/cactus_tpu_jax"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     import jax
     try:
         jax.devices()
@@ -80,8 +87,13 @@ def cmd_align(args) -> int:
     tree = sf.tree if sf.tree is not None else sf.star_tree()
     genomes = load_genomes_from_seqfile(sf, do_mask=args.mask)
     store = AlignmentStore(args.outdir)
+    config = Config.default()
+    if args.config:
+        from .config_xml import load_config_xml
+        config = load_config_xml(args.config, base=config)
+        _log(f"loaded config overrides from {args.config}")
     aligner = ProgressiveAligner(
-        tree, genomes, config=Config.default(),
+        tree, genomes, config=config,
         min_chain_override=args.min_chain, store=store, log=_log)
     result = aligner.run()
     from .phases import hal as hal_phase
@@ -163,6 +175,8 @@ def main(argv=None) -> int:
                     help="override the melting minimum chain length")
     pa.add_argument("--mask", action="store_true",
                     help="repeat-mask inputs before aligning")
+    pa.add_argument("--config", default=None,
+                    help="cactus-format config XML with parameter overrides")
     pa.set_defaults(fn=cmd_align)
 
     pp = sub.add_parser("preprocess",

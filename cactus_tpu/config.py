@@ -231,6 +231,8 @@ class OutgroupParams:
     src/cactus/progressive/outgroup.py."""
     max_num_outgroups: int = 3
     strategy: str = "greedyLeaves"
+    clade_discount: float = 0.3
+    overlap_penalty: float = 2.0
 
 
 @dataclass

@@ -295,13 +295,21 @@ def traceback_band(dirs: np.ndarray, m: int, n: int, lo: int,
     return ops[::-1]
 
 
-def default_backend():
-    """Pallas kernel on TPU, XLA scan elsewhere (CPU tests, fallback)."""
+# Below this many DP cells the dispatch latency to a (possibly remote)
+# accelerator outweighs the compute: route the batch to host CPU.
+SMALL_BATCH_CELLS = 32_000_000
+
+
+def default_backend(cells: int | None = None):
+    """Pallas kernel on TPU for large batches; XLA scan on CPU for small
+    ones and everywhere TPUs are absent.  Returns (fn, device)."""
     import jax
     if jax.devices()[0].platform == "tpu":
-        from .banded_pallas import banded_align_batch_pallas
-        return banded_align_batch_pallas
-    return banded_align_batch
+        if cells is None or cells >= SMALL_BATCH_CELLS:
+            from .banded_pallas import banded_align_batch_pallas
+            return banded_align_batch_pallas, None
+        return banded_align_batch, jax.devices("cpu")[0]
+    return banded_align_batch, None
 
 
 def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
@@ -312,13 +320,17 @@ def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
     """
     if not pairs:
         return []
-    if backend is None:
-        backend = default_backend()
     packed = pack_band_batch(pairs, band)
+    device = None
+    if backend is None:
+        cells = packed["q"].shape[0] * packed["q"].shape[1] * band
+        backend, device = default_backend(cells)
+    put = (lambda x: jnp.asarray(x)) if device is None else (
+        lambda x: jax.device_put(np.asarray(x), device))
     dirs, end_scores, end_mat = backend(
-        jnp.asarray(packed["q"]), jnp.asarray(packed["t_shift"]),
-        jnp.asarray(packed["m_len"]), jnp.asarray(packed["n_len"]),
-        jnp.asarray(packed["lo"]), jnp.asarray(submat),
+        put(packed["q"]), put(packed["t_shift"]),
+        put(packed["m_len"]), put(packed["n_len"]),
+        put(packed["lo"]), put(submat),
         band=band, gap_open=gap.gap_open, gap_extend=gap.gap_extend)
     dirs = np.asarray(dirs)
     end_scores = np.asarray(end_scores)

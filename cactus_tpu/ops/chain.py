@@ -76,8 +76,10 @@ def chain_anchors(runs: np.ndarray, gap_open: int = 20, gap_extend: int = 1,
         return (np.zeros(0, np.int64),) * 3
     order = np.lexsort((runs[:, 1], runs[:, 0]))
     r = runs[order].astype(np.int32)
+    from . import smart_put
+    put = smart_put(len(r) * lookback)
     scores, preds = _chain_scan(
-        jnp.asarray(r[:, 0]), jnp.asarray(r[:, 1]), jnp.asarray(r[:, 2]),
+        put(r[:, 0]), put(r[:, 1]), put(r[:, 2]),
         gap_open, gap_extend, max_gap, lookback)
     return order, np.asarray(scores), np.asarray(preds)
 

@@ -268,14 +268,16 @@ def posterior_banded_batch(q, t_shift, m_len, n_len, lo, em,
 def posterior_pairs_banded(pairs, params: HmmParams, band: int = 128,
                            gamma: float = 0.5):
     """Aligned (qpos, tpos, posterior) per pair via the batched kernel."""
+    from . import smart_put
     from .banded import pack_band_batch
     if not pairs:
         return []
     packed = pack_band_batch(pairs, band)
+    put = smart_put(packed["q"].shape[0] * packed["q"].shape[1] * band)
     post = posterior_banded_batch(
-        jnp.asarray(packed["q"]), jnp.asarray(packed["t_shift"]),
-        jnp.asarray(packed["m_len"]), jnp.asarray(packed["n_len"]),
-        jnp.asarray(packed["lo"]), jnp.asarray(params.emissions()),
+        put(packed["q"]), put(packed["t_shift"]),
+        put(packed["m_len"]), put(packed["n_len"]),
+        put(packed["lo"]), put(params.emissions()),
         band=band, delta=params.delta, epsilon=params.epsilon)
     post = np.asarray(post)
     out = []

@@ -52,8 +52,16 @@ def find_anchors(q: np.ndarray, t: np.ndarray, k: int, step: int,
         qv[:len(q)] &= ~q_seed_mask
     if t_seed_mask is not None:
         tv[:len(t)] &= ~t_seed_mask
+    # small joins run on host CPU: accelerator dispatch latency (remote
+    # tunnels especially) dwarfs the compute below ~megabase scale
+    import jax
+    put = jnp.asarray
+    if (jax.devices()[0].platform == "tpu"
+            and len(qp) + len(tp) < 4_000_000):
+        cpu = jax.devices("cpu")[0]
+        put = lambda x: jax.device_put(np.asarray(x), cpu)
     qpos, tpos, n = seed_ops.seed_join(
-        jnp.asarray(qp), jnp.asarray(qv), jnp.asarray(tp), jnp.asarray(tv),
+        put(qp), put(qv), put(tp), put(tv),
         k=k, step=step, max_occ=max_occ, max_anchors=max_anchors,
         pattern=pattern)
     n = int(n)

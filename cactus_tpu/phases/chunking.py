@@ -1,0 +1,136 @@
+"""Sequence chunking + PAF coordinate rebasing (faffy/paffy analog).
+
+Reference semantics: `faffy chunk` splits FASTAs into chunkSize pieces
+with overlapSize overlap (30 Mb / 10 kb, config XML :90-92) so the
+pairwise grid stays bounded; `paffy dechunk` rebases the resulting PAF
+coordinates into the original sequences (src/cactus/paf/
+local_alignment.py:370-408, 336-367).  On TPU the same bounds keep the
+seed-join and DP buffers at fixed device-friendly shapes; chunks are the
+unit sharded over the mesh (parallel/mesh.py).
+
+Duplicate suppression: an alignment is kept only if its query start
+falls inside its chunk's CORE region (the chunk minus the leading
+overlap), so overlap zones produce each alignment exactly once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.fasta import Sequence
+from ..io.paf import PafRecord
+
+
+@dataclass
+class Chunk:
+    name: str          # chunk sequence name (globally unique)
+    origin: str        # original sequence name
+    offset: int        # start of the chunk in the original
+    core_start: int    # dedup boundary: keep alignments starting here+
+    seq: Sequence
+
+
+def chunk_sequence(name: str, seq: Sequence, chunk_size: int,
+                   overlap: int) -> list[Chunk]:
+    n = len(seq)
+    if n <= chunk_size:
+        return [Chunk(name=name, origin=name, offset=0, core_start=0,
+                      seq=seq)]
+    chunks = []
+    step = chunk_size - overlap
+    k = 0
+    for start in range(0, n, step):
+        end = min(n, start + chunk_size)
+        cname = f"{name}__chunk{k}"
+        sub = Sequence(name=cname, codes=seq.codes[start:end],
+                       mask=seq.mask[start:end] if seq.mask is not None
+                       else None)
+        chunks.append(Chunk(name=cname, origin=name, offset=start,
+                            core_start=0 if k == 0 else overlap,
+                            seq=sub))
+        k += 1
+        if end >= n:
+            break
+    return chunks
+
+
+def chunk_genome(genome: dict[str, Sequence], chunk_size: int,
+                 overlap: int) -> list[Chunk]:
+    out = []
+    for name, seq in genome.items():
+        out.extend(chunk_sequence(name, seq, chunk_size, overlap))
+    return out
+
+
+def dechunk_records(records: list[PafRecord],
+                    chunks: dict[str, Chunk]) -> list[PafRecord]:
+    """Rebase chunk-space PAF records to original coordinates.
+
+    Overlap-zone duplicates are NOT filtered here: a record that starts
+    inside the leading overlap may be the only copy of the rest of its
+    chunk's alignment, so whole-record dedup loses coverage.  Downstream
+    consumers dedup safely — the pinch-column CC collapses identical
+    base pairs, and mark_primaries demotes redundant records.
+    """
+    out = []
+    for r in records:
+        qc = chunks.get(r.qname)
+        tc = chunks.get(r.tname)
+        if qc is not None:
+            r.qname = qc.origin
+            r.qstart += qc.offset
+            r.qend += qc.offset
+        if tc is not None:
+            r.tname = tc.origin
+            r.tstart += tc.offset
+            r.tend += tc.offset
+        out.append(r)
+    return out
+
+
+def fix_lengths(records: list[PafRecord],
+                lengths: dict[str, int]) -> list[PafRecord]:
+    """Set qlen/tlen to the original sequence lengths after rebasing.
+
+    Must run before strand math: '-' records' query coordinates are
+    forward-strand already in our PafRecord convention.
+    """
+    for r in records:
+        if r.qname in lengths:
+            r.qlen = lengths[r.qname]
+        if r.tname in lengths:
+            r.tlen = lengths[r.tname]
+    return records
+
+
+def align_genomes_chunked(q_genome: dict[str, Sequence],
+                          t_genome: dict[str, Sequence],
+                          cfg, preset: str = "default",
+                          chunk_size: int | None = None,
+                          overlap: int | None = None) -> list[PafRecord]:
+    """Chunked all-pairs anchoring between two genomes → rebased PAF.
+
+    Sequence names must already carry their event prefixes.
+    """
+    from . import blast
+    chunk_size = chunk_size or cfg.chunk_size
+    overlap = overlap if overlap is not None else cfg.overlap_size
+    qchunks = chunk_genome(q_genome, chunk_size, overlap)
+    tchunks = chunk_genome(t_genome, chunk_size, overlap)
+    by_name = {c.name: c for c in qchunks + tchunks}
+    records = []
+    for qc in qchunks:
+        if len(qc.seq) < cfg.minimum_sequence_length:
+            continue
+        for tc in tchunks:
+            if len(tc.seq) < cfg.minimum_sequence_length:
+                continue
+            records.extend(blast.align_contig_pair(
+                qc.seq, tc.seq, qc.name, tc.name, cfg, preset))
+    records = dechunk_records(records, by_name)
+    lengths = {n: len(s) for n, s in list(q_genome.items())
+               + list(t_genome.items())}
+    records = fix_lengths(records, lengths)
+    return records

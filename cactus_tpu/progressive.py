@@ -184,8 +184,11 @@ class ProgressiveAligner:
     def _ancestor_step(self, node: Tree) -> AncestorStep:
         cfg = self.config
         children = [c.name for c in node.children]
-        outgroups = nearest_outgroups(self.tree, node,
-                                      cfg.outgroup.max_num_outgroups)
+        from .utils.outgroups import greedy_outgroups
+        outgroups = greedy_outgroups(
+            self.tree, node, cfg.outgroup.max_num_outgroups,
+            overlap_scale=cfg.outgroup.overlap_penalty,
+            clade_discount=cfg.outgroup.clade_discount)
         events = children + outgroups
         seqs: dict[str, Sequence] = {}
         for ev in events:
