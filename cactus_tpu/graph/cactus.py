@@ -41,33 +41,14 @@ def _end_nodes(blocks: Blocks, alive: np.ndarray):
     Returns (node_of_end (2B+1,), origin_node): node ids densified;
     node_of_end[2B] is the origin slot.
     """
+    from ..native.build import cc_edges
     B = blocks.n_blocks
     n_ends = 2 * B
     ORIGIN = n_ends
-    parent = np.arange(n_ends + 1, dtype=np.int64)
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(a: int, b: int):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-
     adj = thread_adjacencies(blocks, alive)
-    for k in range(len(adj.seq)):
-        u = int(adj.end_u[k])
-        v = int(adj.end_v[k])
-        un = ORIGIN if u < 0 else u
-        vn = ORIGIN if v < 0 else v
-        union(un, vn)
-    roots = np.array([find(i) for i in range(n_ends + 1)], dtype=np.int64)
-    _uniq, dense = np.unique(roots, return_inverse=True)
+    u = np.where(adj.end_u < 0, ORIGIN, adj.end_u).astype(np.int64)
+    v = np.where(adj.end_v < 0, ORIGIN, adj.end_v).astype(np.int64)
+    dense = cc_edges(n_ends + 1, u, v)
     return dense, dense[ORIGIN]
 
 
@@ -89,45 +70,49 @@ def cactus_chains(blocks: Blocks, alive: np.ndarray):
     eu = node_of_end[2 * live]          # node of left end
     ev = node_of_end[2 * live + 1]      # node of right end
 
-    # spanning forest over the multigraph (iterative DFS with edge ids)
-    head = np.full(n_nodes, -1, dtype=np.int64)
-    nxt = np.full(2 * len(live), -1, dtype=np.int64)
-    eto = np.empty(2 * len(live), dtype=np.int64)
-    eid = np.empty(2 * len(live), dtype=np.int64)
-    for i in range(len(live)):
-        for half, (a, b) in enumerate(((eu[i], ev[i]), (ev[i], eu[i]))):
-            s = 2 * i + half
-            eto[s] = b
-            eid[s] = i
-            nxt[s] = head[a]
-            head[a] = s
+    # spanning forest over the multigraph (native DFS; python fallback)
+    from ..native.build import spanning_forest
+    native = spanning_forest(n_nodes, eu, ev)
+    if native is not None:
+        is_tree, parent_node, parent_edge, order = native
+    else:
+        head = np.full(n_nodes, -1, dtype=np.int64)
+        nxt = np.full(2 * len(live), -1, dtype=np.int64)
+        eto = np.empty(2 * len(live), dtype=np.int64)
+        eid = np.empty(2 * len(live), dtype=np.int64)
+        for i in range(len(live)):
+            for half, (a, b) in enumerate(((eu[i], ev[i]),
+                                           (ev[i], eu[i]))):
+                s = 2 * i + half
+                eto[s] = b
+                eid[s] = i
+                nxt[s] = head[a]
+                head[a] = s
 
-    parent_node = np.full(n_nodes, -1, dtype=np.int64)
-    parent_edge = np.full(n_nodes, -1, dtype=np.int64)  # local edge index
-    order = []                                          # BFS order of nodes
-    visited = np.zeros(n_nodes, dtype=bool)
-    is_tree = np.zeros(len(live), dtype=bool)
-    used_as_tree = np.zeros(len(live), dtype=bool)
-    for root in range(n_nodes):
-        if visited[root]:
-            continue
-        visited[root] = True
-        queue = [root]
-        while queue:
-            a = queue.pop()
-            order.append(a)
-            s = head[a]
-            while s >= 0:
-                b = eto[s]
-                i = eid[s]
-                if not visited[b] and not used_as_tree[i]:
-                    visited[b] = True
-                    used_as_tree[i] = True
-                    is_tree[i] = True
-                    parent_node[b] = a
-                    parent_edge[b] = i
-                    queue.append(b)
-                s = nxt[s]
+        parent_node = np.full(n_nodes, -1, dtype=np.int64)
+        parent_edge = np.full(n_nodes, -1, dtype=np.int64)
+        order = []
+        visited = np.zeros(n_nodes, dtype=bool)
+        is_tree = np.zeros(len(live), dtype=bool)
+        for root in range(n_nodes):
+            if visited[root]:
+                continue
+            visited[root] = True
+            queue = [root]
+            while queue:
+                a = queue.pop()
+                order.append(a)
+                s = head[a]
+                while s >= 0:
+                    b = eto[s]
+                    i = eid[s]
+                    if not visited[b]:
+                        visited[b] = True
+                        is_tree[i] = True
+                        parent_node[b] = a
+                        parent_edge[b] = i
+                        queue.append(b)
+                    s = nxt[s]
 
     rng = np.random.default_rng(0xC0FFEE)
     labels = np.zeros(len(live), dtype=np.uint64)

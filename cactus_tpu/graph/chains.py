@@ -146,10 +146,9 @@ def chain_components(n_blocks: int, links: np.ndarray) -> tuple[np.ndarray, np.n
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     u = links[:, 0] // 2 if len(links) else np.zeros(0, np.int64)
     v = links[:, 1] // 2 if len(links) else np.zeros(0, np.int64)
-    g = coo_matrix((np.ones(len(u), np.int8), (u, v)),
-                   shape=(n_blocks, n_blocks))
-    _, chain_id = connected_components(g, directed=False)
-    return chain_id.astype(np.int64), np.bincount(chain_id).astype(np.int64)
+    from ..native.build import cc_edges
+    chain_id = cc_edges(n_blocks, u, v)
+    return chain_id, np.bincount(chain_id).astype(np.int64)
 
 
 def melt(blocks: Blocks, alive: np.ndarray, min_chain_length: int,
@@ -196,8 +195,8 @@ def adjacency_groups(blocks: Blocks, alive: np.ndarray):
     u = end_node(adj.end_u, True)
     v = end_node(adj.end_v, False)
     total = n_ends + 2 * len(blocks.table.names)
-    g = coo_matrix((np.ones(len(u), np.int8), (u, v)), shape=(total, total))
-    _, comp = connected_components(g, directed=False)
+    from ..native.build import cc_edges
+    comp = cc_edges(total, u, v)
     # group adjacencies by component of their u node
     groups = []
     order = np.argsort(comp[u], kind="stable")

@@ -181,10 +181,8 @@ def build_columns(records, table: SeqTable,
         u = np.concatenate([u, u2])
         v = np.concatenate([v, v2])
     n_nodes = 2 * N
-    data = np.ones(len(u), dtype=np.int8)
-    g = coo_matrix((data, (u, v)), shape=(n_nodes, n_nodes))
-    _, comp = connected_components(g, directed=False)
-    comp = comp.astype(np.int64)
+    from ..native.build import cc_edges
+    comp = cc_edges(n_nodes, u, v)
     fwd = comp[0::2]
     rev = comp[1::2]
     # canonical column: the lexicographically smaller of the two mirror
@@ -282,8 +280,8 @@ def columns_to_blocks(pc: PinchColumns, min_degree: int = 2) -> Blocks:
     mask = succ_of_col >= 0
     u = ids[mask]
     v = succ_of_col[mask]
-    g = coo_matrix((np.ones(len(u), np.int8), (u, v)), shape=(n_cols, n_cols))
-    _, col_block = connected_components(g, directed=False)
+    from ..native.build import cc_edges
+    col_block = cc_edges(n_cols, u, v)
 
     # base-level block labels
     block_of_base = np.where(aligned, col_block[col], -1)

@@ -1,0 +1,101 @@
+"""On-demand compilation + ctypes loading of the native graph kernels.
+
+pybind11 isn't available in this image, so the C++ module is compiled to
+a shared object with g++ on first use (cached by source hash under
+~/.cache/cactus_tpu_native) and bound with ctypes over raw numpy
+buffers.  Everything degrades gracefully: callers fall back to the
+scipy/python paths when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "graphops.cpp")
+_LIB = None
+_TRIED = False
+
+
+def _compile() -> str | None:
+    src = open(_SRC, "rb").read()
+    h = hashlib.sha256(src).hexdigest()[:16]
+    cache = os.path.join(os.path.expanduser("~/.cache/cactus_tpu_native"))
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, f"graphops_{h}.so")
+    if os.path.exists(so):
+        return so
+    tmp = so + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
+        return so
+    except (subprocess.SubprocessError, OSError, FileNotFoundError):
+        return None
+
+
+def load():
+    """The ctypes library, or None when compilation is unavailable."""
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        so = _compile()
+        if so:
+            lib = ctypes.CDLL(so)
+            lib.cc_edges.restype = ctypes.c_int64
+            lib.cc_edges.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p]
+            lib.spanning_forest.restype = None
+            lib.spanning_forest.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                            ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p, ctypes.c_void_p]
+            _LIB = lib
+    return _LIB
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def cc_edges(n_nodes: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Connected-component label per node (dense, deterministic order).
+
+    Falls back to scipy when the native library is unavailable.
+    """
+    lib = load()
+    u = np.ascontiguousarray(u, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    if lib is not None:
+        comp = np.empty(n_nodes, dtype=np.int64)
+        lib.cc_edges(n_nodes, len(u), _ptr(u), _ptr(v), _ptr(comp))
+        return comp
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+    g = coo_matrix((np.ones(len(u), np.int8), (u, v)),
+                   shape=(n_nodes, n_nodes))
+    _n, comp = connected_components(g, directed=False)
+    return comp.astype(np.int64)
+
+
+def spanning_forest(n_nodes: int, u: np.ndarray, v: np.ndarray):
+    """(is_tree, parent_node, parent_edge, order) arrays, or None if the
+    native library is unavailable (caller uses its python fallback)."""
+    lib = load()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(u, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    is_tree = np.zeros(len(u), dtype=np.uint8)
+    parent_node = np.empty(n_nodes, dtype=np.int64)
+    parent_edge = np.empty(n_nodes, dtype=np.int64)
+    order = np.empty(n_nodes, dtype=np.int64)
+    lib.spanning_forest(n_nodes, len(u), _ptr(u), _ptr(v), _ptr(is_tree),
+                        _ptr(parent_node), _ptr(parent_edge), _ptr(order))
+    return is_tree.astype(bool), parent_node, parent_edge, order
