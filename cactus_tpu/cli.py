@@ -135,10 +135,64 @@ def cmd_blast(args) -> int:
 
 def cmd_hal2maf(args) -> int:
     from .phases import hal as hal_phase
+    from .io.maf import write_maf
     store = AlignmentStore(args.store)
     result = store.load_result()
-    hal_phase.write_hal2maf(args.out, result, args.ref_genome)
-    _log(f"wrote {args.out}")
+    blocks = hal_phase.hal2maf(result, args.ref_genome)
+    if args.dup_filter:
+        from .maf_tools import dup_filter
+        blocks = dup_filter(blocks, mode=args.dup_filter,
+                            ref_genome=args.ref_genome)
+    if args.merge:
+        from .maf_tools import merge_adjacent_blocks
+        blocks = merge_adjacent_blocks(blocks)
+    write_maf(args.out, blocks)
+    _log(f"wrote {args.out} ({len(blocks)} blocks)")
+    return 0
+
+
+def cmd_prepare(args) -> int:
+    """Print the step-decomposed command plan (cactus-prepare analog:
+    every stage independently runnable/restartable)."""
+    sf = SeqFile.parse(args.seqfile)
+    tree = sf.tree if sf.tree is not None else sf.star_tree()
+    t = tree.copy()
+    t.name_internal_nodes()
+    print(f"## cactus-tpu plan for {args.seqfile} -> {args.outdir}")
+    print(f"python -m cactus_tpu preprocess {args.seqfile} "
+          f"{args.outdir}/prep")
+    for node in t.postorder():
+        if node.is_leaf():
+            continue
+        children = ", ".join(c.name for c in node.children)
+        print(f"# ancestor {node.name} (children: {children})")
+    print(f"python -m cactus_tpu align {args.seqfile} {args.outdir} "
+          f"--maf {args.outdir}/out.maf")
+    print(f"python -m cactus_tpu stats {args.outdir}")
+    return 0
+
+
+def cmd_update(args) -> int:
+    from . import update as update_mod
+    store = AlignmentStore(args.store)
+    if args.action == "add":
+        seqs = read_fasta(args.fasta)
+        from .preprocessor.headers import sanitize_genome
+        genome = sanitize_genome(args.event, seqs)
+        update_mod.add_genome(store, args.event, genome, args.parent,
+                              branch_length=args.branch_length,
+                              min_chain_override=args.min_chain, log=_log)
+    elif args.action == "replace":
+        seqs = read_fasta(args.fasta)
+        from .preprocessor.headers import sanitize_genome
+        genome = sanitize_genome(args.event, seqs)
+        update_mod.replace_genome(store, args.event, genome,
+                                  min_chain_override=args.min_chain,
+                                  log=_log)
+    else:
+        update_mod.remove_genome(store, args.event,
+                                 min_chain_override=args.min_chain,
+                                 log=_log)
     return 0
 
 
@@ -198,7 +252,28 @@ def main(argv=None) -> int:
     pm.add_argument("store")
     pm.add_argument("out")
     pm.add_argument("--ref-genome", default=None)
+    pm.add_argument("--dup-filter", default=None,
+                    choices=["single", "single-ref", "consensus"])
+    pm.add_argument("--merge", action="store_true",
+                    help="merge abutting blocks (taffy norm)")
     pm.set_defaults(fn=cmd_hal2maf)
+
+    pr = sub.add_parser("prepare",
+                        help="print the step-decomposed command plan")
+    pr.add_argument("seqfile")
+    pr.add_argument("outdir")
+    pr.set_defaults(fn=cmd_prepare)
+
+    pu = sub.add_parser("update",
+                        help="add/replace/remove a genome in a store")
+    pu.add_argument("action", choices=["add", "replace", "remove"])
+    pu.add_argument("store")
+    pu.add_argument("event")
+    pu.add_argument("--fasta", default=None)
+    pu.add_argument("--parent", default=None)
+    pu.add_argument("--branch-length", type=float, default=0.1)
+    pu.add_argument("--min-chain", type=int, default=None)
+    pu.set_defaults(fn=cmd_update)
 
     ps = sub.add_parser("stats", help="halStats-style genome table")
     ps.add_argument("store")

@@ -47,6 +47,7 @@ class AncestorStep:
     maps: dict[str, SeqMap]            # child/outgroup seq → ancestor coords
     ingroup_events: set[str]
     outgroup_events: set[str]
+    timings: dict[str, float] = field(default_factory=dict)
 
 
 @dataclass
@@ -200,26 +201,44 @@ class ProgressiveAligner:
                        for c in node.children)
         preset = divergence_preset(2.0 * max_path)
 
+        # per-phase wall-clock telemetry (the reference's st_logInfo
+        # elapsed-seconds lines, pipeline/cactus_consolidated.c:366-555)
+        import time as _time
+        timings: dict[str, float] = {}
+
+        t0 = _time.time()
         records = self._blast(node, children, outgroups, preset)
+        timings["blast"] = _time.time() - t0
+
+        t0 = _time.time()
         lengths = {n: len(s) for n, s in seqs.items()}
         caf = run_caf(records, lengths, cfg.caf, preset=preset,
                       ingroup_events=set(children),
                       outgroup_events=set(outgroups),
                       min_chain_override=self.min_chain_override)
+        timings["caf"] = _time.time() - t0
+
+        t0 = _time.time()
         caf = bar_phase.run_bar(caf, seqs, cfg.bar,
                                 ingroup_events=set(children),
                                 outgroup_events=set(outgroups))
+        timings["bar"] = _time.time() - t0
 
+        t0 = _time.time()
         gcodes = bar_phase.global_codes(caf.table, seqs)
         event_tree = self._event_tree(node, outgroups)
         ref = ref_phase.run_reference(caf, gcodes, event_tree, node.name,
                                       cfg.reference)
+        timings["reference"] = _time.time() - t0
         self.genomes[node.name] = dict(ref.sequences)
         maps = seq_maps_from_step(caf, ref)
+        self.log(f"{node.name} phases: " + " ".join(
+            f"{k}={v:.1f}s" for k, v in timings.items()))
         return AncestorStep(event=node.name, caf=caf, ref=ref,
                             anc_seq_names=list(ref.sequences),
                             maps=maps, ingroup_events=set(children),
-                            outgroup_events=set(outgroups))
+                            outgroup_events=set(outgroups),
+                            timings=timings)
 
     def _blast(self, node: Tree, children: list[str], outgroups: list[str],
                preset: str):
