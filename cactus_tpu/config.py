@@ -179,9 +179,16 @@ class PoaParams:
 
 @dataclass
 class BarParams:
-    """BAR phase — config XML <bar> (:244-260)."""
+    """BAR phase — config XML <bar> (:244-260).
+
+    msa_engine: 'star' (batched banded-DP star MSA — the TPU-first
+    default, equal accuracy to POA on benchmarks), 'poa' (true
+    partial-order graph MSA, the abPOA-parity path), 'pecan' (pair-HMM
+    posteriors, the cPecan path; selected by partialOrderAlignment=0 in
+    reference configs)."""
     run_bar: bool = True
     banding_limit: int = 1_000_000
+    msa_engine: str = "star"
     partial_order_alignment: bool = True
     minimum_block_degree: int = 2
     minimum_ingroup_degree: int = 1

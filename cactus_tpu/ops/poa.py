@@ -1,0 +1,296 @@
+"""Partial-order alignment: sequence-vs-DAG DP + host graph updates.
+
+Replaces abPOA (reference: submodule abPOA, consumed by the BAR POA path
+at bar/inc/poaBarAligner.h:15 with window/band params
+cactus_progressive_config.xml:307-326).  abPOA vectorizes the DP over
+the query dimension with SIMD and an adaptive band; the TPU-native
+version does the same mapping:
+
+ - query positions live on the VPU lanes; graph nodes are a `lax.scan`
+   in topological order (nodes are append-only, predecessors always
+   point backward, so insertion order IS a topo order);
+ - each node gathers its (padded, fixed-width) predecessor rows, takes
+   the elementwise max, and resolves the in-row insertion chain with a
+   Kogge-Stone max-scan — every step is static-shape vector work;
+ - direction bytes (move type + predecessor slot) stream out for host
+   traceback; graph updates (fusing matches into nodes, adding mismatch
+   alleles to columns, splicing insertion chains) are host-side pointer
+   work, exactly the part that stays on CPU in this framework's design.
+
+Gap model: linear gaps (single penalty), the round-1 simplification of
+abPOA's convex two-piece model (config gap_open1/2, extend1/2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(1 << 28)
+MAX_PREDS = 4
+
+
+@dataclass
+class PoaGraph:
+    """Append-only partial-order graph with MSA column groups."""
+    bases: list[int] = field(default_factory=list)
+    preds: list[list[int]] = field(default_factory=list)
+    # column group per node: nodes aligned to each other share a group id
+    group_of: list[int] = field(default_factory=list)
+    n_groups: int = 0
+    # walks: per added sequence, the node visited at each position
+    walks: list[np.ndarray] = field(default_factory=list)
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.bases)
+
+    def _new_node(self, base: int, preds: list[int],
+                  group: int | None = None) -> int:
+        v = len(self.bases)
+        self.bases.append(int(base))
+        self.preds.append([p for p in preds if p >= 0][:MAX_PREDS])
+        if group is None:
+            group = self.n_groups
+            self.n_groups += 1
+        self.group_of.append(group)
+        return v
+
+    @classmethod
+    def from_sequence(cls, seq: np.ndarray) -> "PoaGraph":
+        g = cls()
+        prev = -1
+        walk = np.empty(len(seq), dtype=np.int64)
+        for i, b in enumerate(seq):
+            prev = g._new_node(int(b), [prev])
+            walk[i] = prev
+        g.walks.append(walk)
+        return g
+
+    def tensors(self):
+        """(bases (N,), preds (N, MAX_PREDS) with -1 pad) numpy arrays."""
+        N = self.n_nodes
+        bases = np.asarray(self.bases, dtype=np.uint8)
+        preds = np.full((N, MAX_PREDS), -1, dtype=np.int32)
+        for v, ps in enumerate(self.preds):
+            for k, p in enumerate(ps[:MAX_PREDS]):
+                preds[v, k] = p
+        return bases, preds
+
+    def group_members(self) -> list[list[int]]:
+        out: list[list[int]] = [[] for _ in range(self.n_groups)]
+        for v, grp in enumerate(self.group_of):
+            out[grp].append(v)
+        return out
+
+    # ---- incorporate an alignment of a new sequence ----
+    def add_alignment(self, seq: np.ndarray, ops) -> None:
+        """ops: list of ("M", node, qpos) / ("I", qpos) / ("D", node)
+        from traceback, in forward order.  Matches with equal base fuse
+        into the node; mismatches become new nodes in the same column
+        group; insertions become new chain nodes."""
+        walk = np.full(len(seq), -1, dtype=np.int64)
+        prev = -1
+        groups = self.group_members()
+        for op in ops:
+            if op[0] == "M":
+                _tag, v, qpos = op
+                b = int(seq[qpos])
+                if self.bases[v] == b:
+                    tgt = v
+                else:
+                    tgt = None
+                    for w in groups[self.group_of[v]]:
+                        if self.bases[w] == b:
+                            tgt = w
+                            break
+                    if tgt is None:
+                        tgt = self._new_node(b, [prev],
+                                             group=self.group_of[v])
+                        groups[self.group_of[v]].append(tgt)
+                if prev >= 0 and prev not in self.preds[tgt]:
+                    if len(self.preds[tgt]) < MAX_PREDS:
+                        self.preds[tgt].append(prev)
+                walk[qpos] = tgt
+                prev = tgt
+            elif op[0] == "I":
+                _tag, qpos = op
+                prev = self._new_node(int(seq[qpos]), [prev])
+                walk[qpos] = prev
+            # "D": graph node skipped; prev unchanged... the next match
+            # records prev as predecessor, creating the deletion edge
+        self.walks.append(walk)
+
+    def match_runs_between_walks(self):
+        """Pairwise base matches implied by shared column groups.
+
+        Returns list of (walk_i, pos_i, walk_j, pos_j) for every pair of
+        sequence positions whose nodes share a column group.
+        """
+        by_group: dict[int, list[tuple[int, int]]] = {}
+        for wi, walk in enumerate(self.walks):
+            for pos, v in enumerate(walk):
+                if v >= 0:
+                    by_group.setdefault(self.group_of[v], []).append(
+                        (wi, pos))
+        out = []
+        for members in by_group.values():
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    if members[a][0] != members[b][0]:
+                        out.append((*members[a], *members[b]))
+        return out
+
+
+# --------------------------------------------------------------------------
+# device DP
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("gap", "match", "mismatch"))
+def poa_align_scan(bases, preds, q, gap: int, match: int, mismatch: int):
+    """Score a query against the graph.
+
+    bases (N,) uint8, preds (N, MAX_PREDS) int32 (-1 pad), q (L,) uint8.
+    Returns (H (N, L+1) int32, dirs (N, L+1) uint8, best_end (N,) — the
+    final-node scores at j=L).  dirs bits: 0-1 move (0=match diag,
+    1=delete/graph, 2=insert/query), 2-3 predecessor slot.
+    """
+    N = bases.shape[0]
+    L = q.shape[0]
+    j_idx = jnp.arange(L + 1, dtype=jnp.int32)
+    row0 = (-gap * j_idx).astype(jnp.int32)          # virtual start row
+
+    def node_step(H_all, v):
+        base = bases[v].astype(jnp.int32)
+        s = jnp.where(q.astype(jnp.int32) == base, match, mismatch)
+        pv = preds[v]                                 # (MAX_PREDS,)
+        # gather predecessor rows; slot MAX_PREDS = virtual start row
+        prows = jnp.where((pv >= 0)[:, None],
+                          H_all[jnp.maximum(pv, 0)], NEG)  # (P, L+1)
+        has_pred = jnp.any(pv >= 0)
+        prows = jnp.where(has_pred,
+                          prows,
+                          jnp.where(jnp.arange(MAX_PREDS)[:, None] == 0,
+                                    row0[None, :], NEG))
+        # diagonal: pred row shifted by one query position, plus emission
+        diag = jnp.concatenate([jnp.full((MAX_PREDS, 1), NEG, jnp.int32),
+                                prows[:, :-1] + s[None, :]], axis=1)
+        dele = prows - gap                            # consume graph node
+        best_diag = jnp.max(diag, axis=0)
+        slot_diag = jnp.argmax(diag, axis=0).astype(jnp.uint8)
+        best_dele = jnp.max(dele, axis=0)
+        slot_dele = jnp.argmax(dele, axis=0).astype(jnp.uint8)
+        h0 = jnp.maximum(best_diag, best_dele)
+        move = jnp.where(best_diag >= best_dele, 0, 1).astype(jnp.uint8)
+        slot = jnp.where(best_diag >= best_dele, slot_diag, slot_dele)
+        # in-row insertion chain h[j] = max(h0[j], h[j-1] - gap): linear
+        # gaps admit the doubling trick y ← max(y, shift(y, o) - gap*o)
+        y = h0
+        off = 1
+        while off < L + 1:
+            y = jnp.maximum(y, jnp.concatenate(
+                [jnp.full(off, NEG, jnp.int32), y[:-off] - gap * off]))
+            off *= 2
+        ins = y != h0
+        move = jnp.where(ins, 2, move)
+        dirs = (move | (slot << 2)).astype(jnp.uint8)
+        H_all = H_all.at[v].set(y)
+        return H_all, dirs
+
+    H_init = jnp.full((N, L + 1), NEG, jnp.int32)
+    H_all, dirs = jax.lax.scan(node_step, H_init,
+                               jnp.arange(N, dtype=jnp.int32))
+    return H_all, dirs, H_all[:, L]
+
+
+def _np_pred_rows(H, preds, v, L, gap):
+    rows = []
+    for p in preds[v]:
+        rows.append(H[p])
+    if not rows:
+        rows = [(-gap * np.arange(L + 1)).astype(np.int64)]
+    return rows
+
+
+def _bin_up(n: int, minimum: int = 64) -> int:
+    return max(minimum, 1 << (n - 1).bit_length())
+
+
+def poa_align(graph: PoaGraph, seq: np.ndarray, gap: int = 30,
+              match: int = 10, mismatch: int = -15):
+    """Align `seq` to the graph; returns traceback ops for
+    add_alignment.  DP on device, traceback on host.  Node and query
+    dims pad to power-of-two bins so the growing graph reuses compiled
+    programs; pad nodes behave as detached sources and are masked out of
+    the end-cell argmax."""
+    bases, preds = graph.tensors()
+    N = len(bases)
+    Nb = _bin_up(N)
+    Lb = _bin_up(len(seq))
+    bases_p = np.zeros(Nb, dtype=np.uint8)
+    bases_p[:N] = bases
+    preds_p = np.full((Nb, MAX_PREDS), -1, dtype=np.int32)
+    preds_p[:N] = preds
+    q_p = np.full(Lb, 5, dtype=np.uint8)   # pad code never matches
+    q_p[:len(seq)] = seq
+    from . import smart_put
+    put = smart_put(Nb * Lb * MAX_PREDS)
+    H, dirs, _ends = poa_align_scan(put(bases_p), put(preds_p), put(q_p),
+                                    gap=gap, match=match,
+                                    mismatch=mismatch)
+    H = np.asarray(H)
+    dirs = np.asarray(dirs)
+    L = len(seq)
+    ends = H[:N, L]
+    # end: best node with no successor... any node may end the alignment;
+    # global-ish: pick max over final column (ends) minus remaining-gap 0
+    v = int(np.argmax(ends))
+    j = L
+    ops = []
+    while True:
+        byte = int(dirs[v, j])
+        move = byte & 3
+        slot = byte >> 2
+        if move == 2 and j > 0:
+            ops.append(("I", j - 1))
+            j -= 1
+            continue
+        plist = graph.preds[v]
+        if move == 0:
+            ops.append(("M", v, j - 1))
+            j -= 1
+        else:
+            ops.append(("D", v))
+        if plist:
+            v = plist[min(slot, len(plist) - 1)]
+        else:
+            # v was a source node: the rest of the query is leading
+            # insertions against the virtual start row
+            while j > 0:
+                ops.append(("I", j - 1))
+                j -= 1
+            break
+    ops.reverse()
+    return ops
+
+
+def poa_msa(seqs: list[np.ndarray], gap: int = 30, match: int = 10,
+            mismatch: int = -15) -> PoaGraph:
+    """Progressive POA: longest sequence seeds the graph, others align
+    in length order (abPOA progressive_mode analog)."""
+    order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i]))
+    graph = PoaGraph.from_sequence(seqs[order[0]])
+    walk_order = [order[0]]
+    for i in order[1:]:
+        ops = poa_align(graph, seqs[i], gap=gap, match=match,
+                        mismatch=mismatch)
+        graph.add_alignment(seqs[i], ops)
+        walk_order.append(i)
+    # restore walks to input order
+    remap = {wo: k for k, wo in enumerate(walk_order)}
+    graph.walks = [graph.walks[remap[i]] for i in range(len(seqs))]
+    return graph

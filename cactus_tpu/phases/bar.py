@@ -170,11 +170,45 @@ def star_align_ends(per_end: dict[int, list[EndString]],
             # both reversed: forward pairing of the reversed intervals
             runs.append((ga, gb, ln, 1))
 
-    use_poa = cfg.partial_order_alignment
+    engine = cfg.msa_engine
+    if not cfg.partial_order_alignment and engine == "star":
+        engine = "pecan"   # reference semantics: POA off → cPecan path
+
+    if engine == "poa":
+        # true partial-order MSA per end (abPOA-parity path): all member
+        # pairs sharing a column emit matches, not just member↔backbone
+        from ..ops.poa import poa_msa
+        for end, members in per_end.items():
+            if len(members) < 2:
+                continue
+            members = sorted(members, key=lambda e: -e.length())
+            seqs_o = [m.codes(gcodes) for m in members]
+            graph = poa_msa(seqs_o)
+            matched = graph.match_runs_between_walks()
+            matched.sort()
+            prev = None
+            start = None
+            run_len = 0
+            for wi, pi, wj, pj in matched:
+                if (prev is not None and prev[0] == wi and prev[2] == wj
+                        and pi == prev[1] + 1 and pj == prev[3] + 1):
+                    run_len += 1
+                else:
+                    if prev is not None:
+                        emit(members[start[0]], members[start[2]],
+                             start[1], start[3], run_len)
+                    start = (wi, pi, wj, pj)
+                    run_len = 1
+                prev = (wi, pi, wj, pj)
+            if prev is not None:
+                emit(members[start[0]], members[start[2]],
+                     start[1], start[3], run_len)
+        return runs
+
     for band, group in by_band.items():
         pairs = [(m.codes(gcodes), b.codes(gcodes)[:t_len])
                  for m, b, t_len, _ in group]
-        if use_poa:
+        if engine == "star":
             out = align_pairs_banded(pairs, submat, gap, band=band)
             for (m, b, t_len, _), (_score, ops) in zip(group, out):
                 i = j = 0

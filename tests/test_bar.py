@@ -139,6 +139,22 @@ def test_pecan_engine_matches_poa_quality():
     assert s.recall > 0.95 and s.precision > 0.95, s
 
 
+def test_poa_graph_engine_quality():
+    """BAR with the true partial-order MSA engine (abPOA-parity path)."""
+    tree = parse_newick("(a:0.05,b:0.05)root;")
+    sim = evolver.simulate(tree, root_len=6_000, seed=20)
+    leaves = ["a", "b"]
+    recs = _align_all_pairs(sim, leaves, BlastParams())
+    lengths = {f"{g}.c": len(sim.genomes[g].codes) for g in leaves}
+    caf = run_caf(recs, lengths, CafParams(), preset="one",
+                  min_chain_override=64)
+    seqs = {f"{g}.c": Sequence(f"{g}.c", sim.genomes[g].codes)
+            for g in leaves}
+    out = bar.run_bar(caf, seqs, BarParams(msa_engine="poa"))
+    s = _score(sim, leaves, out)
+    assert s.recall > 0.95 and s.precision > 0.95, s
+
+
 def test_full_pipeline_accuracy_three_leaves():
     tree = parse_newick("((a:0.03,b:0.03)ab:0.02,c:0.05)root;")
     sim = evolver.simulate(tree, root_len=10_000, seed=8)
