@@ -206,6 +206,35 @@ def cmd_pangenome(args) -> int:
     return 0
 
 
+def cmd_chains(args) -> int:
+    """UCSC liftover chains between two genomes (hal2chains analog)."""
+    from .chains_export import write_chains
+    store = AlignmentStore(args.store)
+    result = store.load_result()
+    n = write_chains(args.out, result, args.ref, args.query)
+    _log(f"wrote {n} chains to {args.out}")
+    return 0
+
+
+def cmd_conservation(args) -> int:
+    """phyloFit + phyloP-style conservation wiggle from the alignment."""
+    import json
+    from .phases import hal as hal_phase
+    from . import phast
+    store = AlignmentStore(args.store)
+    result = store.load_result()
+    blocks = hal_phase.hal2maf(result, args.ref_genome,
+                               include_ancestor=False)
+    tree = result.tree
+    scale = phast.phylo_fit(blocks, tree)
+    scores, meta = phast.phylo_p(blocks, tree, neutral_scale=scale)
+    phast.write_wig(args.out, scores, meta)
+    with open(args.out + ".mod.json", "w") as fh:
+        json.dump({"model": "JC69", "rate_scale": scale}, fh)
+    _log(f"neutral rate scale {scale:.3f}; wrote {args.out}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .phases import hal as hal_phase
     store = AlignmentStore(args.store)
@@ -274,6 +303,21 @@ def main(argv=None) -> int:
     pu.add_argument("--branch-length", type=float, default=0.1)
     pu.add_argument("--min-chain", type=int, default=None)
     pu.set_defaults(fn=cmd_update)
+
+    pc = sub.add_parser("chains",
+                        help="UCSC chains between two genomes")
+    pc.add_argument("store")
+    pc.add_argument("ref")
+    pc.add_argument("query")
+    pc.add_argument("out")
+    pc.set_defaults(fn=cmd_chains)
+
+    pv = sub.add_parser("conservation",
+                        help="phyloP-style conservation wiggle")
+    pv.add_argument("store")
+    pv.add_argument("out")
+    pv.add_argument("--ref-genome", default=None)
+    pv.set_defaults(fn=cmd_conservation)
 
     ps = sub.add_parser("stats", help="halStats-style genome table")
     ps.add_argument("store")

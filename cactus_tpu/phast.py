@@ -1,0 +1,150 @@
+"""Phylogenetic model fitting + per-column conservation (phast analog).
+
+Reference surface: cactus-phast runs phyloFit (substitution model from
+4d sites) and phyloP (per-base conservation / acceleration scores) over
+the hal2maf output (maf/cactus_phast.py:1-18).  Lite equivalents here
+under Jukes-Cantor:
+
+ - phylo_fit: maximum-likelihood global rate scale for the guide tree
+   against alignment columns (golden-section search over one scalar;
+   column likelihoods are one batched JAX Felsenstein pass);
+ - phylo_p: per-column log-likelihood-ratio score between a conserved
+   model (rate × rho) and the neutral fitted model — positive scores =
+   conserved, the phyloP CONACC sign convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .io.maf import MafBlock
+from .phases.reference import jc_matrix
+from .utils.trees import Tree
+
+_CODE = {"A": 0, "C": 1, "G": 2, "T": 3,
+         "a": 0, "c": 1, "g": 2, "t": 3}
+
+
+def columns_from_maf(blocks: list[MafBlock], tree: Tree):
+    """(C, E, 4) float32 observation tensor from MAF rows (genome-level
+    events; gaps/N = missing), plus per-column (ref seq, ref pos)."""
+    events = [n.name for n in tree.preorder()]
+    eidx = {n: i for i, n in enumerate(events)}
+    obs_rows = []
+    meta = []
+    for b in blocks:
+        W = b.width
+        block_obs = np.ones((W, len(events), 4), dtype=np.float32)
+        ref_meta = [(None, -1)] * W
+        for r in b.rows:
+            ev = r.src.split(".", 1)[0]
+            e = eidx.get(ev)
+            if e is None:
+                continue
+            pos = r.start if r.strand == "+" else None
+            p = r.start
+            for k, ch in enumerate(r.text):
+                if ch == "-":
+                    continue
+                c = _CODE.get(ch)
+                if c is not None:
+                    block_obs[k, e, :] *= 1e-3
+                    block_obs[k, e, c] *= 1e3
+                if ref_meta[k][0] is None:
+                    ref_meta[k] = (r.src, p)
+                p += 1
+        obs_rows.append(block_obs)
+        meta.extend(ref_meta)
+    if not obs_rows:
+        return (np.zeros((0, len(events), 4), np.float32), [])
+    return np.concatenate(obs_rows, axis=0), meta
+
+
+def column_log_likelihoods(obs: np.ndarray, tree: Tree,
+                           scale: float) -> np.ndarray:
+    """log P(column | JC, branch lengths × scale) per column, batched."""
+    import jax
+    import jax.numpy as jnp
+
+    events = [n.name for n in tree.preorder()]
+    eidx = {n: i for i, n in enumerate(events)}
+    edges = [(eidx[n.name], eidx[n.parent.name],
+              jc_matrix((n.length or 0.0) * scale))
+             for n in tree.postorder() if n.parent is not None]
+    root = eidx[tree.name]
+    E = len(events)
+
+    @jax.jit
+    def run(obs):
+        msgs = [obs[:, i, :] for i in range(E)]
+        ll = jnp.zeros(obs.shape[0], jnp.float32)
+        for child, parent, P in edges:
+            lifted = msgs[child] @ jnp.asarray(P.T, dtype=jnp.float32)
+            msgs[parent] = msgs[parent] * lifted
+            norm = jnp.maximum(jnp.sum(msgs[parent], axis=1,
+                                       keepdims=True), 1e-30)
+            msgs[parent] = msgs[parent] / norm
+            ll = ll + jnp.log(norm[:, 0])
+        return ll + jnp.log(jnp.maximum(
+            0.25 * jnp.sum(msgs[root], axis=1), 1e-30))
+
+    return np.asarray(run(obs.astype(np.float32)))
+
+
+def phylo_fit(blocks: list[MafBlock], tree: Tree,
+              lo: float = 0.05, hi: float = 8.0,
+              tol: float = 1e-3) -> float:
+    """ML rate scale by golden-section search (phyloFit-lite)."""
+    obs, _meta = columns_from_maf(blocks, tree)
+    if not len(obs):
+        return 1.0
+
+    def nll(s):
+        return -float(column_log_likelihoods(obs, tree, s).sum())
+
+    gr = (np.sqrt(5) - 1) / 2
+    a, b = lo, hi
+    c = b - gr * (b - a)
+    d = a + gr * (b - a)
+    fc, fd = nll(c), nll(d)
+    while b - a > tol:
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = nll(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = nll(d)
+    return (a + b) / 2
+
+
+def phylo_p(blocks: list[MafBlock], tree: Tree,
+            neutral_scale: float | None = None,
+            rho: float = 0.3):
+    """Per-column conservation scores + reference coordinates.
+
+    Returns (scores (C,), meta [(ref_seq, ref_pos)]): score =
+    ll(conserved rho×neutral) − ll(neutral); positive = conserved.
+    """
+    if neutral_scale is None:
+        neutral_scale = phylo_fit(blocks, tree)
+    obs, meta = columns_from_maf(blocks, tree)
+    if not len(obs):
+        return np.zeros(0, np.float32), []
+    ll_n = column_log_likelihoods(obs, tree, neutral_scale)
+    ll_c = column_log_likelihoods(obs, tree, neutral_scale * rho)
+    return (ll_c - ll_n), meta
+
+
+def write_wig(path, scores: np.ndarray, meta) -> None:
+    """Fixed/variable-step wiggle of per-reference-base scores."""
+    with open(path, "w") as fh:
+        cur = None
+        for s, (seq, pos) in zip(scores, meta):
+            if seq is None or pos < 0:
+                continue
+            if seq != cur:
+                fh.write(f"variableStep chrom={seq}\n")
+                cur = seq
+            fh.write(f"{pos + 1} {s:.4f}\n")

@@ -1,0 +1,113 @@
+"""Chains export + conservation scoring."""
+
+import io
+
+import numpy as np
+import pytest
+
+from cactus_tpu import chains_export, phast, progressive
+from cactus_tpu.io.fasta import Sequence
+from cactus_tpu.io.maf import MafBlock, MafRow
+from cactus_tpu.testutil import evolver
+from cactus_tpu.utils.trees import parse_newick
+
+
+@pytest.fixture(scope="module")
+def small_result():
+    tree = parse_newick("((a:0.04,b:0.04)ab:0.04,c:0.08)root;")
+    sim = evolver.simulate(tree, root_len=6_000, seed=81)
+    genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
+               for ev in ["a", "b", "c"]}
+    res = progressive.ProgressiveAligner(tree, genomes,
+                                         min_chain_override=64).run()
+    return sim, res
+
+
+def test_chain_export_roundtrip(small_result):
+    sim, res = small_result
+    buf = io.StringIO()
+    n = chains_export.write_chains(buf, res, "a", "b")
+    assert n >= 1
+    text = buf.getvalue()
+    lines = [l for l in text.splitlines() if l]
+    headers = [l for l in lines if l.startswith("chain ")]
+    assert len(headers) == n
+    # parse one chain and verify the block arithmetic is consistent
+    for hi, h in enumerate(headers):
+        f = h.split()
+        t_start, t_end = int(f[5]), int(f[6])
+        q_start, q_end = int(f[10]), int(f[11])
+        # collect its block lines
+        idx = lines.index(h)
+        blks = []
+        for l in lines[idx + 1:]:
+            if l.startswith("chain "):
+                break
+            blks.append([int(x) for x in l.split()])
+        t_sum = sum(b[0] for b in blks) + sum(b[1] for b in blks[:-1])
+        q_sum = sum(b[0] for b in blks) + sum(b[2] for b in blks[:-1])
+        assert t_start + t_sum == t_end, h
+        assert q_start + q_sum == q_end, h
+
+
+def test_chain_pairs_are_true(small_result):
+    """Chain blocks encode the same pairs as leaf_pairs (spot check)."""
+    sim, res = small_result
+    truth = {(p, q) for p, q, _s in sim.truth_pairs("a", "b")}
+    runs = list(chains_export._joined_runs(res, "a", "b"))
+    good = total = 0
+    for _rn, rs, _qn, qs, st, n in runs:
+        for k in range(n):
+            total += 1
+            pair = (rs + k, qs + k * st)
+            good += pair in truth
+    assert total > 4000
+    assert good / total > 0.9
+
+
+def _mk_blocks(texts_by_src, start=0):
+    rows = []
+    for src, text in texts_by_src.items():
+        size = len(text.replace("-", ""))
+        rows.append(MafRow(src=src, start=start, size=size, strand="+",
+                           src_size=1000, text=text))
+    return [MafBlock(rows=rows)]
+
+
+def test_phylo_fit_recovers_rate():
+    """Fitted scale tracks the true divergence of simulated columns."""
+    tree = parse_newick("(a:0.1,b:0.1,c:0.1)root;")
+    rng = np.random.default_rng(0)
+    for factor in (0.5, 2.0):
+        scaled = parse_newick(
+            f"(a:{0.1*factor},b:{0.1*factor},c:{0.1*factor})root;")
+        sim = evolver.simulate(scaled, root_len=3000, seed=3,
+                               indel_rate=0.0)
+        texts = {f"{g}.c": "".join("ACGT"[c] for c in sim.genomes[g].codes)
+                 for g in ["a", "b", "c"]}
+        blocks = _mk_blocks(texts)
+        fit = phast.phylo_fit(blocks, tree)
+        assert abs(fit - factor) / factor < 0.3, (factor, fit)
+
+
+def test_phylo_p_scores_conserved_region():
+    """Columns forced identical score higher than diverged columns."""
+    tree = parse_newick("(a:0.2,b:0.2,c:0.2)root;")
+    sim = evolver.simulate(tree, root_len=2000, seed=5, indel_rate=0.0)
+    codes = {g: sim.genomes[g].codes.copy() for g in ["a", "b", "c"]}
+    # conserve the middle third exactly
+    lo, hi = 700, 1300
+    for g in ("b", "c"):
+        codes[g][lo:hi] = codes["a"][lo:hi]
+    texts = {f"{g}.c": "".join("ACGT"[c] for c in codes[g])
+             for g in ["a", "b", "c"]}
+    blocks = _mk_blocks(texts)
+    scores, meta = phast.phylo_p(blocks, tree)
+    assert len(scores) == 2000
+    assert scores[lo:hi].mean() > scores[:lo].mean() + 0.1
+    # wig output round-trip
+    import tempfile, os
+    p = tempfile.mktemp(suffix=".wig")
+    phast.write_wig(p, scores, meta)
+    assert os.path.getsize(p) > 0
+    os.remove(p)
