@@ -29,10 +29,13 @@ def divergence_preset(max_path_length: float) -> str:
     return "default"
 
 
-# lastz's default T=1 spaced seed (12-of-19) and a lighter 11-of-18
-# variant for the most diverged preset tiers
+# lastz's default T=1 spaced seed (12-of-19), a lighter 11-of-18
+# variant, and a transition-tolerant mixed-weight seed ('T' = 1-bit
+# purine/pyrimidine care) for the most diverged tier — measured anchor
+# coverage at divergence 0.45/0.55: 0.90/0.68 vs 0.76/0.50 for 11-of-18
 SEED_12_OF_19 = "1110100110010101111"
 SEED_11_OF_18 = "111010011001010111"
+SEED_MIXED_19BIT = "11T0110T1T0111"
 
 
 @dataclass
@@ -46,13 +49,20 @@ class SeedParams:
     """
     k: int = 15
     steps: dict[str, int] = field(default_factory=lambda: {
-        "one": 2, "two": 2, "three": 1, "four": 1, "five": 1, "default": 1})
+        "one": 2, "two": 2, "three": 1, "four": 1, "five": 1,
+        "default": 1, "default_og": 1})
     pattern: str = ""  # override: spaced-seed 1/0 pattern for ALL presets
+    # 'default_og' applies to ingroup↔outgroup pairs at the distant
+    # preset: outgroup alignments are advisory evidence, and the
+    # highest-sensitivity seed there floods CAF with wobble-fragmenting
+    # pinches (measured: cow↔dog 0.97→0.79 when og pairs use the mixed
+    # seed)
     patterns: dict[str, str] = field(default_factory=lambda: {
         "one": "", "two": "",                      # contiguous k
         "three": SEED_12_OF_19,
         "four": SEED_11_OF_18, "five": SEED_11_OF_18,
-        "default": SEED_11_OF_18})
+        "default": SEED_MIXED_19BIT,
+        "default_og": SEED_11_OF_18})
     max_occurrences: int = 64   # drop seeds occurring more often (repeat guard)
     max_anchors: int = 1 << 22  # fixed-size anchor buffer per chunk pair
 
@@ -190,6 +200,11 @@ class BarParams:
     banding_limit: int = 1_000_000
     msa_engine: str = "star"
     partial_order_alignment: bool = True
+    # flank cap per adjacency string: the DP cost of an end MSA is
+    # len x band, and refining the middle of multi-kb unaligned gaps is
+    # the anchoring phase's job, not BAR's (the reference windows at
+    # 10 kb; we cap the per-end flank instead)
+    max_end_string: int = 10_000
     minimum_block_degree: int = 2
     minimum_ingroup_degree: int = 1
     minimum_outgroup_degree: int = 0
@@ -213,6 +228,11 @@ class ReferenceParams:
     number_of_ns: int = 10
     min_sequences_to_support_adjacency: int = 1
     make_scaffolds: bool = True
+    # ancestor threads shorter than this don't propagate upward as
+    # sequences (the minLengthForChromosome spirit: tiny fragments would
+    # explode the parent's all-pairs contig grid); their blocks still
+    # exist for MAF/homology at this level
+    min_thread_length: int = 200
 
 
 @dataclass

@@ -313,13 +313,27 @@ def default_backend(cells: int | None = None):
 
 
 def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
-                       backend=None):
+                       backend=None,
+                       max_batch_bytes: int = 512 << 20):
     """Convenience: pack, run the batched kernel, trace back on host.
 
     Returns list of (score, cigar_ops) matching `pairs` order.
     """
     if not pairs:
         return []
+    # split oversized batches: the dirs tensor is P×Mmax×band bytes and a
+    # single bin of long, wide-band pairs can otherwise demand >100 GB
+    max_m = max(len(q) for q, _t in pairs)
+    est_m = max(32, 1 << (max_m - 1).bit_length())
+    per_pair_bytes = est_m * band
+    max_pairs = max(1, int(max_batch_bytes // per_pair_bytes))
+    if len(pairs) > max_pairs:
+        out = []
+        for i in range(0, len(pairs), max_pairs):
+            out.extend(align_pairs_banded(pairs[i:i + max_pairs], submat,
+                                          gap, band=band, backend=backend,
+                                          max_batch_bytes=max_batch_bytes))
+        return out
     packed = pack_band_batch(pairs, band)
     device = None
     if backend is None:

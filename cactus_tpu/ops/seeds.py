@@ -36,22 +36,28 @@ def kmer_hashes(codes, valid, k: int, step: int, pattern: str = ""):
     (n,) int32 with sentinel for invalid, positions (n,) int32).  Static
     shapes for fixed L, k/pattern, step.
     """
-    care = ([i for i, ch in enumerate(pattern) if ch == "1"]
-            if pattern else list(range(k)))
+    # pattern positions: '1' = full 2-bit care, 'T' = transition-tolerant
+    # 1-bit care (purine/pyrimidine class — lastz's T seeds), '0' = skip
+    care = ([(i, ch) for i, ch in enumerate(pattern) if ch in "1T"]
+            if pattern else [(i, "1") for i in range(k)])
     span = len(pattern) if pattern else k
-    if len(care) > MAX_K:
-        raise ValueError(f"seed weight {len(care)} exceeds MAX_K={MAX_K} "
+    bits = sum(2 if ch == "1" else 1 for _i, ch in care)
+    if bits > 2 * MAX_K:
+        raise ValueError(f"seed hash bits {bits} exceed {2 * MAX_K} "
                          "(int32 hash space)")
     L = codes.shape[0]
     n = max(0, (L - span) // step + 1)
     pos = jnp.arange(n, dtype=jnp.int32) * step
     h = jnp.zeros(n, dtype=jnp.int32)
     ok = jnp.ones(n, dtype=bool)
-    for j in care:
+    for j, kind in care:
         c = jax.lax.dynamic_slice_in_dim(codes, j, L - span + 1, axis=0)
         v = jax.lax.dynamic_slice_in_dim(valid, j, L - span + 1, axis=0)
         cj = c[pos].astype(jnp.int32)
-        h = (h << 2) | jnp.where(cj > 3, 0, cj)
+        if kind == "1":
+            h = (h << 2) | jnp.where(cj > 3, 0, cj)
+        else:
+            h = (h << 1) | (jnp.where(cj > 3, 0, cj) & 1)
         ok = ok & v[pos] & (cj <= 3)
     return jnp.where(ok, h, INVALID_Q), pos
 

@@ -86,7 +86,7 @@ def end_strings(caf: CafResult, cfg: BarParams,
     (reference caps at bandingLimit then windows at 10 kb;
     config:245,308).
     """
-    cap = min(cfg.banding_limit, cfg.poa.window)
+    cap = min(cfg.banding_limit, cfg.poa.window, cfg.max_end_string)
     adj = chain_graph.thread_adjacencies(caf.blocks, caf.alive)
     table = caf.table
     per_end: dict[int, list[EndString]] = {}
@@ -121,23 +121,36 @@ def end_strings(caf: CafResult, cfg: BarParams,
 
 def star_align_ends(per_end: dict[int, list[EndString]],
                     gcodes: np.ndarray, cfg: BarParams,
-                    max_band: int = 2048):
+                    max_band: int = 2048,
+                    ingroup_seqs: np.ndarray | None = None):
     """Batched star MSA over all ends → global match runs.
 
     Returns a list of (ga, gb, ln, strand) runs (edges_from_runs format).
     Pairs are length-trimmed so the backbone slice matches the member
     length (+slack), keeping bands narrow; the pair list across all ends
     is aligned in shape-binned device batches.
+
+    ingroup_seqs: boolean per global base — when given, the backbone is
+    the longest INGROUP member (an outgroup backbone makes every
+    ingroup↔ingroup homology transit two high-divergence alignments,
+    which poisons the columns; reference BAR avoids this by running a
+    full MSA rather than a star).
     """
     poa: PoaParams = cfg.poa
     submat = score_matrix_6(poa.sub_matrix)
     gap = GapParams(poa.gap_open1, poa.gap_extend1)
 
+    def is_ingroup(e: EndString) -> bool:
+        if ingroup_seqs is None:
+            return True
+        return bool(ingroup_seqs[e.gstart])
+
     jobs = []        # (member EndString, backbone EndString, t_len)
     for end, members in per_end.items():
         if len(members) < 2:
             continue
-        members = sorted(members, key=lambda e: -e.length())
+        members = sorted(members,
+                         key=lambda e: (not is_ingroup(e), -e.length()))
         backbone = members[0]
         bb_len = backbone.length()
         for m in members[1:]:
@@ -258,7 +271,15 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
         return caf
     gcodes = global_codes(caf.table, seqs)
     per_end = end_strings(caf, cfg)
-    bar_runs = star_align_ends(per_end, gcodes, cfg)
+    ingroup_seqs = None
+    if ingroup_events:
+        ingroup_seqs = np.zeros(caf.table.total, dtype=bool)
+        for name, i in caf.table.index.items():
+            if name.split(".", 1)[0] in ingroup_events:
+                o = int(caf.table.offsets[i])
+                ingroup_seqs[o:o + int(caf.table.lengths[i])] = True
+    bar_runs = star_align_ends(per_end, gcodes, cfg,
+                               ingroup_seqs=ingroup_seqs)
     caf_runs = blocks_to_match_edges(caf.blocks, caf.alive)
     pc = build_columns([], caf.table, runs=caf_runs + bar_runs)
     blocks = columns_to_blocks(pc, min_degree=cfg.minimum_block_degree)

@@ -65,7 +65,10 @@ def find_anchors(q: np.ndarray, t: np.ndarray, k: int, step: int,
         k=k, step=step, max_occ=max_occ, max_anchors=max_anchors,
         pattern=pattern)
     n = int(n)
-    return np.asarray(qpos[:n]), np.asarray(tpos[:n])
+    # materialize BEFORE slicing: converting a lazy jax slice via the
+    # buffer protocol can hit a non-concrete buffer (observed XLA CPU
+    # crash in PyArray_bf_getbuffer under async dispatch)
+    return np.asarray(qpos)[:n], np.asarray(tpos)[:n]
 
 
 @dataclass
@@ -129,6 +132,12 @@ def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
                     layout.append(("ops", [("D", int(tg))]))
                 elif tg == 0:
                     layout.append(("ops", [("I", int(qg))]))
+                elif min(qg, tg) * 16 < max(qg, tg) and max(qg, tg) > 1024:
+                    # grossly asymmetric gap: banding would cost a band
+                    # the size of the indel for a near-pure I+D — emit it
+                    # directly and let BAR refine the flanks
+                    layout.append(("ops", [("I", int(qg)),
+                                           ("D", int(tg))]))
                 else:
                     layout.append(("gap", slot))
                     pending.append(_PendingGap(cid, slot, int(pqe), int(qs),
@@ -267,22 +276,45 @@ def mark_primaries(records: list[PafRecord],
         by_query.setdefault((r.qname, t_event), []).append(r)
     for recs in by_query.values():
         recs.sort(key=lambda r: -r.score)
-        covered: list[tuple[int, int]] = []
+        covered: list[tuple[int, int]] = []   # kept sorted + merged
         for r in recs:
             ov = _overlap_len(covered, r.qstart, r.qend)
             if (ov < 0.5 * (r.qend - r.qstart)
                     and r.score >= min_primary_score):
                 r.set_tag("tp", "A", "P")
-                covered.append((r.qstart, r.qend))
+                _insert_interval(covered, r.qstart, r.qend)
             else:
                 r.set_tag("tp", "A", "S")
     return records
 
 
+def _insert_interval(intervals: list, s: int, e: int) -> None:
+    """Insert [s,e) into a sorted, disjoint interval list (merge)."""
+    import bisect
+    i = bisect.bisect_left(intervals, (s, e))
+    # absorb neighbours that overlap
+    if i > 0 and intervals[i - 1][1] >= s:
+        i -= 1
+        s = min(s, intervals[i][0])
+    j = i
+    while j < len(intervals) and intervals[j][0] <= e:
+        e = max(e, intervals[j][1])
+        s = min(s, intervals[j][0])
+        j += 1
+    intervals[i:j] = [(s, e)]
+
+
 def _overlap_len(intervals, s, e) -> int:
+    """Overlap of [s,e) with a SORTED disjoint interval list."""
+    import bisect
     total = 0
-    for a, b in intervals:
+    i = bisect.bisect_left(intervals, (s, -1))
+    if i > 0:
+        i -= 1
+    while i < len(intervals) and intervals[i][0] < e:
+        a, b = intervals[i]
         total += max(0, min(b, e) - max(a, s))
+        i += 1
     return total
 
 

@@ -105,6 +105,78 @@ def fix_lengths(records: list[PafRecord],
     return records
 
 
+SPACER = 100  # Ns between packed contigs (kills seeds across the joint)
+
+
+def pack_small_contigs(genome: dict[str, Sequence],
+                       small_threshold: int = 50_000,
+                       pack_name: str = "__packed__"
+                       ) -> tuple[dict[str, Sequence], dict]:
+    """Concatenate small contigs into N-spaced super-contigs.
+
+    Fragmented genomes (reconstructed ancestors especially) otherwise
+    explode the all-pairs contig grid; faffy chunk packs many contigs
+    into one chunk file the same way.  Returns (new genome, mapping)
+    where mapping[pack_seq_name] = [(origin, offset, length), ...].
+    """
+    big = {n: s for n, s in genome.items() if len(s) >= small_threshold}
+    small = [(n, s) for n, s in genome.items() if len(s) < small_threshold]
+    if len(small) <= 4:
+        return dict(genome), {}
+    event = next(iter(genome)).split(".", 1)[0]
+    parts = []
+    table = []
+    pos = 0
+    for n, s in small:
+        if parts:
+            parts.append(np.full(SPACER, 4, dtype=np.uint8))
+            pos += SPACER
+        table.append((n, pos, len(s)))
+        parts.append(s.codes)
+        pos += len(s)
+    name = f"{event}.{pack_name}"
+    out = dict(big)
+    out[name] = Sequence(name, np.concatenate(parts))
+    return out, {name: table}
+
+
+def split_packed_records(records: list[PafRecord],
+                         mapping: dict) -> list[PafRecord]:
+    """Rebase records on packed super-contigs back to their origins.
+
+    Records crossing a contig boundary (possible only when chaining
+    bridged an N spacer) are dropped — they carry no usable signal.
+    """
+    if not mapping:
+        return records
+    out = []
+    for r in records:
+        ok = True
+        for side in ("q", "t"):
+            name = getattr(r, side + "name")
+            table = mapping.get(name)
+            if table is None:
+                continue
+            start = getattr(r, side + "start")
+            end = getattr(r, side + "end")
+            hit = None
+            for origin, off, ln in table:
+                if off <= start and end <= off + ln:
+                    hit = (origin, off, ln)
+                    break
+            if hit is None:
+                ok = False
+                break
+            origin, off, ln = hit
+            setattr(r, side + "name", origin)
+            setattr(r, side + "start", start - off)
+            setattr(r, side + "end", end - off)
+            setattr(r, side + "len", ln)
+        if ok:
+            out.append(r)
+    return out
+
+
 def align_genomes_chunked(q_genome: dict[str, Sequence],
                           t_genome: dict[str, Sequence],
                           cfg, preset: str = "default",

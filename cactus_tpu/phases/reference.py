@@ -88,7 +88,96 @@ def felsenstein_ml(obs: np.ndarray, counts: np.ndarray, tree: Tree,
                 jnp.sum(msgs[parent], axis=1, keepdims=True), 1e-30)
         return jnp.argmax(msgs[root_idx], axis=1).astype(jnp.uint8)
 
-    return np.asarray(run(jnp.asarray(obs, dtype=np.float32)))
+    from ..ops import smart_put
+    put = smart_put(obs.size * 8)
+    return np.asarray(run(put(obs.astype(np.float32))))
+
+
+def overlay_outgroup_observations(caf: CafResult, obs: np.ndarray,
+                                  col_off: dict, og_records,
+                                  og_codes: dict[str, np.ndarray],
+                                  event_names: list[str]) -> int:
+    """Project outgroup alignments onto existing block columns as
+    Felsenstein votes WITHOUT pinching them into the graph.
+
+    Outgroup pinches fragment ingroup block segmentation (alignment
+    wobble between independent og alignments splits lockstep runs), so
+    the driver keeps og records out of CAF and adds their evidence here:
+    for each aligned pair (ingroup base q, outgroup base t), q's block
+    column gets a soft vote for t's base.  This is the reconstruction
+    role outgroups play in the reference (ancestral ML bases,
+    blockMLString.c) with none of the structural interference.
+    Returns the number of votes applied.
+    """
+    from ..io.fasta import complement
+    eidx = {n: i for i, n in enumerate(event_names)}
+    table = caf.table
+    blocks = caf.blocks
+    lens = blocks.block_length()
+    # per-sequence segment arrays for column lookup
+    seg_by_seq: dict[int, tuple] = {}
+    order = np.lexsort((blocks.seg_start, blocks.seg_seq))
+    sseq = blocks.seg_seq[order]
+    for si in np.unique(sseq):
+        sel = order[sseq == si]
+        seg_by_seq[int(si)] = (blocks.seg_start[sel], blocks.seg_len[sel],
+                               blocks.seg_strand[sel], blocks.seg_block[sel])
+    n_votes = 0
+    for r in og_records:
+        # orient: q side must be the INGROUP sequence
+        qname, tname = r.qname, r.tname
+        q_in = qname in table.index
+        t_in = tname in table.index
+        og_name = tname if q_in else qname
+        if og_name not in og_codes:
+            continue
+        codes_og = og_codes[og_name]
+        e = eidx.get(og_name.split(".", 1)[0])
+        if e is None:
+            continue
+        pairs = list(r.aligned_pairs())
+        if not pairs:
+            continue
+        qp = np.array([p[0] for p in pairs], dtype=np.int64)
+        tp = np.array([p[1] for p in pairs], dtype=np.int64)
+        if not q_in:
+            qp, tp = tp, qp
+            in_name = tname
+        else:
+            in_name = qname
+        si = table.index[in_name]
+        seg = seg_by_seq.get(si)
+        if seg is None:
+            continue
+        starts, slens, strands, sblocks = seg
+        idx = np.searchsorted(starts, qp, side="right") - 1
+        ok = (idx >= 0) & (qp < starts[np.maximum(idx, 0)]
+                           + slens[np.maximum(idx, 0)])
+        if not ok.any():
+            continue
+        idx, qv, tv = idx[ok], qp[ok], tp[ok]
+        b = sblocks[idx]
+        live = caf.alive[b]
+        idx, qv, tv, b = idx[live], qv[live], tv[live], b[live]
+        if not len(b):
+            continue
+        k = qv - starts[idx]
+        col = np.where(strands[idx] == 1, k, slens[idx] - 1 - k)
+        base = codes_og[tv]
+        # og base orientation: record strand relative to the ingroup
+        # forward strand; '-' records pair q forward with t reversed
+        if r.strand == "-":
+            base = complement(base)
+        # segment orientation flips again in block space
+        base = np.where(strands[idx] == 1, base, complement(base))
+        offs = np.array([col_off.get(int(bb), -1) for bb in b])
+        okc = (offs >= 0) & (base < 4)
+        rows = offs[okc] + col[okc]
+        # soft vote: same scheme as direct observations
+        obs[rows, e, :] *= 1e-3
+        obs[rows, e, base[okc]] *= 1e3
+        n_votes += len(rows)
+    return n_votes
 
 
 def block_observations(caf: CafResult, gcodes: np.ndarray,
@@ -153,6 +242,17 @@ class ReferenceResult:
 
     def total_length(self) -> int:
         return sum(len(s) for s in self.sequences.values())
+
+    def propagated_sequences(self, min_len: int) -> dict[str, Sequence]:
+        """The ancestor genome handed to the PARENT's alignment step:
+        dust threads below min_len stay out (they would explode the
+        parent's contig grid — minLengthForChromosome spirit) but keep
+        their block coordinates for this level's homology/export."""
+        if not self.sequences:
+            return {}
+        longest = max(self.sequences, key=lambda n: len(self.sequences[n]))
+        return {n: s for n, s in self.sequences.items()
+                if len(s) >= min_len or n == longest}
 
 
 def _end_adjacency_weights(caf: CafResult):
@@ -247,15 +347,23 @@ def order_blocks(caf: CafResult, cfg: ReferenceParams):
 
 def run_reference(caf: CafResult, gcodes: np.ndarray, tree: Tree,
                   ancestor_event: str, cfg: ReferenceParams,
-                  scaffold_gap_threshold: int = 1) -> ReferenceResult:
+                  scaffold_gap_threshold: int = 1,
+                  og_records=None,
+                  og_codes: dict[str, np.ndarray] | None = None
+                  ) -> ReferenceResult:
     """Build the ancestral genome for `ancestor_event`.
 
     tree: the event tree rooted at the ancestor (leaves = child events
-    and outgroups present in the alignment).
+    and outgroups present in the alignment).  og_records/og_codes carry
+    outgroup alignments as overlay evidence (votes on existing columns;
+    see overlay_outgroup_observations).
     """
     event_names = [n.name for n in tree.preorder()]
     obs, counts, block_ids, col_off = block_observations(
         caf, gcodes, event_names)
+    if og_records and len(obs):
+        overlay_outgroup_observations(caf, obs, col_off, og_records,
+                                      og_codes or {}, event_names)
     if len(obs):
         root_codes = felsenstein_ml(obs, counts, tree, event_names)
     else:
@@ -285,9 +393,12 @@ def run_reference(caf: CafResult, gcodes: np.ndarray, tree: Tree,
                 key = _thread_adj_key(prev, (b, orient))
                 _support, gap_med = weights.get(key, (0, 0))
                 if gap_med >= scaffold_gap_threshold:
-                    parts.append(np.full(cfg.number_of_ns, N_CODE,
-                                         dtype=np.uint8))
-                    pos += cfg.number_of_ns
+                    # gap-sized Ns capped at numberOfNs: always inserting
+                    # the full run peppers the ancestor with seed-killing
+                    # N islands at every 1-2bp indel
+                    n_ns = min(int(gap_med), cfg.number_of_ns)
+                    parts.append(np.full(n_ns, N_CODE, dtype=np.uint8))
+                    pos += n_ns
             block_coord[b] = (name, pos, orient)
             parts.append(codes.astype(np.uint8))
             pos += len(codes)

@@ -88,7 +88,9 @@ def column_log_likelihoods(obs: np.ndarray, tree: Tree,
         return ll + jnp.log(jnp.maximum(
             0.25 * jnp.sum(msgs[root], axis=1), 1e-30))
 
-    return np.asarray(run(obs.astype(np.float32)))
+    from .ops import smart_put
+    put = smart_put(obs.size * 8)
+    return np.asarray(run(put(obs.astype(np.float32))))
 
 
 def phylo_fit(blocks: list[MafBlock], tree: Tree,

@@ -206,30 +206,58 @@ class ProgressiveAligner:
         import time as _time
         timings: dict[str, float] = {}
 
+        self.log(f"{node.name}: blast starting (preset {preset}, "
+                 f"{len(seqs)} seqs, og={outgroups})")
         t0 = _time.time()
         records = self._blast(node, children, outgroups, preset)
         timings["blast"] = _time.time() - t0
 
-        t0 = _time.time()
-        lengths = {n: len(s) for n, s in seqs.items()}
-        caf = run_caf(records, lengths, cfg.caf, preset=preset,
-                      ingroup_events=set(children),
-                      outgroup_events=set(outgroups),
-                      min_chain_override=self.min_chain_override)
-        timings["caf"] = _time.time() - t0
+        # outgroup alignments are OVERLAY evidence (reconstruction votes),
+        # not structural pinches: independent og alignments wobble against
+        # each other and fragment ingroup block segmentation (measured:
+        # cow↔dog recall 0.97→0.62 when og records pinch)
+        og_set = set(outgroups)
+
+        def is_og(r):
+            return (r.qname.split(".", 1)[0] in og_set
+                    or r.tname.split(".", 1)[0] in og_set)
+
+        og_records = [r for r in records if is_og(r) and r.is_primary]
+        in_records = [r for r in records if not is_og(r)]
+        in_seqs = {n: s for n, s in seqs.items()
+                   if n.split(".", 1)[0] not in og_set}
+        og_codes = {n: s.codes for n, s in seqs.items()
+                    if n.split(".", 1)[0] in og_set}
+        self.log(f"{node.name}: caf starting ({len(in_records)} ingroup + "
+                 f"{len(og_records)} og records)")
 
         t0 = _time.time()
-        caf = bar_phase.run_bar(caf, seqs, cfg.bar,
+        lengths = {n: len(s) for n, s in in_seqs.items()}
+        caf = run_caf(in_records, lengths, cfg.caf, preset=preset,
+                      ingroup_events=set(children),
+                      outgroup_events=set(),
+                      min_chain_override=self.min_chain_override)
+        timings["caf"] = _time.time() - t0
+        self.log(f"{node.name}: bar starting "
+                 f"({int(caf.alive.sum())} live blocks)")
+
+        t0 = _time.time()
+        caf = bar_phase.run_bar(caf, in_seqs, cfg.bar,
                                 ingroup_events=set(children),
-                                outgroup_events=set(outgroups))
+                                outgroup_events=set())
         timings["bar"] = _time.time() - t0
 
         t0 = _time.time()
-        gcodes = bar_phase.global_codes(caf.table, seqs)
+        gcodes = bar_phase.global_codes(caf.table, in_seqs)
         event_tree = self._event_tree(node, outgroups)
         ref = ref_phase.run_reference(caf, gcodes, event_tree, node.name,
-                                      cfg.reference)
+                                      cfg.reference,
+                                      og_records=og_records,
+                                      og_codes=og_codes)
         timings["reference"] = _time.time() - t0
+        # the full ancestor genome (incl. dust threads) stays available
+        # for export/maps; the parent's blast packs small contigs into
+        # super-contigs, so fragmentation can't explode its pair grid
         self.genomes[node.name] = dict(ref.sequences)
         maps = seq_maps_from_step(caf, ref)
         self.log(f"{node.name} phases: " + " ".join(
@@ -244,25 +272,37 @@ class ProgressiveAligner:
                preset: str):
         """All ingroup pairs + each ingroup vs outgroups (reference:
         make_paf_alignments, paf/local_alignment.py:751-858).  Genome seq
-        names already carry the event prefix."""
+        names already carry the event prefix.  Fragmented genomes are
+        packed into N-spaced super-contigs first (faffy-chunk style) so
+        the contig-pair grid stays bounded."""
+        from .phases.chunking import pack_small_contigs, split_packed_records
         cfg = self.config.blast
         records = []
+        packed: dict[str, dict] = {}
+        pack_maps: dict = {}
+        for ev in set(children) | set(outgroups):
+            packed[ev], mp = pack_small_contigs(self.genomes[ev])
+            pack_maps.update(mp)
 
-        def pair(ev_a, ev_b):
-            for qn, qs in self.genomes[ev_a].items():
+        og_preset = preset if preset in ("one", "two", "three", "four",
+                                         "five") else "default_og"
+
+        def pair(ev_a, ev_b, use_preset):
+            for qn, qs in packed[ev_a].items():
                 if len(qs) < cfg.minimum_sequence_length:
                     continue
-                for tn, ts in self.genomes[ev_b].items():
+                for tn, ts in packed[ev_b].items():
                     if len(ts) < cfg.minimum_sequence_length:
                         continue
                     records.extend(blast_phase.align_contig_pair(
-                        qs, ts, qn, tn, cfg, preset))
+                        qs, ts, qn, tn, cfg, use_preset))
 
         for i, a in enumerate(children):
             for b in children[i + 1:]:
-                pair(a, b)
+                pair(a, b, preset)
             for og in outgroups:
-                pair(a, og)
+                pair(a, og, og_preset)
+        records = split_packed_records(records, pack_maps)
         return blast_phase.mark_primaries(records)
 
     def _event_tree(self, node: Tree, outgroups: list[str]) -> Tree:
