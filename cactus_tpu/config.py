@@ -145,6 +145,12 @@ class CafParams:
     max_recoverable_chains_iterations: int = 10
     max_recoverable_chain_length: int = 500_000
     minimum_block_homology_support: float = 0.05
+    # reference default -1 disables the megablock support check
+    # (config XML :212); set >0 to destroy weakly-supported megablocks
+    minimum_block_degree_to_check_support: int = -1
+    # anneal tp:A:S records with the secondary filter policy (the
+    # reference always feeds the secondary PAF when present)
+    use_secondary_alignments: bool = True
 
     def annealing_for(self, preset: str) -> tuple[int, ...]:
         return self.annealing_rounds.get(preset, self.annealing_rounds["default"])

@@ -197,9 +197,13 @@ def build_columns(records, table: SeqTable,
 
 @dataclass
 class Blocks:
-    """Maximal aligned blocks: runs of columns advancing in lockstep."""
+    """Maximal aligned blocks: runs of columns advancing in lockstep.
+
+    Segment-level representation (memory is O(segments), never O(bases)
+    — the property that admits chromosome-scale inputs; reference
+    equivalent: stPinchGraphs segment lists).
+    """
     table: SeqTable
-    block_of_base: np.ndarray   # (N,) int64, -1 = unaligned base
     # per block: arrays over segments
     seg_block: np.ndarray       # (G,) block id per segment
     seg_seq: np.ndarray         # (G,) sequence id
@@ -207,6 +211,7 @@ class Blocks:
     seg_len: np.ndarray         # (G,) length (same within a block)
     seg_strand: np.ndarray      # (G,) +1/-1
     n_blocks: int
+    support: np.ndarray | None = None  # (n_blocks,) pinch-support count
 
     def block_degree(self) -> np.ndarray:
         return np.bincount(self.seg_block, minlength=self.n_blocks)
@@ -220,6 +225,15 @@ class Blocks:
         idx = np.flatnonzero(self.seg_block == b)
         return [(int(self.seg_seq[i]), int(self.seg_start[i]),
                  int(self.seg_len[i]), int(self.seg_strand[i])) for i in idx]
+
+    def block_of_base(self) -> np.ndarray:
+        """Dense (N,) block id per base (-1 unaligned).  O(total bases)
+        memory — only for tests/small inputs, never on the main path."""
+        out = np.full(self.table.total, -1, dtype=np.int64)
+        g0 = self.table.offsets[self.seg_seq] + self.seg_start
+        for i in range(len(self.seg_block)):
+            out[g0[i]:g0[i] + self.seg_len[i]] = self.seg_block[i]
+        return out
 
 
 def columns_to_blocks(pc: PinchColumns, min_degree: int = 2) -> Blocks:
@@ -283,7 +297,7 @@ def columns_to_blocks(pc: PinchColumns, min_degree: int = 2) -> Blocks:
     from ..native.build import cc_edges
     col_block = cc_edges(n_cols, u, v)
 
-    # base-level block labels
+    # base-level block labels (scratch only; not stored on Blocks)
     block_of_base = np.where(aligned, col_block[col], -1)
 
     # segment the sequences: runs of equal (block, ori) within a sequence
@@ -314,11 +328,8 @@ def columns_to_blocks(pc: PinchColumns, min_degree: int = 2) -> Blocks:
 
     # re-densify block ids over kept segments
     uniq, seg_block = np.unique(seg_blocks, return_inverse=True)
-    remap = np.full(col_block.max() + 1 if n_cols else 1, -1, dtype=np.int64)
-    remap[uniq] = np.arange(len(uniq))
-    block_of_base = np.where(block_of_base >= 0, remap[block_of_base], -1)
 
-    return Blocks(table=table, block_of_base=block_of_base,
+    return Blocks(table=table,
                   seg_block=seg_block, seg_seq=seg_seq,
                   seg_start=seg_start.astype(np.int64),
                   seg_len=seg_len.astype(np.int64), seg_strand=seg_strand,

