@@ -96,6 +96,34 @@ def sharded_seed_join(mesh: Mesh, q_chunks, q_valid, t_codes, t_valid,
     return jax.jit(run)(q_chunks, q_valid, t_codes, t_valid)
 
 
+def sharded_pair_seed_join(mesh: Mesh, q_codes, q_valid, t_codes, t_valid,
+                           *, k: int, step: int, max_occ: int,
+                           max_anchors: int, pattern: str = ""):
+    """Seed-join D independent (query, target) chunk pairs, one per device.
+
+    Unlike sharded_seed_join (one target replicated), BOTH sides are
+    sharded: row d of q_codes (D, Lq) joins row d of t_codes (D, Lt).
+    This is the driver's chunk-pair grid unit (the reference fans the
+    same grid out as Toil jobs, local_alignment.py:370-408).  Results
+    are independent of device placement, so N-device == 1-device output
+    is bit-identical by construction.
+
+    Returns (qpos (D, A), tpos (D, A), counts (D,)).
+    """
+    fn = partial(seed_join, k=k, step=step, max_occ=max_occ,
+                 max_anchors=max_anchors, pattern=pattern)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("d", None), P("d", None), P("d", None),
+                       P("d", None)),
+             out_specs=(P("d", None), P("d", None), P("d")))
+    def run(qc, qv, tc, tv):
+        qpos, tpos, n = fn(qc[0], qv[0], tc[0], tv[0])
+        return qpos[None], tpos[None], n[None]
+
+    return jax.jit(run)(q_codes, q_valid, t_codes, t_valid)
+
+
 def full_pipeline_step(mesh: Mesh, q_chunks, q_valid, t_codes, t_valid,
                        q_dp, t_dp, m_len, n_len, lo, submat,
                        *, k: int, step: int, max_occ: int, max_anchors: int,

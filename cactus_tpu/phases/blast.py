@@ -39,7 +39,8 @@ def _pad_pow2(codes: np.ndarray, min_len: int = 256) -> np.ndarray:
 def find_anchors(q: np.ndarray, t: np.ndarray, k: int, step: int,
                  max_occ: int, q_seed_mask: np.ndarray | None = None,
                  t_seed_mask: np.ndarray | None = None,
-                 max_anchors: int = 1 << 20, pattern: str = ""):
+                 max_anchors: int = 1 << 20, pattern: str = "",
+                 task=None, log=None):
     """Seed join for one strand; returns (qpos, tpos) numpy arrays."""
     import jax.numpy as jnp
     qp = _pad_pow2(q)
@@ -65,6 +66,13 @@ def find_anchors(q: np.ndarray, t: np.ndarray, k: int, step: int,
         k=k, step=step, max_occ=max_occ, max_anchors=max_anchors,
         pattern=pattern)
     n = int(n)
+    if task is not None:
+        _warn_anchor_overflow(task, n, max_anchors, log)
+    elif n >= max_anchors:
+        import warnings
+        warnings.warn(f"seed-join anchor table overflow at the "
+                      f"{max_anchors}-anchor cap — homology may be dropped",
+                      RuntimeWarning, stacklevel=2)
     # materialize BEFORE slicing: converting a lazy jax slice via the
     # buffer protocol can hit a non-concrete buffer (observed XLA CPU
     # crash in PyArray_bf_getbuffer under async dispatch)
@@ -216,46 +224,162 @@ def _score_alignment(qcodes, tcodes, q0, t0, ops, submat, gp: GapParams):
     return nmatch, score
 
 
-def align_contig_pair(qseq: Sequence, tseq: Sequence, qname: str, tname: str,
-                      cfg: BlastParams, preset: str = "one",
-                      self_alignment: bool = False) -> list[PafRecord]:
-    """Full anchoring of one contig pair, both strands → PAF records."""
-    sp = cfg.seed
-    step = sp.step_for(preset)
-    pattern = sp.pattern_for(preset)
-    span = sp.span_for(preset)
-    submat = score_matrix_6(PoaParams().sub_matrix)
-    t = tseq.codes
-    records: list[PafRecord] = []
-    min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match, span)
+@dataclass
+class StrandTask:
+    """One (query chunk, target chunk, strand) anchoring work unit —
+    the grid cell the reference fans out as a Toil job
+    (local_alignment.py:370-408); here the unit sharded over the mesh."""
+    qname: str
+    tname: str
+    strand: str
+    q: np.ndarray               # strand-adjusted query codes
+    t: np.ndarray
+    qlen_full: int
+    tlen: int
+    preset: str
+    self_alignment: bool = False
+    q_mask: np.ndarray | None = None
+    t_mask: np.ndarray | None = None
+
+
+def pair_tasks(qseq: Sequence, tseq: Sequence, qname: str, tname: str,
+               cfg: BlastParams, preset: str = "one",
+               self_alignment: bool = False) -> list[StrandTask]:
+    """Both-strand tasks for one contig/chunk pair."""
+    tasks = []
     t_mask = tseq.mask if tseq.mask is not None and tseq.mask.any() else None
     for strand in ("+", "-"):
         q = qseq.codes if strand == "+" else revcomp(qseq.codes)
         q_mask = None
         if qseq.mask is not None and qseq.mask.any():
             q_mask = qseq.mask if strand == "+" else qseq.mask[::-1]
-        qpos, tpos = find_anchors(q, t, k=sp.k, step=step,
-                                  max_occ=sp.max_occurrences,
-                                  max_anchors=sp.max_anchors,
-                                  pattern=pattern,
-                                  q_seed_mask=q_mask, t_seed_mask=t_mask)
-        if self_alignment and strand == "+":
-            keep = qpos != tpos  # drop the trivial self-diagonal
-            qpos, tpos = qpos[keep], tpos[keep]
-        runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=span,
-                                            max_gap=step)
-        if len(runs) == 0:
-            continue
-        # seed-run-level chaining: gaps larger than max_fill split records
-        # anyway, so cap max_gap there; the paffy-level chain constants
-        # (chainGapOpen etc.) apply to record-level re-chaining.
-        order, scores, preds = chain_ops.chain_anchors(runs, max_gap=8192)
-        chains = chain_ops.extract_chains(runs, order, scores, preds,
-                                          min_score=min_chain)
-        records.extend(chains_to_records(
-            chains, q, t, qname, tname, len(qseq.codes), len(tseq.codes),
-            strand, cfg, submat))
+        tasks.append(StrandTask(
+            qname=qname, tname=tname, strand=strand, q=q, t=tseq.codes,
+            qlen_full=len(qseq.codes), tlen=len(tseq.codes), preset=preset,
+            self_alignment=self_alignment, q_mask=q_mask, t_mask=t_mask))
+    return tasks
+
+
+def _task_inputs(task: StrandTask):
+    """Padded (codes, valid) device inputs for a task's seed join."""
+    qp = _pad_pow2(task.q)
+    tp = _pad_pow2(task.t)
+    qv = np.ones(len(qp), dtype=bool)
+    tv = np.ones(len(tp), dtype=bool)
+    qv[len(task.q):] = False
+    tv[len(task.t):] = False
+    if task.q_mask is not None:
+        qv[:len(task.q)] &= ~task.q_mask
+    if task.t_mask is not None:
+        tv[:len(task.t)] &= ~task.t_mask
+    return qp, qv, tp, tv
+
+
+def _warn_anchor_overflow(task: StrandTask, n: int, cap: int, log) -> None:
+    if n >= cap:
+        msg = (f"seed-join anchor table overflow: {task.qname}~{task.tname} "
+               f"{task.strand} hit the {cap}-anchor cap — homology may be "
+               f"dropped; raise seed.max_anchors or mask repeats")
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        if log:
+            log(msg)
+
+
+def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
+                      mesh=None, log=None) -> list:
+    """Seed-join anchors per task, optionally sharded over a device mesh.
+
+    With a mesh, tasks are binned by padded shape + seed scheme and run
+    D per dispatch through sharded_pair_seed_join; output per task is
+    device-count independent (bit-identical 1 vs N devices).
+    """
+    sp = cfg.seed
+    out: list = [None] * len(tasks)
+    if mesh is None or len(mesh.devices.flat) <= 1:
+        for i, task in enumerate(tasks):
+            qpos, tpos = find_anchors(
+                task.q, task.t, k=sp.k, step=sp.step_for(task.preset),
+                max_occ=sp.max_occurrences, max_anchors=sp.max_anchors,
+                pattern=sp.pattern_for(task.preset),
+                q_seed_mask=task.q_mask, t_seed_mask=task.t_mask,
+                task=task, log=log)
+            out[i] = (qpos, tpos)
+        return out
+
+    from ..parallel.mesh import sharded_pair_seed_join
+    D = len(mesh.devices.flat)
+    bins: dict[tuple, list[int]] = {}
+    prepped = [_task_inputs(t) for t in tasks]
+    for i, (qp, qv, tp, tv) in enumerate(prepped):
+        key = (len(qp), len(tp), sp.step_for(tasks[i].preset),
+               sp.pattern_for(tasks[i].preset))
+        bins.setdefault(key, []).append(i)
+    for (lq, lt, step, pattern), idxs in bins.items():
+        for g0 in range(0, len(idxs), D):
+            grp = idxs[g0:g0 + D]
+            qc = np.zeros((D, lq), np.uint8)
+            qv = np.zeros((D, lq), bool)
+            tc = np.zeros((D, lt), np.uint8)
+            tv = np.zeros((D, lt), bool)
+            for row, i in enumerate(grp):
+                a, b, c, d = prepped[i]
+                qc[row], qv[row], tc[row], tv[row] = a, b, c, d
+            qpos, tpos, counts = sharded_pair_seed_join(
+                mesh, qc, qv, tc, tv, k=sp.k, step=step,
+                max_occ=sp.max_occurrences, max_anchors=sp.max_anchors,
+                pattern=pattern)
+            qpos = np.asarray(qpos)
+            tpos = np.asarray(tpos)
+            counts = np.asarray(counts)
+            for row, i in enumerate(grp):
+                n = int(counts[row])
+                _warn_anchor_overflow(tasks[i], n, sp.max_anchors, log)
+                out[i] = (qpos[row, :n], tpos[row, :n])
+    return out
+
+
+def records_for_task(task: StrandTask, qpos: np.ndarray, tpos: np.ndarray,
+                     cfg: BlastParams, submat) -> list[PafRecord]:
+    """Anchors → diagonal runs → chains → gap-filled PAF records."""
+    sp = cfg.seed
+    span = sp.span_for(task.preset)
+    step = sp.step_for(task.preset)
+    min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match, span)
+    if task.self_alignment and task.strand == "+":
+        keep = qpos != tpos  # drop the trivial self-diagonal
+        qpos, tpos = qpos[keep], tpos[keep]
+    runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=span, max_gap=step)
+    if len(runs) == 0:
+        return []
+    # seed-run-level chaining: gaps larger than max_fill split records
+    # anyway, so cap max_gap there; the paffy-level chain constants
+    # (chainGapOpen etc.) apply to record-level re-chaining.
+    order, scores, preds = chain_ops.chain_anchors(runs, max_gap=8192)
+    chains = chain_ops.extract_chains(runs, order, scores, preds,
+                                      min_score=min_chain)
+    return chains_to_records(
+        chains, task.q, task.t, task.qname, task.tname, task.qlen_full,
+        task.tlen, task.strand, cfg, submat)
+
+
+def run_tasks(tasks: list[StrandTask], cfg: BlastParams,
+              mesh=None, log=None) -> list[PafRecord]:
+    """Anchor + chain + fill a task list; anchoring shards over `mesh`."""
+    submat = score_matrix_6(PoaParams().sub_matrix)
+    anchors = anchors_for_tasks(tasks, cfg, mesh=mesh, log=log)
+    records: list[PafRecord] = []
+    for task, (qpos, tpos) in zip(tasks, anchors):
+        records.extend(records_for_task(task, qpos, tpos, cfg, submat))
     return records
+
+
+def align_contig_pair(qseq: Sequence, tseq: Sequence, qname: str, tname: str,
+                      cfg: BlastParams, preset: str = "one",
+                      self_alignment: bool = False) -> list[PafRecord]:
+    """Full anchoring of one contig pair, both strands → PAF records."""
+    return run_tasks(pair_tasks(qseq, tseq, qname, tname, cfg, preset,
+                                self_alignment), cfg)
 
 
 def mark_primaries(records: list[PafRecord],

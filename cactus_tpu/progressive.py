@@ -141,7 +141,7 @@ class ProgressiveAligner:
     def __init__(self, tree: Tree, genomes: dict[str, dict[str, Sequence]],
                  config: Config | None = None,
                  min_chain_override: int | None = None,
-                 store=None, log=None):
+                 store=None, log=None, n_devices: int | None = None):
         self.tree = tree.copy()
         self.tree.name_internal_nodes()
         self.config = config or Config.default()
@@ -149,6 +149,13 @@ class ProgressiveAligner:
         self.min_chain_override = min_chain_override
         self.store = store          # AlignmentStore for checkpoint/resume
         self.log = log or (lambda msg: None)
+        # SPMD: shard the blast chunk-pair grid over an n-device mesh
+        # (the Toil-cluster fan-out analog; results are bit-identical to
+        # single-device by construction — see parallel/mesh.py)
+        self.mesh = None
+        if n_devices is not None and n_devices > 1:
+            from .parallel.mesh import make_mesh
+            self.mesh = make_mesh(n_devices)
 
     def run(self) -> ProgressiveResult:
         import time
@@ -273,36 +280,58 @@ class ProgressiveAligner:
         """All ingroup pairs + each ingroup vs outgroups (reference:
         make_paf_alignments, paf/local_alignment.py:751-858).  Genome seq
         names already carry the event prefix.  Fragmented genomes are
-        packed into N-spaced super-contigs first (faffy-chunk style) so
-        the contig-pair grid stays bounded."""
-        from .phases.chunking import pack_small_contigs, split_packed_records
+        packed into N-spaced super-contigs (faffy-chunk style) so the
+        contig-pair grid stays bounded, then long contigs split into the
+        chunkSize/overlapSize grid (30 Mb / 10 kb, config XML :90-92) —
+        the memory bound that admits chromosome-scale inputs.  The
+        resulting chunk-pair task grid is sharded over the device mesh
+        when one is configured."""
+        from .phases.chunking import (chunk_genome, dechunk_records,
+                                      fix_lengths, pack_small_contigs,
+                                      split_packed_records)
         cfg = self.config.blast
-        records = []
         packed: dict[str, dict] = {}
         pack_maps: dict = {}
+        chunks: dict[str, list] = {}
         for ev in set(children) | set(outgroups):
             packed[ev], mp = pack_small_contigs(self.genomes[ev])
             pack_maps.update(mp)
+            chunks[ev] = chunk_genome(packed[ev], cfg.chunk_size,
+                                      cfg.overlap_size)
 
         og_preset = preset if preset in ("one", "two", "three", "four",
                                          "five") else "default_og"
 
+        tasks = []
+
         def pair(ev_a, ev_b, use_preset):
-            for qn, qs in packed[ev_a].items():
-                if len(qs) < cfg.minimum_sequence_length:
+            for qc in chunks[ev_a]:
+                if len(qc.seq) < cfg.minimum_sequence_length:
                     continue
-                for tn, ts in packed[ev_b].items():
-                    if len(ts) < cfg.minimum_sequence_length:
+                for tc in chunks[ev_b]:
+                    if len(tc.seq) < cfg.minimum_sequence_length:
                         continue
-                    records.extend(blast_phase.align_contig_pair(
-                        qs, ts, qn, tn, cfg, use_preset))
+                    tasks.extend(blast_phase.pair_tasks(
+                        qc.seq, tc.seq, qc.name, tc.name, cfg, use_preset))
 
         for i, a in enumerate(children):
             for b in children[i + 1:]:
                 pair(a, b, preset)
             for og in outgroups:
                 pair(a, og, og_preset)
+        if self.mesh is not None:
+            self.log(f"{node.name}: {len(tasks)} blast tasks over "
+                     f"{len(self.mesh.devices.flat)} devices")
+        records = blast_phase.run_tasks(tasks, cfg, mesh=self.mesh,
+                                        log=self.log)
+        by_name = {c.name: c for ev in chunks for c in chunks[ev]
+                   if c.name != c.origin}
+        records = dechunk_records(records, by_name)
         records = split_packed_records(records, pack_maps)
+        lengths = {n: len(s)
+                   for ev in set(children) | set(outgroups)
+                   for n, s in self.genomes[ev].items()}
+        records = fix_lengths(records, lengths)
         return blast_phase.mark_primaries(records)
 
     def _event_tree(self, node: Tree, outgroups: list[str]) -> Tree:
