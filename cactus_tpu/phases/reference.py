@@ -256,12 +256,12 @@ class ReferenceResult:
 
 
 def _end_adjacency_weights(caf: CafResult):
-    """Aggregate thread adjacencies between live block ends.
+    """Aggregate DIRECT thread adjacencies between live block ends.
 
     Returns {(end_u, end_v) canonical: (support, median_gap)} — the
-    round-1 stand-in for the reference's Z-score (buildReference.c doc:
-    Z = sum over thread pairs of (1-theta)^gap; with theta→0 and uniform
-    phi this reduces to adjacency support counts).
+    countDAL analog (buildReference.c:1190: countAdapterFn direct
+    adjacency support, used for minNumberOfSequencesToSupportAdjacency
+    breaking) plus median gaps for scaffold sizing.
     """
     from ..graph import chains as chain_graph
     adj = chain_graph.thread_adjacencies(caf.blocks, caf.alive)
@@ -276,23 +276,270 @@ def _end_adjacency_weights(caf: CafResult):
     return {k: (len(g), int(np.median(g))) for k, g in weights.items()}
 
 
-def order_blocks(caf: CafResult, cfg: ReferenceParams):
-    """Greedy path cover of live blocks via end-adjacency matching.
+def z_score(m, n, gap, theta: float):
+    """Closed-form pairwise-base Z-score between two segments of lengths
+    m and n separated by `gap` bases: sum over base pairs of
+    (1-theta)^distance (reference: calculateZScore, matchingAndOrdering
+    submodule; buildReference.c:296-306 applies event weights on top).
+    Vectorizes over numpy arrays m, n, gap.
+    """
+    if theta <= 0.0:
+        return np.asarray(m, np.float64) * np.asarray(n, np.float64)
+    beta = 1.0 - theta
+    m = np.asarray(m, np.float64)
+    n = np.asarray(n, np.float64)
+    gap = np.asarray(gap, np.float64)
+    return ((1.0 - beta ** m) / theta) * (beta ** gap) \
+        * ((1.0 - beta ** n) / theta)
 
-    Each block has ends 2b (left, column 0 side) and 2b+1 (right).  An
-    accepted adjacency joins two ends; each end joins at most once and
-    cycles are rejected (union-find) — greedy perfect matching + ordering
-    in one pass (reference: makeReferenceGreedily2 semantics for the
-    `greedy` matching_algorithm option).
-    Returns list of threads: [(block, orient)] with orient +1 = block
-    columns forward (enter left end).
+
+def event_weighting(tree: Tree, phi: float) -> dict[str, float]:
+    """Phylogenetic event weights for Z-scores (getEventWeighting,
+    buildReference.c:256-282): for leaf event A with path branches b_i
+    of length d_i from the reference event R, multiplicity s(b_i) =
+    number of leaf paths through b_i, weight =
+    exp(-phi * sum d_i) * (sum d_i/s_i) / (sum d_i).
+    The tree is rooted at the reference (ancestor) event.
+    """
+    weights: dict[str, float] = {}
+    # multiplicity of each branch (node→parent) = leaves under the node
+    mult: dict[str, int] = {}
+
+    def count(node) -> int:
+        if node.is_leaf():
+            mult[node.name] = 1
+            return 1
+        c = sum(count(ch) for ch in node.children)
+        mult[node.name] = c
+        return c
+
+    count(tree)
+
+    def walk(node, path_len: float, adj_len: float):
+        if node.is_leaf():
+            w = float(np.exp(-phi * path_len))
+            if path_len > 0:
+                w *= adj_len / path_len
+            weights[node.name] = w
+            return
+        for ch in node.children:
+            d = ch.length or 0.0
+            walk(ch, path_len + d, adj_len + d / max(mult[ch.name], 1))
+
+    walk(tree, 0.0, 0.0)
+    return weights
+
+
+def build_chain_units(caf: CafResult):
+    """Chain units: maximal runs of live blocks joined by UNAMBIGUOUS
+    direct adjacencies — end pairs (u, v) where every live thread
+    leaving u enters v and vice versa.  These are the flat-model analog
+    of the reference's chain nodes (getChainNodes,
+    buildReference.c:413-476): a chain enters the matching as ONE node
+    spanning its two outer ends, because its internal order is already
+    proven by every thread.  Matching individual block ends instead
+    would let the m*n term of the Z-score rip proven-adjacent blocks
+    apart (big-block pairings outscore in-order pairings when theta
+    decay is negligible at the flower's scale).
+
+    Returns (units, unit_of, orient_in): units = [[(block, orient)],
+    ...]; unit_of / orient_in map each block to its unit id and its
+    orientation within the unit (-1 / 0 for dead blocks).
     """
     live = [int(b) for b in np.flatnonzero(caf.alive)]
-    if not live:
-        return []
     weights = _end_adjacency_weights(caf)
-    order = sorted(weights.items(), key=lambda kv: (-kv[1][0], kv[0]))
-    matched: dict[int, int] = {}      # end -> partner end
+    partners: dict[int, set[int]] = {}
+    for (u, v) in weights:
+        partners.setdefault(u, set()).add(v)
+        partners.setdefault(v, set()).add(u)
+    links: dict[int, int] = {}
+    parent = {b: b for b in live}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (u, v), (_s, _g) in sorted(weights.items(),
+                                   key=lambda kv: (-kv[1][0], kv[0])):
+        if u // 2 == v // 2:
+            continue
+        if partners.get(u) != {v} or partners.get(v) != {u}:
+            continue
+        ru, rv = find(u // 2), find(v // 2)
+        if ru == rv:
+            continue  # circular chain: leave one link open
+        links[u] = v
+        links[v] = u
+        parent[ru] = rv
+    units = walk_threads(live, links)
+    n_blocks = caf.blocks.n_blocks
+    unit_of = np.full(n_blocks, -1, dtype=np.int64)
+    orient_in = np.zeros(n_blocks, dtype=np.int64)
+    for ui, unit in enumerate(units):
+        for b, o in unit:
+            unit_of[b] = ui
+            orient_in[b] = o
+    return units, unit_of, orient_in
+
+
+def calculate_z(caf: CafResult, cfg: ReferenceParams,
+                ev_weights: dict[str, float] | None = None,
+                decay_floor: float = 1e-10,
+                pair_budget: int = 2_000_000,
+                units: tuple[np.ndarray, np.ndarray] | None = None):
+    """Z-scores between live block ends via per-thread segment walks
+    (calculateZ, buildReference.c:313-392): for segments i and i+k on a
+    thread, the exit end of i and entry end of i+k accumulate
+    w_event * z_score(len_i, len_{i+k}, gap).  With ignoreUnalignedGaps
+    the gap counts only ALIGNED bases between them (the reference
+    subtracts unaligned adjacency bases, :348-358); the walk stops when
+    the pure decay term drops below 1e-10, and at maxWalkForCalculatingZ
+    segments.  Fully vectorized: per-k numpy passes, one
+    unique-and-reduce at the end.
+
+    pair_budget bounds memory on huge flat threads (the reference runs
+    per nested flower where node counts are small; our flat model can
+    see thousands of segments per thread): threads whose full walk would
+    exceed the budget get their walk depth capped, with a warning.
+
+    With `units` = (unit_of, orient_in) from build_chain_units, runs of
+    consecutive same-unit segments on a thread are merged and the walk
+    happens over UNIT ends — the reference's semantics, where a thread
+    at a flower traverses a whole chain as one segment and Z accrues to
+    the chain node's outer ends.
+
+    Returns dict {(end_u, end_v) canonical: z} — block ends, or unit
+    ends when `units` is given.
+    """
+    blocks = caf.blocks
+    table = caf.table
+    theta = cfg.theta
+    live_seg = caf.alive[blocks.seg_block]
+    order = np.lexsort((blocks.seg_start, blocks.seg_seq))
+    order = order[live_seg[order]]
+    sseq = blocks.seg_seq[order]
+    beta = 1.0 - theta if theta > 0 else 1.0
+    keys_l: list[np.ndarray] = []
+    vals_l: list[np.ndarray] = []
+    for si in np.unique(sseq):
+        sel = order[sseq == si]
+        if len(sel) < 2:
+            continue
+        ev = event_of(table.names[int(si)])
+        w_ev = 1.0 if ev_weights is None else ev_weights.get(ev, 0.0)
+        if w_ev <= 0.0:
+            continue
+        blk = blocks.seg_block[sel].astype(np.int64)
+        strand = blocks.seg_strand[sel]
+        start = blocks.seg_start[sel]
+        length = blocks.seg_len[sel]
+        end_pos = start + length
+        if units is not None:
+            unit_of, orient_in = units
+            node = unit_of[blk]
+            ndir = strand * orient_in[blk]
+            cut = np.flatnonzero((node[1:] != node[:-1])
+                                 | (ndir[1:] != ndir[:-1])) + 1
+            first = np.concatenate([[0], cut])
+            last = np.concatenate([cut - 1, [len(blk) - 1]])
+            cl = np.concatenate([[0], np.cumsum(length)])
+            length = cl[last + 1] - cl[first]
+            start = start[first]
+            end_pos = end_pos[last]
+            node = node[first]
+            ndir = ndir[first]
+        else:
+            node = blk
+            ndir = strand
+        entry = 2 * node + np.where(ndir == 1, 0, 1)
+        exit_ = 2 * node + np.where(ndir == 1, 1, 0)
+        clen = np.concatenate([[0], np.cumsum(length)])
+        n = len(node)
+        if n < 2:
+            continue
+        max_k = min(cfg.max_walk_for_calculating_z, n)
+        if n * max_k > pair_budget:
+            capped = max(1, pair_budget // n)
+            import warnings
+            warnings.warn(
+                f"calculate_z: thread {table.names[int(si)]} has {n} "
+                f"segments; capping Z walk at {capped} (< {max_k}) to "
+                f"bound memory", RuntimeWarning)
+            max_k = capped
+        for k in range(1, max_k):
+            i = np.arange(n - k)
+            if cfg.ignore_unaligned_gaps:
+                # aligned bases between the two segments + 1
+                gap = 1 + (clen[i + k] - clen[i + 1])
+            else:
+                gap = start[i + k] - end_pos[i] + 1
+            decay = beta ** gap.astype(np.float64) if theta > 0 else \
+                np.ones(len(i))
+            ok = decay >= decay_floor
+            if not ok.any():
+                break
+            zz = w_ev * z_score(length[i], length[i + k], gap, theta)
+            u = exit_[i][ok]
+            v = entry[i + k][ok]
+            lo = np.minimum(u, v)
+            hi = np.maximum(u, v)
+            keys_l.append(lo << 32 | hi)
+            vals_l.append(zz[ok])
+    if not keys_l:
+        return {}
+    keys = np.concatenate(keys_l)
+    vals = np.concatenate(vals_l)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.bincount(inv, weights=vals)
+    return {(int(kk) >> 32, int(kk) & 0xFFFFFFFF): float(s)
+            for kk, s in zip(uniq, sums)}
+
+
+def match_ends(live: list[int], weights: dict[tuple[int, int], float],
+               algorithm: str = "greedy") -> dict[int, int]:
+    """Acyclic end matching over the Z-score graph.
+
+    greedy: best-weight-first with union-find cycle rejection
+    (makeReferenceGreedily2 spirit).  maxWeight/blossom5: exact
+    max-weight matching (networkx blossom — the blossom5/maxWeight
+    options of buildReference.c's matchingAlgorithm), then cycles in
+    the induced block graph are broken at their weakest edge.
+    maxCardinality: blossom with maxcardinality=True.
+    Returns {end: partner_end} (symmetric).
+    """
+    alive_set = set(live)
+    edges = [(u, v, w) for (u, v), w in weights.items()
+             if u // 2 != v // 2 and u // 2 in alive_set
+             and v // 2 in alive_set and w > 0]
+    matched: dict[int, int] = {}
+    if (algorithm in ("blossom5", "maxWeight", "maxCardinality")
+            and len(edges) > 50_000):
+        # networkx blossom is O(V^3); past this size the exact matching
+        # would dominate the phase, so degrade to greedy loudly
+        import warnings
+        warnings.warn(f"match_ends: {len(edges)} Z edges — falling back "
+                      f"from {algorithm} to greedy matching", RuntimeWarning)
+        algorithm = "greedy"
+    if algorithm in ("blossom5", "maxWeight", "maxCardinality"):
+        import networkx as nx
+        g = nx.Graph()
+        g.add_weighted_edges_from(edges)
+        mate = nx.max_weight_matching(
+            g, maxcardinality=(algorithm == "maxCardinality"))
+        pairs = sorted((min(u, v), max(u, v)) for u, v in mate)
+        # break cycles: add matched edges best-first, reject closures
+        pairs.sort(key=lambda uv: -weights[uv])
+    elif algorithm == "greedy":
+        pairs = [uv for uv, _w in sorted(weights.items(),
+                                         key=lambda kv: (-kv[1], kv[0]))
+                 if uv[0] // 2 != uv[1] // 2]
+    else:
+        raise NotImplementedError(
+            f"matching_algorithm {algorithm!r}; supported: greedy, "
+            f"maxWeight, blossom5, maxCardinality")
+
     parent: dict[int, int] = {b: b for b in live}
 
     def find(x):
@@ -301,11 +548,11 @@ def order_blocks(caf: CafResult, cfg: ReferenceParams):
             x = parent[x]
         return x
 
-    for (u, v), (_support, _gap) in order:
+    for u, v in pairs:
         bu, bv = u // 2, v // 2
         if bu == bv or u in matched or v in matched:
             continue
-        if not caf.alive[bu] or not caf.alive[bv]:
+        if bu not in parent or bv not in parent:
             continue
         ru, rv = find(bu), find(bv)
         if ru == rv:
@@ -313,15 +560,17 @@ def order_blocks(caf: CafResult, cfg: ReferenceParams):
         matched[u] = v
         matched[v] = u
         parent[ru] = rv
+    return matched
 
-    # walk paths: start from blocks with an unmatched end
+
+def walk_threads(live: list[int], matched: dict[int, int]):
+    """Path walk of the matched end graph → [(block, orient)] threads."""
     threads = []
     seen: set[int] = set()
     for b in live:
         for start_end in (2 * b, 2 * b + 1):
             if b in seen or start_end in matched:
                 continue
-            # start_end is a free end: walk from the OTHER end inward
             thread = []
             cur_b = b
             entry = start_end
@@ -337,11 +586,128 @@ def order_blocks(caf: CafResult, cfg: ReferenceParams):
                 entry = nxt
             threads.append(thread)
             break
-    # isolated blocks whose both ends matched into a path already walked
     for b in live:
         if b not in seen:
             threads.append([(b, 1)])
             seen.add(b)
+    return threads
+
+
+def _adj_weight(z: dict, u: int, v: int) -> float:
+    return z.get((u, v) if u <= v else (v, u), 0.0)
+
+
+def nudge_threads(threads, z: dict, permutations: int):
+    """Permutation nudges (updateReferenceGreedily/nudgeGreedily,
+    buildReference.c:1157-1171): repeatedly try relocating single blocks
+    to better insertion points; keep a move when it raises the summed
+    adjacency Z.  Candidate insertion points come from Z edges incident
+    to the moved block's ends (everything else scores zero).
+    """
+    if permutations <= 0 or sum(len(t) for t in threads) < 2:
+        return threads
+    threads = [list(t) for t in threads]
+    incident: dict[int, list[tuple[int, float]]] = {}
+    for (u, v), w in z.items():
+        if w > 0:
+            incident.setdefault(u, []).append((v, w))
+            incident.setdefault(v, []).append((u, w))
+    for _round in range(permutations):
+        improved = False
+        pos_of: dict[int, tuple[int, int]] = {}
+        for ti, t in enumerate(threads):
+            for pi, (b, _o) in enumerate(t):
+                pos_of[b] = (ti, pi)
+
+        def ends_at(ti, pi):
+            b, o = threads[ti][pi]
+            entry = 2 * b + (0 if o == 1 else 1)
+            exit_ = 2 * b + (1 if o == 1 else 0)
+            return entry, exit_
+
+        for b in sorted(pos_of):
+            ti, pi = pos_of[b]
+            t = threads[ti]
+            if len(t) == 1:
+                continue
+            entry, exit_ = ends_at(ti, pi)
+            left_w = _adj_weight(z, ends_at(ti, pi - 1)[1], entry) \
+                if pi > 0 else 0.0
+            right_w = _adj_weight(z, exit_, ends_at(ti, pi + 1)[0]) \
+                if pi + 1 < len(t) else 0.0
+            join_w = 0.0
+            if 0 < pi < len(t) - 1:
+                join_w = _adj_weight(z, ends_at(ti, pi - 1)[1],
+                                     ends_at(ti, pi + 1)[0])
+            remove_gain = join_w - left_w - right_w
+            # candidate insertions: after any block whose exit end shares
+            # a Z edge with one of b's ends (other spots add zero weight)
+            best = None
+            for e_b in (2 * b, 2 * b + 1):
+                for other, w in incident.get(e_b, ()):
+                    ob = other // 2
+                    if ob == b or ob not in pos_of:
+                        continue
+                    oti, opi = pos_of[ob]
+                    if oti == ti and opi in (pi - 1, pi):
+                        continue  # no-op move
+                    _o_entry, o_exit = ends_at(oti, opi)
+                    if other != o_exit:
+                        continue
+                    # insert b after (oti, opi) with e_b facing `other`
+                    orient = 1 if e_b == 2 * b else -1
+                    b_exit = 2 * b + (1 if orient == 1 else 0)
+                    nxt_w = 0.0
+                    old_w = 0.0
+                    if opi + 1 < len(threads[oti]):
+                        nx_entry = ends_at(oti, opi + 1)[0]
+                        nxt_w = _adj_weight(z, b_exit, nx_entry)
+                        old_w = _adj_weight(z, o_exit, nx_entry)
+                    gain = w + nxt_w - old_w + remove_gain
+                    if gain > 1e-12 and (best is None or gain > best[0]):
+                        best = (gain, oti, opi, orient)
+            if best is not None:
+                _gain, oti, opi, orient = best
+                item = (b, orient)
+                del threads[ti][pi]
+                if oti == ti and opi > pi:
+                    opi -= 1
+                threads[oti].insert(opi + 1, item)
+                threads = [t for t in threads if t]
+                improved = True
+                break   # positions stale: restart the round
+        if not improved:
+            break
+    return threads
+
+
+def order_blocks(caf: CafResult, cfg: ReferenceParams,
+                 tree: Tree | None = None):
+    """Block ordering: Z-scores → matching → threads → nudges
+    (buildReferenceTopDown steps 2-5, buildReference.c:1007-1171).
+    Returns list of threads: [(block, orient)] with orient +1 = block
+    columns forward (enter left end).
+    """
+    live = [int(b) for b in np.flatnonzero(caf.alive)]
+    if not live:
+        return []
+    units, unit_of, orient_in = build_chain_units(caf)
+    ev_w = event_weighting(tree, cfg.phi) if tree is not None else None
+    z = calculate_z(caf, cfg, ev_w, units=(unit_of, orient_in))
+    live_units = list(range(len(units)))
+    matched = match_ends(live_units, z, cfg.matching_algorithm)
+    uthreads = walk_threads(live_units, matched)
+    uthreads = nudge_threads(uthreads, z, cfg.permutations)
+    threads = []
+    for ut in uthreads:
+        t = []
+        for ui, uo in ut:
+            unit = units[ui]
+            if uo == 1:
+                t.extend(unit)
+            else:
+                t.extend((b, -o) for b, o in reversed(unit))
+        threads.append(t)
     return threads
 
 
@@ -374,8 +740,26 @@ def run_reference(caf: CafResult, gcodes: np.ndarray, tree: Tree,
     for b, o in col_off.items():
         block_codes[b] = root_codes[o:o + int(lens[b])]
 
-    threads = order_blocks(caf, cfg)
+    threads = order_blocks(caf, cfg, tree)
     weights = _end_adjacency_weights(caf)
+
+    # break adjacencies lacking direct sequence support (buildReference.c
+    # step 6: minNumberOfSequencesToSupportAdjacency; top-level flowers
+    # always allow breaks) — unless scaffolding bridges them
+    if cfg.min_sequences_to_support_adjacency > 0 and not cfg.make_scaffolds:
+        broken = []
+        for thread in threads:
+            cur = [thread[0]]
+            for prev, item in zip(thread, thread[1:]):
+                key = _thread_adj_key(prev, item)
+                support, _g = weights.get(key, (0, 0))
+                if support < cfg.min_sequences_to_support_adjacency:
+                    broken.append(cur)
+                    cur = []
+                cur.append(item)
+            broken.append(cur)
+        threads = broken
+
     sequences: dict[str, Sequence] = {}
     block_coord: dict[int, tuple[str, int, int]] = {}
     for ti, thread in enumerate(threads):
@@ -388,14 +772,20 @@ def run_reference(caf: CafResult, gcodes: np.ndarray, tree: Tree,
             if orient == -1:
                 codes = complement(codes)[::-1]
             if prev is not None and cfg.make_scaffolds:
-                # scaffold Ns only where child threads imply missing bases
-                # between the two blocks (median adjacency gap > threshold)
                 key = _thread_adj_key(prev, (b, orient))
-                _support, gap_med = weights.get(key, (0, 0))
-                if gap_med >= scaffold_gap_threshold:
-                    # gap-sized Ns capped at numberOfNs: always inserting
-                    # the full run peppers the ancestor with seed-killing
-                    # N islands at every 1-2bp indel
+                support, gap_med = weights.get(key, (0, 0))
+                if support < cfg.min_sequences_to_support_adjacency:
+                    # indirect (Z-walk) adjacency: scaffold join of
+                    # numberOfNs (step 7, getReferenceIntervalsToPreserve)
+                    parts.append(np.full(cfg.number_of_ns, N_CODE,
+                                         dtype=np.uint8))
+                    pos += cfg.number_of_ns
+                elif gap_med >= scaffold_gap_threshold:
+                    # scaffold Ns only where child threads imply missing
+                    # bases between the blocks (median adjacency gap);
+                    # gap-sized Ns capped at numberOfNs: the full run
+                    # would pepper the ancestor with seed-killing N
+                    # islands at every 1-2bp indel
                     n_ns = min(int(gap_med), cfg.number_of_ns)
                     parts.append(np.full(n_ns, N_CODE, dtype=np.uint8))
                     pos += n_ns

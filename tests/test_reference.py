@@ -70,6 +70,97 @@ def test_order_blocks_path():
     assert len(threads[0]) == 2
 
 
+def test_chain_units_freeze_unanimous_order():
+    """Blocks joined by unanimous direct adjacencies form one chain unit,
+    so Z matching cannot reorder them (getChainNodes semantics,
+    buildReference.c:413-476)."""
+    from cactus_tpu.io.paf import PafRecord
+
+    r = PafRecord("A.c", 300, 0, 280, "+", "B.c", 300, 0, 290, 0, 0)
+    r.cigar = [("M", 100), ("D", 10), ("M", 80), ("I", 5), ("M", 100)]
+    r.set_tag("tp", "A", "P")
+    caf = _mk_caf({"A.c": 300, "B.c": 300}, [r])
+    assert caf.blocks.n_blocks == 3
+    units, unit_of, orient_in = reference.build_chain_units(caf)
+    assert len(units) == 1 and len(units[0]) == 3
+    # matching at unit level keeps the proven order for every algorithm
+    for algo in ("greedy", "maxWeight"):
+        threads = reference.order_blocks(
+            caf, ReferenceParams(matching_algorithm=algo))
+        assert len(threads) == 1 and len(threads[0]) == 3
+
+
+def test_z_score_matches_brute_force():
+    """Closed form == sum over base pairs of (1-theta)^(gap+i+j)."""
+    theta = 0.1
+    beta = 1 - theta
+    for m, n, gap in [(3, 4, 2), (1, 1, 1), (7, 2, 5)]:
+        brute = sum(beta ** (gap + i + j)
+                    for i in range(m) for j in range(n))
+        np.testing.assert_allclose(
+            reference.z_score(m, n, gap, theta), brute, rtol=1e-12)
+    # theta=0 degenerates to m*n
+    assert reference.z_score(6, 7, 3, 0.0) == 42.0
+
+
+def test_event_weighting_multiplicity():
+    """Shared branches are discounted by multiplicity
+    (buildReference.c:256-282 independence weight)."""
+    tree = parse_newick("((a:1,b:1)ab:1,c:2)root;")
+    w0 = reference.event_weighting(tree, phi=0.0)
+    # a: branches ab(len 1, mult 2) + a(len 1, mult 1):
+    #    adjusted = 1/2 + 1 = 1.5, path = 2 -> 0.75
+    np.testing.assert_allclose(w0["a"], 0.75)
+    np.testing.assert_allclose(w0["b"], 0.75)
+    # c: single branch, no sharing -> 1.0
+    np.testing.assert_allclose(w0["c"], 1.0)
+    w1 = reference.event_weighting(tree, phi=1.0)
+    np.testing.assert_allclose(w1["a"], np.exp(-2.0) * 0.75)
+    np.testing.assert_allclose(w1["c"], np.exp(-2.0) * 1.0)
+
+
+def test_max_weight_matching_beats_greedy():
+    """Greedy takes the single 10-edge and strands two 9-edges; blossom
+    matches both 9s (VERDICT r1 item 4: fewer ancestor threads)."""
+    live = [0, 1, 2, 3]
+    # ends: block b -> 2b (L), 2b+1 (R)
+    weights = {(1, 2): 10.0,    # 0R ~ 1L
+               (1, 4): 9.0,     # 0R ~ 2L
+               (2, 6): 9.0}     # 1L ~ 3L
+    g = reference.match_ends(live, weights, "greedy")
+    assert g == {1: 2, 2: 1}
+    m = reference.match_ends(live, weights, "maxWeight")
+    assert m == {1: 4, 4: 1, 2: 6, 6: 2}
+    # fewer threads under the exact matching
+    assert len(reference.walk_threads(live, m)) \
+        < len(reference.walk_threads(live, g))
+
+
+def test_blossom_matching_breaks_cycles():
+    """A perfect matching that would close a cycle drops its weakest
+    edge so the walk yields a linear thread."""
+    live = [0, 1]
+    weights = {(1, 2): 10.0,    # 0R ~ 1L
+               (0, 3): 1.0}     # 0L ~ 1R (closes the cycle)
+    m = reference.match_ends(live, weights, "maxWeight")
+    assert m == {1: 2, 2: 1}
+    threads = reference.walk_threads(live, m)
+    assert len(threads) == 1 and len(threads[0]) == 2
+
+
+def test_nudge_relocates_block():
+    """A misplaced block moves to the insertion point that maximizes
+    summed adjacency Z (nudgeGreedily semantics)."""
+    threads = [[(0, 1), (2, 1), (1, 1)]]
+    z = {(1, 2): 10.0,   # 0R ~ 1L
+         (3, 4): 10.0}   # 1R ~ 2L
+    out = reference.nudge_threads(threads, z, permutations=5)
+    assert out == [[(0, 1), (1, 1), (2, 1)]]
+    # no permutations -> untouched
+    out0 = reference.nudge_threads(threads, z, permutations=0)
+    assert out0 == threads
+
+
 def test_reference_reconstruction_accuracy():
     """Reconstructed ancestor matches the simulated root genome."""
     tree = parse_newick("(a:0.05,b:0.05,c:0.05)root;")
