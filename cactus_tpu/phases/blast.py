@@ -457,7 +457,46 @@ def align_genomes(q_genome: dict[str, Sequence], t_genome: dict[str, Sequence],
             records.extend(align_contig_pair(
                 qs, ts, f"{q_event}.{qn}", f"{t_event}.{tn}", cfg, preset,
                 self_alignment=self_aln))
-    # TODO(paffy parity): apply minPrimaryChainScore after cross-record
-    # re-chaining like local_alignment.py:700-727; per-record it would drop
-    # legitimately fragmented alignments.
-    return mark_primaries(records, min_primary_score=0)
+    records = mark_primaries(records, min_primary_score=0)
+    return filter_primary_chains(records,
+                                 cfg.min_primary_chain_score,
+                                 cfg.chain_max_gap_length)
+
+
+def filter_primary_chains(records: list[PafRecord], min_chain_score: int,
+                          max_gap: int) -> list[PafRecord]:
+    """Demote primaries whose re-assembled chain scores below
+    minPrimaryChainScore (local_alignment.py:711-727: primaries are
+    re-chained with `paffy chain`, chains under --minChainScore are
+    filtered from the primary set and re-emitted as secondaries).
+
+    Cross-record chains: primary records on the same (query, target,
+    strand) whose query order is colinear with target order within
+    chainMaxGapLength on both axes sum their AS scores; a chain below
+    the threshold demotes all member records to tp:A:S.
+    """
+    if min_chain_score <= 0:
+        return records
+    groups: dict[tuple, list[PafRecord]] = {}
+    for r in records:
+        if r.get_tag("tp") == "P":
+            groups.setdefault((r.qname, r.tname, r.strand), []).append(r)
+    for (_q, _t, strand), recs in groups.items():
+        recs.sort(key=lambda r: (r.qstart, r.qend))
+        chains: list[list[PafRecord]] = []
+        cur = [recs[0]]
+        for prev, r in zip(recs, recs[1:]):
+            qgap = r.qstart - prev.qend
+            tgap = (r.tstart - prev.tend if strand == "+"
+                    else prev.tstart - r.tend)
+            if -64 <= qgap <= max_gap and -64 <= tgap <= max_gap:
+                cur.append(r)
+            else:
+                chains.append(cur)
+                cur = [r]
+        chains.append(cur)
+        for chain in chains:
+            if sum(r.score for r in chain) < min_chain_score:
+                for r in chain:
+                    r.set_tag("tp", "A", "S")
+    return records

@@ -43,12 +43,17 @@ def kmer_counts_mask(codes: np.ndarray, k: int = 13,
         return cnt > max_count            # per k-mer start position
 
     start_mask = np.asarray(_mask(np.asarray(codes), k))
-    # cover the whole k-mer span + dilation
-    mask = np.zeros(n, dtype=bool)
+    # cover the whole k-mer span + dilation: difference-array interval
+    # stamping (O(#repeat-starts + n), no per-interval python loop)
     starts = np.flatnonzero(start_mask)
-    for s in starts:
-        mask[max(0, s - dilate):min(n, s + k + dilate)] = True
-    return mask
+    if not len(starts):
+        return np.zeros(n, dtype=bool)
+    lo = np.maximum(0, starts - dilate)
+    hi = np.minimum(n, starts + k + dilate)
+    diff = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(diff, lo, 1)
+    np.add.at(diff, hi, -1)
+    return np.cumsum(diff[:-1]) > 0
 
 
 def mask_genome(genome: dict[str, Sequence], k: int = 13,

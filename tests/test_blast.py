@@ -127,3 +127,29 @@ def test_pairwise_accuracy_on_sim():
     precision = inter / len(pred)
     assert recall > 0.90, f"recall {recall:.3f}"
     assert precision > 0.90, f"precision {precision:.3f}"
+
+
+def test_filter_primary_chains_demotes_orphans():
+    """A colinear run of primaries sums over the threshold and stays
+    primary; an isolated low-score primary is demoted to secondary
+    (local_alignment.py:711-727 rechain + minChainScore)."""
+    from cactus_tpu.io.paf import PafRecord
+
+    def rec(qs, qe, ts, te, score):
+        r = PafRecord("q", 100_000, qs, qe, "+", "t", 100_000, ts, te,
+                      qe - qs, 0)
+        r.set_tag("AS", "i", score)
+        r.set_tag("tp", "A", "P")
+        return r
+
+    chain = [rec(0, 1000, 0, 1000, 6000), rec(1500, 2500, 1500, 2500, 6000)]
+    # target coords jump BACKWARDS -> not colinear with the chain
+    orphan = rec(90_000, 90_100, 500, 600, 900)
+    out = blast.filter_primary_chains(chain + [orphan],
+                                      min_chain_score=10_000,
+                                      max_gap=1_000_000)
+    assert [r.get_tag("tp") for r in out] == ["P", "P", "S"]
+    # threshold 0 disables the filter
+    orphan.set_tag("tp", "A", "P")
+    out0 = blast.filter_primary_chains([orphan], 0, 1_000_000)
+    assert out0[0].get_tag("tp") == "P"
