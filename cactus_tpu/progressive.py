@@ -386,11 +386,12 @@ def _lca(tree: Tree, a: str, b: str) -> str:
     raise KeyError(f"no LCA of {a},{b}")
 
 
-def leaf_pairs(result: ProgressiveResult, a: str, b: str
-               ) -> set[tuple[int, int, int]]:
+def leaf_pairs_arr(result: ProgressiveResult, a: str, b: str) -> np.ndarray:
     """All predicted homologous base pairs between leaf genomes a and b,
-    joined through their LCA's coordinates.  Positions are per-genome
-    concatenated (single-contig genomes: plain positions)."""
+    joined through their LCA's coordinates, as a sorted-unique packed key
+    array (utils/pairs.py).  Positions are per-genome concatenated
+    (single-contig genomes: plain positions)."""
+    from .utils import pairs as pk
     lca = _lca(result.tree, a, b)
     ma = leaf_map_to_ancestor(result, a, lca)
     mb = leaf_map_to_ancestor(result, b, lca)
@@ -416,12 +417,13 @@ def leaf_pairs(result: ProgressiveResult, a: str, b: str
 
     pa, ka, sa = flat(ma, a)
     pb, kb, sb = flat(mb, b)
-    order = np.argsort(kb, kind="stable")
-    kb_s, pb_s, sb_s = kb[order], pb[order], sb[order]
-    left = np.searchsorted(kb_s, ka, side="left")
-    right = np.searchsorted(kb_s, ka, side="right")
-    pairs: set[tuple[int, int, int]] = set()
-    for i in np.flatnonzero(right > left):
-        for j in range(left[i], right[i]):
-            pairs.add((int(pa[i]), int(pb_s[j]), int(sa[i] * sb_s[j])))
-    return pairs
+    ia, ib = pk.join_expand(ka, kb)
+    rel = sa[ia].astype(np.int16) * sb[ib]
+    return pk.unique_keys(pk.pack_pairs(pa[ia], pb[ib], rel))
+
+
+def leaf_pairs(result: ProgressiveResult, a: str, b: str
+               ) -> set[tuple[int, int, int]]:
+    """Legacy tuple-set view of leaf_pairs_arr."""
+    from .utils import pairs as pk
+    return pk.unpack_pairs(leaf_pairs_arr(result, a, b))

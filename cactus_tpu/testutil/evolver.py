@@ -38,22 +38,24 @@ class SimResult:
     genomes: dict[str, SimGenome]
     root_len: int
 
-    def truth_pairs(self, a: str, b: str) -> set[tuple[int, int, int]]:
-        """All (posA, posB, rel_strand) truly-homologous base pairs."""
+    def truth_pairs_arr(self, a: str, b: str) -> np.ndarray:
+        """All truly-homologous base pairs as a sorted-unique packed key
+        array (utils/pairs.py).  Join on shared root-base index; root
+        positions repeat under duplications, handled by the all-matches
+        join."""
+        from ..utils import pairs as pk
         ga, gb = self.genomes[a], self.genomes[b]
-        # map root index -> position for each genome (root positions unique
-        # as long as no duplications; duplications handled via lists)
-        out = set()
-        idx_b: dict[int, list[int]] = {}
-        for p, r in enumerate(gb.anc_idx):
-            if r >= 0:
-                idx_b.setdefault(int(r), []).append(p)
-        for p, r in enumerate(ga.anc_idx):
-            if r >= 0 and int(r) in idx_b:
-                for q in idx_b[int(r)]:
-                    rel = int(ga.anc_strand[p]) * int(gb.anc_strand[q])
-                    out.add((p, q, rel))
-        return out
+        sel_a = np.flatnonzero(ga.anc_idx >= 0)
+        sel_b = np.flatnonzero(gb.anc_idx >= 0)
+        ia, ib = pk.join_expand(ga.anc_idx[sel_a], gb.anc_idx[sel_b])
+        rel = (ga.anc_strand[sel_a][ia].astype(np.int16)
+               * gb.anc_strand[sel_b][ib])
+        return pk.unique_keys(pk.pack_pairs(sel_a[ia], sel_b[ib], rel))
+
+    def truth_pairs(self, a: str, b: str) -> set[tuple[int, int, int]]:
+        """Legacy tuple-set view of truth_pairs_arr."""
+        from ..utils import pairs as pk
+        return pk.unpack_pairs(self.truth_pairs_arr(a, b))
 
 
 def _evolve_branch(codes, anc_idx, anc_strand, dist, rng,
