@@ -206,11 +206,19 @@ class BarParams:
     banding_limit: int = 1_000_000
     msa_engine: str = "star"
     partial_order_alignment: bool = True
-    # flank cap per adjacency string: the DP cost of an end MSA is
-    # len x band, and refining the middle of multi-kb unaligned gaps is
-    # the anchoring phase's job, not BAR's (the reference windows at
-    # 10 kb; we cap the per-end flank instead)
-    max_end_string: int = 10_000
+    # per-string cap (reference bandingLimit, config:245); strings
+    # longer than the POA window align as 10 kb windows with carry-over
+    # cursors (ops/banded.py:align_pairs_windowed)
+    max_end_string: int = 1_000_000
+    # consistency: choose each two-end gap's cut point from alignment
+    # coverage instead of the midpoint (poaBarAligner.c:751-806)
+    best_cut: bool = True
+    # bar rescue (bar/impl/rescue.c): unblocked ingroup runs covered by
+    # outgroup alignments become single-degree blocks so the sequence
+    # reaches the ancestor
+    rescue: bool = True
+    rescue_min_segment_length: int = 100
+    rescue_covered_threshold: float = 0.5
     minimum_block_degree: int = 2
     minimum_ingroup_degree: int = 1
     minimum_outgroup_degree: int = 0

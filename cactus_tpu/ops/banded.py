@@ -357,3 +357,70 @@ def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
                              int(end_mat[p]))
         out.append((score, ops))
     return out
+
+
+def align_pairs_windowed(pairs, submat, gap: GapParams,
+                         window: int = 10_000, band: int = 512,
+                         overlap_frac: float = 0.5,
+                         backend=None) -> list[list[tuple[int, int, int]]]:
+    """Long pairwise alignment as banded windows with carry-over cursors.
+
+    The reference BAR slides 10 kb POA windows with 50% overlap over
+    sequences up to bandingLimit=1 Mb and stitches them at per-window cut
+    points (poaBarAligner.c:463-560).  Here each window is a banded
+    affine DP; only matches in the committed prefix (the first
+    (1-overlap) of the window) are kept, the cursors resume at the last
+    committed match, and the overlap is re-aligned by the next window —
+    so indel drift never accumulates past one window.  All active pairs
+    advance in lockstep, one batched kernel launch per generation (the
+    vmap analog of the reference's per-flower OpenMP loop).
+
+    Returns, per pair, a list of (q_pos, t_pos, length) match runs.
+    """
+    runs: list[list[tuple[int, int, int]]] = [[] for _ in pairs]
+    cursors: dict[int, tuple[int, int]] = {
+        k: (0, 0) for k, (q, t) in enumerate(pairs) if len(q) and len(t)}
+    while cursors:
+        active = sorted(cursors)
+        batch = []
+        for k in active:
+            qi, ti = cursors[k]
+            q, t = pairs[k]
+            batch.append((q[qi:qi + window], t[ti:ti + window]))
+        out = align_pairs_banded(batch, submat, gap, band=band,
+                                 backend=backend)
+        for k, (_score, ops) in zip(active, out):
+            qi, ti = cursors[k]
+            q, t = pairs[k]
+            qw = min(window, len(q) - qi)
+            tw = min(window, len(t) - ti)
+            last_window = (qi + qw >= len(q)) and (ti + tw >= len(t))
+            cut = qw if last_window else max(1, int(qw * (1 - overlap_frac)))
+            i = j = 0
+            resume = None          # (i, j) just past the last kept match
+            for op, ln in ops:
+                if op == "M":
+                    take = min(ln, cut - i)
+                    if take > 0:
+                        runs[k].append((qi + i, ti + j, take))
+                        resume = (i + take, j + take)
+                    i += ln
+                    j += ln
+                elif op == "I":
+                    i += ln
+                else:
+                    j += ln
+            if last_window:
+                del cursors[k]
+                continue
+            if resume is None:
+                # nothing committed: hop forward, re-syncing the axes
+                step = cut
+                nqi, nti = qi + step, ti + step
+            else:
+                nqi, nti = qi + resume[0], ti + resume[1]
+            if nqi >= len(q) or nti >= len(t):
+                del cursors[k]
+            else:
+                cursors[k] = (nqi, nti)
+    return runs

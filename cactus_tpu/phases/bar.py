@@ -16,10 +16,15 @@ TPU-first design here:
    analog).  All (member, backbone) pairs across ALL ends are packed into
    shape-binned device batches — the vmap-over-padded-bins replacement
    for the reference's OpenMP flower loop (SURVEY.md §2.4).
- - consistency: each adjacency gap is split at its midpoint; the left
-   half belongs to the exit end's alignment, the right half (reverse
-   complement) to the entry end's (degenerate form of the reference's
-   best-cut trimming — a later-round refinement).
+ - long strings (up to bandingLimit=1 Mb) are aligned as 10 kb banded
+   windows with 50% overlap and carry-over cursors
+   (ops/banded.py:align_pairs_windowed — the scan-over-tiles analog of
+   poaBarAligner.c:463-560's sliding windows).
+ - consistency (best-cut): both ends of an adjacency gap see the full
+   gap string (capped at bandingLimit); after alignment, each gap picks
+   the cut point maximizing left-side coverage before it plus
+   right-side coverage after it, and match runs are clipped so every
+   base lands in exactly ONE end's alignment (poaBarAligner.c:751-806).
  - BAR match runs merge with the CAF block runs and columns/blocks are
    rebuilt in one vectorized pass (graph/columns.py), replacing the
    reference's incremental re-pinching.
@@ -34,7 +39,7 @@ import numpy as np
 from ..config import BarParams, PoaParams
 from ..io.fasta import Sequence, revcomp
 from ..graph import chains as chain_graph
-from ..graph.columns import SeqTable, build_columns, columns_to_blocks
+from ..graph.columns import Blocks, SeqTable, build_columns, columns_to_blocks
 from ..ops.banded import GapParams, align_pairs_banded, score_matrix_6
 from .caf import CafResult, blocks_to_match_edges, filter_blocks_by_events, event_of
 
@@ -57,10 +62,17 @@ class EndString:
     Oriented position i maps to global base:
       forward: gstart + i            (strand +1)
       reverse: gend - 1 - i          (strand -1)
+
+    allow_lo/allow_hi bound the oriented positions this string may claim
+    after best-cut consistency trimming (poaBarAligner.c:751-806): when
+    two ends share a gap, both see the overlapping string, and the cut
+    assigns each base to exactly one side.
     """
     gstart: int
     gend: int
     forward: bool
+    allow_lo: int = 0
+    allow_hi: int = 1 << 62
 
     def length(self) -> int:
         return self.gend - self.gstart
@@ -75,21 +87,51 @@ class EndString:
             return self.gstart + i0, 1
         return self.gend - i0 - ln, -1
 
+    def global_interval(self, i0: int, ln: int) -> tuple[int, int]:
+        """Oriented run [i0, i0+ln) → ascending global [lo, hi)."""
+        if self.forward:
+            return self.gstart + i0, self.gstart + i0 + ln
+        return self.gend - i0 - ln, self.gend - i0
 
-def end_strings(caf: CafResult, cfg: BarParams,
-                min_len: int = 2) -> dict[int, list[EndString]]:
+    def set_allowed_global(self, glo: int, ghi: int) -> None:
+        """Restrict claims to ascending global interval [glo, ghi)."""
+        if self.forward:
+            self.allow_lo = max(0, glo - self.gstart)
+            self.allow_hi = max(self.allow_lo, ghi - self.gstart)
+        else:
+            self.allow_lo = max(0, self.gend - ghi)
+            self.allow_hi = max(self.allow_lo, self.gend - glo)
+
+
+@dataclass
+class GapPair:
+    """A two-real-end adjacency gap whose strings overlap and need a
+    consistency cut: global range [g0, g1), left string walks forward
+    from g0, right string walks backward from g1."""
+    g0: int
+    g1: int
+    left: EndString
+    right: EndString
+
+
+def end_strings(caf: CafResult, cfg: BarParams, min_len: int = 2,
+                with_gaps: bool = False):
     """Collect the adjacency strings per block end.
 
-    Each thread adjacency contributes its gap: split at the midpoint
-    between two real ends; assigned wholly to the real end when the other
-    side is a thread boundary.  Strings are capped at the POA window
-    (reference caps at bandingLimit then windows at 10 kb;
-    config:245,308).
+    Each thread adjacency contributes its gap, capped at bandingLimit
+    (reference config:245).  Between two real ends BOTH sides see the
+    (overlapping) gap string, preliminarily bounded at its midpoint; the
+    best-cut pass after alignment moves the boundary to where alignment
+    quality crosses over (poaBarAligner.c:751-806).  Assigned wholly to
+    the real end when the other side is a thread boundary.
+
+    Returns per_end, or (per_end, gap_pairs) when with_gaps.
     """
-    cap = min(cfg.banding_limit, cfg.poa.window, cfg.max_end_string)
+    cap = min(cfg.banding_limit, cfg.max_end_string)
     adj = chain_graph.thread_adjacencies(caf.blocks, caf.alive)
     table = caf.table
     per_end: dict[int, list[EndString]] = {}
+    gaps: list[GapPair] = []
     for k in range(len(adj.seq)):
         u, v = int(adj.end_u[k]), int(adj.end_v[k])
         s = int(adj.seq[k])
@@ -101,40 +143,56 @@ def end_strings(caf: CafResult, cfg: BarParams,
         if u == BOUNDARY and v == BOUNDARY:
             continue
         if v == BOUNDARY:
-            lo, hi = g0, g0 + min(L, cap)
-            per_end.setdefault(u, []).append(EndString(lo, hi, True))
+            per_end.setdefault(u, []).append(
+                EndString(g0, g0 + min(L, cap), True))
         elif u == BOUNDARY:
-            lo, hi = g1 - min(L, cap), g1
-            per_end.setdefault(v, []).append(EndString(lo, hi, False))
+            per_end.setdefault(v, []).append(
+                EndString(g1 - min(L, cap), g1, False))
         else:
             mid = g0 + (L + 1) // 2
-            left = min(mid - g0, cap)
-            right = min(g1 - mid, cap)
-            if left >= min_len:
-                per_end.setdefault(u, []).append(
-                    EndString(g0, g0 + left, True))
-            if right >= min_len:
-                per_end.setdefault(v, []).append(
-                    EndString(g1 - right, g1, False))
+            left = EndString(g0, g0 + min(L, cap), True)
+            right = EndString(g1 - min(L, cap), g1, False)
+            left.set_allowed_global(g0, mid)
+            right.set_allowed_global(mid, g1)
+            if left.length() >= min_len:
+                per_end.setdefault(u, []).append(left)
+            if right.length() >= min_len:
+                per_end.setdefault(v, []).append(right)
+            if (min(L, cap) > (L + 1) // 2
+                    and left.length() >= min_len
+                    and right.length() >= min_len):
+                # strings overlap: eligible for a best-cut refinement
+                gaps.append(GapPair(g0, g1, left, right))
+    if with_gaps:
+        return per_end, gaps
     return per_end
 
 
 def star_align_ends(per_end: dict[int, list[EndString]],
                     gcodes: np.ndarray, cfg: BarParams,
                     max_band: int = 2048,
-                    ingroup_seqs: np.ndarray | None = None):
+                    ingroup_seqs: np.ndarray | None = None,
+                    gap_pairs: list[GapPair] | None = None):
     """Batched star MSA over all ends → global match runs.
 
     Returns a list of (ga, gb, ln, strand) runs (edges_from_runs format).
     Pairs are length-trimmed so the backbone slice matches the member
     length (+slack), keeping bands narrow; the pair list across all ends
-    is aligned in shape-binned device batches.
+    is aligned in shape-binned device batches.  Pairs longer than the POA
+    window go through the windowed carry-over aligner
+    (align_pairs_windowed), so strings up to bandingLimit refine fully.
 
     ingroup_seqs: boolean per global base — when given, the backbone is
     the longest INGROUP member (an outgroup backbone makes every
     ingroup↔ingroup homology transit two high-divergence alignments,
     which poisons the columns; reference BAR avoids this by running a
     full MSA rather than a star).
+
+    gap_pairs: overlapping two-end gaps for the best-cut consistency
+    pass — after alignment, each gap's cut point maximizes left-side
+    coverage before it + right-side coverage after it, and all runs are
+    clipped to their strings' allowed intervals so every base is claimed
+    by exactly one end (poaBarAligner.c:751-806).
     """
     poa: PoaParams = cfg.poa
     submat = score_matrix_6(poa.sub_matrix)
@@ -145,7 +203,8 @@ def star_align_ends(per_end: dict[int, list[EndString]],
             return True
         return bool(ingroup_seqs[e.gstart])
 
-    jobs = []        # (member EndString, backbone EndString, t_len)
+    jobs = []        # (member EndString, backbone EndString, t_len, band)
+    long_jobs = []   # (member EndString, backbone EndString)
     for end, members in per_end.items():
         if len(members) < 2:
             continue
@@ -155,8 +214,11 @@ def star_align_ends(per_end: dict[int, list[EndString]],
         bb_len = backbone.length()
         for m in members[1:]:
             ml = m.length()
+            if ml > poa.window or bb_len > poa.window:
+                long_jobs.append((m, backbone))
+                continue
             # adaptive band (reference: abPOA band 1000 + 0.1*len,
-            # config:310-311); skip pathological length ratios
+            # config:310-311); long/pathological ratios go windowed
             t_len = min(bb_len, ml + poa.band_constant // 4)
             band = 128
             need = abs(t_len - ml) + min(
@@ -164,24 +226,18 @@ def star_align_ends(per_end: dict[int, list[EndString]],
             while band <= need:
                 band *= 2
             if band > max_band:
+                long_jobs.append((m, backbone))
                 continue
             jobs.append((m, backbone, t_len, band))
 
-    runs: list[tuple[int, int, int, int]] = []
     by_band: dict[int, list] = {}
     for job in jobs:
         by_band.setdefault(job[3], []).append(job)
 
+    raw: list[tuple[EndString, EndString, int, int, int]] = []
+
     def emit(m: EndString, b: EndString, i0: int, j0: int, ln: int):
-        ga, sa = m.to_run(i0, ln)
-        gb, sb = b.to_run(j0, ln)
-        if sa == 1:
-            runs.append((ga, gb, ln, sb))
-        elif sb == 1:
-            runs.append((gb, ga, ln, sa))
-        else:
-            # both reversed: forward pairing of the reversed intervals
-            runs.append((ga, gb, ln, 1))
+        raw.append((m, b, i0, j0, ln))
 
     engine = cfg.msa_engine
     if not cfg.partial_order_alignment and engine == "star":
@@ -189,9 +245,12 @@ def star_align_ends(per_end: dict[int, list[EndString]],
 
     if engine == "poa":
         # true partial-order MSA per end (abPOA-parity path): all member
-        # pairs sharing a column emit matches, not just member↔backbone
+        # pairs sharing a column emit matches, not just member↔backbone.
+        # Members longer than the POA window go through the windowed
+        # pairwise path (long_jobs) like the other engines.
         from ..ops.poa import poa_msa
         for end, members in per_end.items():
+            members = [m for m in members if m.length() <= poa.window]
             if len(members) < 2:
                 continue
             members = sorted(members, key=lambda e: -e.length())
@@ -216,7 +275,7 @@ def star_align_ends(per_end: dict[int, list[EndString]],
             if prev is not None:
                 emit(members[start[0]], members[start[2]],
                      start[1], start[3], run_len)
-        return runs
+        by_band = {}
 
     for band, group in by_band.items():
         pairs = [(m.codes(gcodes), b.codes(gcodes)[:t_len])
@@ -254,7 +313,80 @@ def star_align_ends(per_end: dict[int, list[EndString]],
                 if start is not None:
                     i0, j0 = matched[start][:2]
                     emit(m, b, i0, j0, matched[-1][0] - i0 + 1)
+
+    if long_jobs:
+        # strings beyond the POA window: banded windows with carry-over
+        # cursors, full length up to bandingLimit
+        from ..ops.banded import align_pairs_windowed
+        wruns = align_pairs_windowed(
+            [(m.codes(gcodes), b.codes(gcodes)) for m, b in long_jobs],
+            submat, gap, window=poa.window, band=512)
+        for (m, b), rr in zip(long_jobs, wruns):
+            for i0, j0, ln in rr:
+                emit(m, b, i0, j0, ln)
+
+    if gap_pairs:
+        _apply_best_cuts(raw, gap_pairs)
+
+    # convert oriented runs to global runs, clipped to each string's
+    # allowed interval (consistency: every base in exactly one end MSA)
+    runs: list[tuple[int, int, int, int]] = []
+    for m, b, i0, j0, ln in raw:
+        k0 = max(0, m.allow_lo - i0, b.allow_lo - j0)
+        k1 = min(ln, m.allow_hi - i0, b.allow_hi - j0)
+        if k1 <= k0:
+            continue
+        i0, j0, ln = i0 + k0, j0 + k0, k1 - k0
+        ga, sa = m.to_run(i0, ln)
+        gb, sb = b.to_run(j0, ln)
+        if sa == 1:
+            runs.append((ga, gb, ln, sb))
+        elif sb == 1:
+            runs.append((gb, ga, ln, sa))
+        else:
+            # both reversed: forward pairing of the reversed intervals
+            runs.append((ga, gb, ln, 1))
     return runs
+
+
+def _apply_best_cuts(raw, gap_pairs: list[GapPair]) -> None:
+    """Pick each overlapping gap's cut point from alignment coverage.
+
+    The cut c maximizes (bases the left string aligned in [g0,c)) +
+    (bases the right string aligned in [c,g1)); ties resolve to the
+    position nearest the midpoint.  Updates the strings' allowed
+    intervals in place (reference per-window trimming + consistency,
+    poaBarAligner.c:751-806)."""
+    side_of: dict[int, tuple[int, int]] = {}
+    cov: dict[int, tuple[int, int, np.ndarray]] = {}
+    for gi, g in enumerate(gap_pairs):
+        side_of[id(g.left)] = (gi, 0)
+        side_of[id(g.right)] = (gi, 1)
+        lo = max(g.right.gstart, g.g0)
+        hi = min(g.left.gend, g.g1)
+        cov[gi] = (lo, hi, np.zeros((hi - lo, 2), dtype=bool))
+    for m, b, i0, j0, ln in raw:
+        for e, o0 in ((m, i0), (b, j0)):
+            tag = side_of.get(id(e))
+            if tag is None:
+                continue
+            gi, side = tag
+            lo, hi, c = cov[gi]
+            glo, ghi = e.global_interval(o0, ln)
+            a, z = max(glo, lo), min(ghi, hi)
+            if a < z:
+                c[a - lo:z - lo, side] = True
+    for gi, g in enumerate(gap_pairs):
+        lo, hi, c = cov[gi]
+        n = hi - lo
+        cl = np.concatenate([[0], np.cumsum(c[:, 0])])
+        cr = np.concatenate([[0], np.cumsum(c[:, 1])])
+        f = cl + (cr[n] - cr)       # f[k]: cut at lo+k
+        cand = np.flatnonzero(f == f.max())
+        midc = (g.g0 + g.g1) // 2 - lo
+        cut = lo + int(cand[np.argmin(np.abs(cand - midc))])
+        g.left.set_allowed_global(g.g0, cut)
+        g.right.set_allowed_global(cut, g.g1)
 
 
 def run_bar(caf: CafResult, seqs: dict[str, Sequence],
@@ -270,7 +402,7 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
     if not cfg.run_bar:
         return caf
     gcodes = global_codes(caf.table, seqs)
-    per_end = end_strings(caf, cfg)
+    per_end, gaps = end_strings(caf, cfg, with_gaps=True)
     ingroup_seqs = None
     if ingroup_events:
         ingroup_seqs = np.zeros(caf.table.total, dtype=bool)
@@ -279,7 +411,8 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
                 o = int(caf.table.offsets[i])
                 ingroup_seqs[o:o + int(caf.table.lengths[i])] = True
     bar_runs = star_align_ends(per_end, gcodes, cfg,
-                               ingroup_seqs=ingroup_seqs)
+                               ingroup_seqs=ingroup_seqs,
+                               gap_pairs=gaps if cfg.best_cut else None)
     caf_runs = blocks_to_match_edges(caf.blocks, caf.alive)
     # rebuild the graph from (CAF ∪ BAR) evidence on the segment-level
     # pinch path (the mini CAF re-anneal of bar.c:133-145); CAF block
@@ -297,4 +430,79 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
                                     ingroup_events or set(),
                                     outgroup_events or set())
     return CafResult(table=caf.table, blocks=blocks, alive=alive,
+                     events_of_seq=caf.events_of_seq)
+
+
+def rescue_outgroup_covered(caf: CafResult, og_records, cfg: BarParams
+                            ) -> CafResult:
+    """bar rescue: unblocked ingroup runs that outgroup blast alignments
+    covered become single-degree blocks, so the sequence reaches the
+    ancestor (it existed in the parent — an outgroup witnessed it even
+    though every other child lost it).  Reference bar/impl/rescue.c:
+    rescueCoveredRegions (minSegmentLength + coveredBasesThreshold
+    filters; vestigial in the reference's current call path, but
+    load-bearing here because the ancestor only carries block sequence).
+    """
+    if not og_records:
+        return caf
+    table = caf.table
+    # 1. outgroup-coverage intervals on ingroup global coordinates
+    ivs = []
+    for r in og_records:
+        for name, a, b in ((r.qname, r.qstart, r.qend),
+                           (r.tname, r.tstart, r.tend)):
+            i = table.index.get(name)
+            if i is not None:
+                off = int(table.offsets[i])
+                ivs.append((off + a, off + b))
+    from ..utils.intervals import interval_coverage, merge_intervals
+    cov_s, cov_e = merge_intervals(np.asarray(ivs, dtype=np.int64))
+    if not len(cov_s):
+        return caf
+    # 2. unblocked gaps: complement of live-block segments per sequence
+    blocks = caf.blocks
+    live_seg = caf.alive[blocks.seg_block]
+    g0 = (table.offsets[blocks.seg_seq[live_seg]]
+          + blocks.seg_start[live_seg])
+    g1 = g0 + blocks.seg_len[live_seg]
+    blk_s, blk_e = merge_intervals(np.stack([g0, g1], axis=1))
+    gaps = []
+    for name, si in table.index.items():
+        lo = int(table.offsets[si])
+        hi = lo + int(table.lengths[si])
+        # intervals OVERLAPPING [lo,hi) — merged intervals can straddle
+        # a sequence boundary (adjacent sequences are contiguous in
+        # global coordinates), so select by overlap and clip
+        from ..utils.intervals import complement_intervals
+        a = np.searchsorted(blk_e, lo, side="right")
+        b = np.searchsorted(blk_s, hi, side="left")
+        seg_s, seg_e = complement_intervals(blk_s[a:b], blk_e[a:b], lo, hi)
+        keep = seg_e - seg_s >= cfg.rescue_min_segment_length
+        for x, y in zip(seg_s[keep], seg_e[keep]):
+            gaps.append((int(x), int(y), si))
+    if not gaps:
+        return caf
+    garr = np.asarray(gaps, dtype=np.int64)
+    covered = interval_coverage(garr[:, 0], garr[:, 1], cov_s, cov_e)
+    frac = covered / (garr[:, 1] - garr[:, 0])
+    take = frac > cfg.rescue_covered_threshold
+    if not take.any():
+        return caf
+    sel = garr[take]
+    n_new = len(sel)
+    new_ids = np.arange(blocks.n_blocks, blocks.n_blocks + n_new)
+    new_blocks = Blocks(
+        table=table,
+        seg_block=np.concatenate([blocks.seg_block, new_ids]),
+        seg_seq=np.concatenate([blocks.seg_seq, sel[:, 2]]),
+        seg_start=np.concatenate(
+            [blocks.seg_start, sel[:, 0] - table.offsets[sel[:, 2]]]),
+        seg_len=np.concatenate([blocks.seg_len, sel[:, 1] - sel[:, 0]]),
+        seg_strand=np.concatenate(
+            [blocks.seg_strand, np.ones(n_new, dtype=blocks.seg_strand.dtype)]),
+        n_blocks=blocks.n_blocks + n_new,
+        support=(np.concatenate([blocks.support, np.ones(n_new, dtype=blocks.support.dtype)])
+                 if blocks.support is not None else None))
+    alive = np.concatenate([caf.alive, np.ones(n_new, dtype=bool)])
+    return CafResult(table=table, blocks=new_blocks, alive=alive,
                      events_of_seq=caf.events_of_seq)

@@ -206,3 +206,49 @@ def align_genomes_chunked(q_genome: dict[str, Sequence],
                + list(t_genome.items())}
     records = fix_lengths(records, lengths)
     return records
+
+
+def uncovered_subsequences(genome: dict[str, Sequence],
+                           records: list[PafRecord],
+                           min_size: int = 100, flank: int = 100
+                           ) -> tuple[dict[str, Sequence], dict[str, "Chunk"]]:
+    """Extract the parts of `genome` no record covers — the
+    `paffy to_bed --excludeAligned --minSize` + `faffy extract --flank`
+    step of the ingroup→outgroup trim cascade
+    (paf/local_alignment.py:460-496).
+
+    Uncovered intervals ≥ min_size (before flanking) are extended by
+    `flank` and clipped; returns (subsequence genome, rebase map usable
+    with dechunk_records).
+    """
+    from ..utils.intervals import complement_intervals, merge_intervals
+    ivs: dict[str, list[tuple[int, int]]] = {}
+    for r in records:
+        for name, a, b in ((r.qname, r.qstart, r.qend),
+                           (r.tname, r.tstart, r.tend)):
+            if name in genome:
+                ivs.setdefault(name, []).append((a, b))
+    subs: dict[str, Sequence] = {}
+    rebase: dict[str, Chunk] = {}
+    for name, seq in genome.items():
+        n = len(seq)
+        s, e = merge_intervals(np.asarray(ivs.get(name, []),
+                                          dtype=np.int64).reshape(-1, 2))
+        gs, ge = complement_intervals(s, e, 0, n)
+        keep = ge - gs >= min_size
+        gs, ge = gs[keep], ge[keep]
+        # flank, then re-merge overlaps created by flanking
+        gs, ge = merge_intervals(np.stack(
+            [np.maximum(gs - flank, 0), np.minimum(ge + flank, n)], axis=1))
+        for k, (a, b) in enumerate(zip(gs, ge)):
+            a, b = int(a), int(b)
+            if a == 0 and b == n:
+                subs[name] = seq
+                continue
+            sub_name = f"{name}__sub{k}_{a}"
+            subs[sub_name] = Sequence(
+                name=sub_name, codes=seq.codes[a:b],
+                mask=seq.mask[a:b] if seq.mask is not None else None)
+            rebase[sub_name] = Chunk(name=sub_name, origin=name, offset=a,
+                                     core_start=0, seq=subs[sub_name])
+    return subs, rebase

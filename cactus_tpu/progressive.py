@@ -252,6 +252,13 @@ class ProgressiveAligner:
         caf = bar_phase.run_bar(caf, in_seqs, cfg.bar,
                                 ingroup_events=set(children),
                                 outgroup_events=set())
+        if cfg.bar.rescue and og_records:
+            n0 = caf.blocks.n_blocks
+            caf = bar_phase.rescue_outgroup_covered(caf, og_records, cfg.bar)
+            if caf.blocks.n_blocks > n0:
+                self.log(f"{node.name}: rescued "
+                         f"{caf.blocks.n_blocks - n0} outgroup-covered "
+                         f"segments (bar rescue)")
         timings["bar"] = _time.time() - t0
 
         t0 = _time.time()
@@ -302,37 +309,122 @@ class ProgressiveAligner:
         og_preset = preset if preset in ("one", "two", "three", "four",
                                          "five") else "default_og"
 
-        tasks = []
+        by_name = {c.name: c for ev in chunks for c in chunks[ev]
+                   if c.name != c.origin}
 
-        def pair(ev_a, ev_b, use_preset):
-            for qc in chunks[ev_a]:
+        def chunk_pair_tasks(qchunks, tchunks, use_preset, out):
+            for qc in qchunks:
                 if len(qc.seq) < cfg.minimum_sequence_length:
                     continue
-                for tc in chunks[ev_b]:
+                for tc in tchunks:
                     if len(tc.seq) < cfg.minimum_sequence_length:
                         continue
-                    tasks.extend(blast_phase.pair_tasks(
+                    out.extend(blast_phase.pair_tasks(
                         qc.seq, tc.seq, qc.name, tc.name, cfg, use_preset))
 
+        tasks = []
         for i, a in enumerate(children):
             for b in children[i + 1:]:
-                pair(a, b, preset)
-            for og in outgroups:
-                pair(a, og, og_preset)
+                chunk_pair_tasks(chunks[a], chunks[b], preset, tasks)
+        if not cfg.trim_ingroups:
+            for a in children:
+                for og in outgroups:
+                    chunk_pair_tasks(chunks[a], chunks[og], og_preset, tasks)
         if self.mesh is not None:
             self.log(f"{node.name}: {len(tasks)} blast tasks over "
                      f"{len(self.mesh.devices.flat)} devices")
         records = blast_phase.run_tasks(tasks, cfg, mesh=self.mesh,
                                         log=self.log)
-        by_name = {c.name: c for ev in chunks for c in chunks[ev]
-                   if c.name != c.origin}
         records = dechunk_records(records, by_name)
+
+        if cfg.trim_ingroups and outgroups:
+            records += self._blast_outgroup_cascade(
+                node, children, outgroups, packed, chunks, og_preset)
+
         records = split_packed_records(records, pack_maps)
         lengths = {n: len(s)
                    for ev in set(children) | set(outgroups)
                    for n, s in self.genomes[ev].items()}
         records = fix_lengths(records, lengths)
         return blast_phase.mark_primaries(records)
+
+    def _blast_outgroup_cascade(self, node: Tree, children: list[str],
+                                outgroups: list[str], packed, chunks,
+                                og_preset: str):
+        """Progressive ingroup→outgroup trimming (reference
+        make_ingroup_to_outgroup_alignments_0/1/2/3,
+        paf/local_alignment.py:421-526): align each ingroup to the
+        nearest outgroup, extract the uncovered remainder (≥ trimMinSize,
+        flanked by trimFlanking), and recurse on the next outgroup — so
+        later outgroups only see sequence earlier ones missed.  Records
+        come back rebased to the packed-contig coordinates."""
+        from .phases.chunking import (chunk_genome, dechunk_records,
+                                      uncovered_subsequences)
+        cfg = self.config.blast
+        # per child: the shrinking remainder genome and the rebase map
+        # from its current sequence names back to packed coordinates
+        remainder = {c: dict(packed[c]) for c in children}
+        sub_rebase: dict[str, dict] = {c: {} for c in children}
+        out: list = []
+        for tier, og in enumerate(outgroups):
+            tasks = []
+            tier_rebase: dict = {}
+            for c in children:
+                rchunks = chunk_genome(remainder[c], cfg.chunk_size,
+                                       cfg.overlap_size)
+                for ch in rchunks:
+                    if ch.name != ch.origin:
+                        tier_rebase[ch.name] = ch
+                for qc in rchunks:
+                    if len(qc.seq) < cfg.minimum_sequence_length:
+                        continue
+                    for tc in chunks[og]:
+                        if len(tc.seq) < cfg.minimum_sequence_length:
+                            continue
+                        tasks.extend(blast_phase.pair_tasks(
+                            qc.seq, tc.seq, qc.name, tc.name, cfg,
+                            og_preset))
+            if not tasks:
+                break
+            recs = blast_phase.run_tasks(tasks, cfg, mesh=self.mesh,
+                                         log=self.log)
+            # rebase the 30 Mb chunk layer → current remainder coords
+            recs = dechunk_records(recs, tier_rebase)
+            # this tier's remainder→packed map, before it advances
+            cur_rebase = {name: ch for c in children
+                          for name, ch in sub_rebase[c].items()}
+            if tier + 1 < len(outgroups):
+                # shrink each child's remainder to what this tier left
+                # uncovered, while records are still in remainder coords
+                total_left = 0
+                for c in children:
+                    if not remainder[c]:
+                        continue
+                    subs, rebase = uncovered_subsequences(
+                        remainder[c], recs, min_size=cfg.trim_min_size,
+                        flank=cfg.trim_flanking)
+                    comp: dict = {}
+                    for name, ch in rebase.items():
+                        base = sub_rebase[c].get(ch.origin)
+                        if base is not None:
+                            ch.origin = base.origin
+                            ch.offset += base.offset
+                        comp[name] = ch
+                    for name in subs:
+                        # a fully-uncovered sub survives under its old
+                        # name: carry its packed-coords mapping forward
+                        if name not in comp and name in sub_rebase[c]:
+                            comp[name] = sub_rebase[c][name]
+                    sub_rebase[c] = comp
+                    remainder[c] = subs
+                    total_left += sum(len(s) for s in subs.values())
+                self.log(f"{node.name}: og cascade tier {tier} ({og}): "
+                         f"{total_left} bp uncovered remaining")
+            # remainder-extraction layer → packed coords (the reference's
+            # `paffy dechunk --query`, local_alignment.py:516-519)
+            recs = dechunk_records(recs, cur_rebase)
+            out.extend(recs)
+        return out
 
     def _event_tree(self, node: Tree, outgroups: list[str]) -> Tree:
         """Felsenstein tree: the ancestor's children subtrees collapsed to

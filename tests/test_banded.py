@@ -114,3 +114,49 @@ def test_banded_diag_offset():
     ref_score, _ = align_affine_np(q, t, SUBMAT, GAP)
     assert score == ref_score
     assert cigar_consumes(ops, 50, 110)
+
+
+def test_windowed_long_pair():
+    """align_pairs_windowed recovers homology on a pair far longer than
+    one window, re-syncing cursors across indel drift (reference BAR
+    slides 10 kb windows with 50% overlap, poaBarAligner.c:463-560)."""
+    from cactus_tpu.ops.banded import align_pairs_windowed
+    rng = np.random.default_rng(3)
+    n = 12_000
+    q = rng.integers(0, 4, n).astype(np.uint8)
+    # 4% substitutions + scattered indels
+    sub = rng.random(n) < 0.04
+    t = np.where(sub, (q + rng.integers(1, 4, n)) % 4, q).astype(np.uint8)
+    out, qpos = [], []
+    i = 0
+    while i < n:
+        r = rng.random()
+        if r < 0.002:
+            i += int(rng.integers(1, 12))
+            continue
+        if r < 0.004:
+            ins = rng.integers(0, 4, int(rng.integers(1, 12))).astype(np.uint8)
+            out.append(ins)
+            qpos.extend([-1] * len(ins))
+        out.append(t[i:i + 1])
+        qpos.append(i)
+        i += 1
+    t2 = np.concatenate(out)
+    qpos = np.array(qpos)
+    from cactus_tpu.config import PoaParams
+    p = PoaParams()
+    runs = align_pairs_windowed(
+        [(q, t2)], score_matrix_6(p.sub_matrix),
+        GapParams(p.gap_open1, p.gap_extend1), window=2_000, band=256)[0]
+    correct = total = 0
+    for i0, j0, ln in runs:
+        ks = np.arange(ln)
+        total += ln
+        correct += int((qpos[j0 + ks] == i0 + ks).sum())
+    truth = int((qpos >= 0).sum())
+    assert correct / truth > 0.97, correct / truth
+    assert correct / total > 0.97, correct / total
+    # runs stay in-bounds and sorted per pair construction
+    for i0, j0, ln in runs:
+        assert 0 <= i0 and i0 + ln <= len(q)
+        assert 0 <= j0 and j0 + ln <= len(t2)
