@@ -174,9 +174,33 @@ def hal_stats(result: ProgressiveResult) -> list[dict]:
 # hal2maf equivalent
 # --------------------------------------------------------------------------
 
+def maf_block_trim(blk: MafBlock, c0: int, c1: int) -> MafBlock | None:
+    """Restrict a MAF block to columns [c0, c1).
+
+    MAF starts are in each row's own strand coordinates, which advance
+    left-to-right along the text, so every row's new start is its old
+    start plus the non-gap count before c0.  Rows emptied by the trim
+    are dropped; returns None if fewer than one row survives.
+    """
+    rows = []
+    for r in blk.rows:
+        head = r.text[:c0]
+        mid = r.text[c0:c1]
+        size = len(mid) - mid.count("-")
+        if size == 0:
+            continue
+        rows.append(MafRow(src=r.src,
+                           start=r.start + len(head) - head.count("-"),
+                           size=size, strand=r.strand,
+                           src_size=r.src_size, text=mid))
+    return MafBlock(rows=rows) if rows else None
+
+
 def hal2maf(result: ProgressiveResult, ref_genome: str | None = None,
             include_ancestor: bool = True,
-            leaves_only_rows: bool = False) -> list[MafBlock]:
+            leaves_only_rows: bool = False,
+            ref_seq: str | None = None, ref_start: int = 0,
+            ref_end: int | None = None) -> list[MafBlock]:
     """Hierarchy MAF referenced on `ref_genome` (default: the tree root).
 
     Every live block of the reference ancestor's step becomes one MAF
@@ -184,6 +208,11 @@ def hal2maf(result: ProgressiveResult, ref_genome: str | None = None,
     one row per contiguous mapped run of every descendant leaf (composed
     through the intermediate ancestors, like hal2maf walking the HAL
     top/bottom segment hierarchy).
+
+    ref_seq/ref_start/ref_end restrict output to one reference thread
+    subrange (the hal2maf --refSequence/--start/--length behavior,
+    reference test/evolverTest.py:1271-1310): only blocks intersecting
+    the range are built, trimmed at the boundaries.
     """
     ref_genome = ref_genome or result.tree.name
     step = result.steps[ref_genome]
@@ -216,6 +245,11 @@ def hal2maf(result: ProgressiveResult, ref_genome: str | None = None,
     anc_index = {n: i for i, n in enumerate(anc_names)}
     items = sorted(ref.block_coord.items(),
                    key=lambda kv: (kv[1][0], kv[1][1]))
+    if ref_seq is not None:
+        hi = ref_end if ref_end is not None else 1 << 62
+        items = [(b, (sn, a, o)) for b, (sn, a, o) in items
+                 if sn == ref_seq and a < hi
+                 and a + int(lens[b]) > ref_start]
     for b, (sname, astart, _orient) in items:
         L = int(lens[b])
         si = anc_index[sname]
@@ -267,7 +301,14 @@ def hal2maf(result: ProgressiveResult, ref_genome: str | None = None,
                                  text=text.tobytes().decode("ascii"))
                 rows.append(row)
         if len(rows) >= (2 if not include_ancestor else 1):
-            out.append(MafBlock(rows=rows))
+            blk = MafBlock(rows=rows)
+            if ref_seq is not None:
+                hi = ref_end if ref_end is not None else astart + L
+                blk = maf_block_trim(blk, max(0, ref_start - astart),
+                                     min(L, hi - astart))
+                if blk is None:
+                    continue
+            out.append(blk)
     return out
 
 
@@ -275,3 +316,89 @@ def write_hal2maf(path: str, result: ProgressiveResult,
                   ref_genome: str | None = None, **kw) -> None:
     from ..io.maf import write_maf
     write_maf(path, hal2maf(result, ref_genome, **kw))
+
+
+# --------------------------------------------------------------------------
+# halValidate equivalent
+# --------------------------------------------------------------------------
+
+def hal_validate(result: ProgressiveResult) -> list[str]:
+    """Structural validation of the alignment hierarchy — the halValidate
+    analog (reference runs halValidate over the HDF5 archive; the c2h
+    grammar invariants are documented at hal/impl/hal.c:14-77).
+
+    Returns a list of violation strings (empty == valid).  Checks, per
+    ancestor step:
+      - segment bounds: every pinch segment inside its sequence
+      - live segments of one sequence never overlap
+      - bottom segments (block placements) inside the ancestor sequence
+        and non-overlapping per ancestor thread
+      - maps: targets within the ancestor, strand != 0 iff aligned
+      - parentage: every step event exists in the tree, its children's
+        genomes exist
+    """
+    errs: list[str] = []
+    for ev, step in result.steps.items():
+        caf, ref = step.caf, step.ref
+        table = caf.table
+        blocks = caf.blocks
+        # segment bounds
+        seq_len = table.lengths[blocks.seg_seq]
+        bad = (blocks.seg_start < 0) | (blocks.seg_start
+                                        + blocks.seg_len > seq_len)
+        if bad.any():
+            errs.append(f"{ev}: {int(bad.sum())} segments out of bounds")
+        # per-sequence live-segment overlap
+        live = caf.alive[blocks.seg_block]
+        order = np.lexsort((blocks.seg_start[live], blocks.seg_seq[live]))
+        s_seq = blocks.seg_seq[live][order]
+        s_sta = blocks.seg_start[live][order]
+        s_end = s_sta + blocks.seg_len[live][order]
+        if len(s_seq) > 1:
+            ov = (s_seq[1:] == s_seq[:-1]) & (s_sta[1:] < s_end[:-1])
+            if ov.any():
+                errs.append(f"{ev}: {int(ov.sum())} overlapping live "
+                            "segments")
+        # bottom segments per ancestor thread
+        lens = blocks.block_length()
+        by_thread: dict[str, list[tuple[int, int]]] = {}
+        for b, (sname, astart, _o) in ref.block_coord.items():
+            L = int(lens[b])
+            anc_seq = ref.sequences.get(sname)
+            if anc_seq is None:
+                errs.append(f"{ev}: block {b} placed on unknown thread "
+                            f"{sname}")
+                continue
+            if astart < 0 or astart + L > len(anc_seq):
+                errs.append(f"{ev}: block {b} outside thread {sname} "
+                            f"({astart}+{L} vs {len(anc_seq)})")
+            by_thread.setdefault(sname, []).append((astart, astart + L))
+        for sname, spans in by_thread.items():
+            spans.sort()
+            for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+                if b0 < a1:
+                    errs.append(f"{ev}: overlapping bottom segments on "
+                                f"{sname} at {b0}<{a1}")
+                    break
+        # maps
+        anc_lens = [len(ref.sequences[n]) for n in step.anc_seq_names]
+        for sname, m in step.maps.items():
+            sel = m.tgt_idx >= 0
+            if (m.tgt_idx >= len(anc_lens)).any():
+                errs.append(f"{ev}: map {sname} targets unknown thread")
+                continue
+            if sel.any():
+                tl = np.asarray(anc_lens)[m.tgt_idx[sel]]
+                if ((m.tgt_pos[sel] < 0) | (m.tgt_pos[sel] >= tl)).any():
+                    errs.append(f"{ev}: map {sname} target positions out "
+                                "of bounds")
+                if (m.strand[sel] == 0).any():
+                    errs.append(f"{ev}: map {sname} aligned bases with "
+                                "strand 0")
+            if (m.strand[~sel] != 0).any():
+                errs.append(f"{ev}: map {sname} unaligned bases with "
+                            "nonzero strand")
+        # parentage
+        if result.tree.find(ev) is None:
+            errs.append(f"step event {ev} not in tree")
+    return errs

@@ -185,8 +185,19 @@ class ProgressiveAligner:
             if self.store is not None:
                 self.store.save_genome(node.name, self.genomes[node.name])
                 self.store.save_step(step)
-        return ProgressiveResult(tree=self.tree, steps=steps,
-                                 genomes=self.genomes)
+        result = ProgressiveResult(tree=self.tree, steps=steps,
+                                   genomes=self.genomes)
+        if self.config.check.run_check:
+            # <check runCheck> analog: the reference runs
+            # flower_checkRecursive after every phase
+            # (pipeline/cactus_consolidated.c:385-511)
+            from .phases.hal import hal_validate
+            errs = hal_validate(result)
+            if errs:
+                raise AssertionError(
+                    "hal_validate failed:\n" + "\n".join(errs))
+            self.log("runCheck: hal_validate clean")
+        return result
 
     # ---- one ancestor ----
     def _ancestor_step(self, node: Tree) -> AncestorStep:

@@ -103,3 +103,68 @@ def test_hal2maf_subtree_reference(mammal_result):
     blocks = hal.hal2maf(result, "ab")
     srcs = {r.src.split(".", 1)[0] for b in blocks for r in b.rows}
     assert srcs <= {"ab", "a", "b"}
+
+
+def test_hal_validate_clean(mammal_result):
+    """A pipeline result passes the halValidate-equivalent checks."""
+    _sim, result = mammal_result
+    errs = hal.hal_validate(result)
+    assert errs == [], errs
+
+
+def test_hal_validate_catches_corruption(mammal_result):
+    """Deliberate corruption is reported (bounds, overlap, maps)."""
+    import copy
+    _sim, result = mammal_result
+    bad = copy.deepcopy(result)
+    step = bad.steps["ab"]
+    # push one segment past its sequence end
+    step.caf.blocks.seg_start[0] = int(
+        step.caf.table.lengths[step.caf.blocks.seg_seq[0]])
+    errs = hal.hal_validate(bad)
+    assert any("out of bounds" in e for e in errs), errs
+
+    bad2 = copy.deepcopy(result)
+    step2 = bad2.steps["ab"]
+    m = next(iter(step2.maps.values()))
+    sel = np.flatnonzero(m.tgt_idx >= 0)
+    if len(sel):
+        m.tgt_pos[sel[0]] = 1 << 40
+        errs2 = hal.hal_validate(bad2)
+        assert any("out of bounds" in e for e in errs2), errs2
+
+
+def test_hal2maf_subrange_equivalence(mammal_result):
+    """Subrange extraction == trimming the whole-genome MAF to the range
+    (the reference's hal2maf subrange oracle,
+    test/evolverTest.py:1271-1310)."""
+    _sim, result = mammal_result
+    full = hal.hal2maf(result)
+    # pick a reference thread with several blocks
+    from collections import Counter
+    counts = Counter(b.rows[0].src for b in full)
+    seq, _n = counts.most_common(1)[0]
+    seq_blocks = [b for b in full if b.rows[0].src == seq]
+    lo = min(b.rows[0].start for b in seq_blocks)
+    hi = max(b.rows[0].start + b.rows[0].size for b in seq_blocks)
+    start = lo + (hi - lo) // 4
+    end = hi - (hi - lo) // 4
+    sub = hal.hal2maf(result, ref_seq=seq, ref_start=start, ref_end=end)
+    assert sub, "subrange produced no blocks"
+    # expected: trim the full blocks to the subrange
+    expect = []
+    for b in seq_blocks:
+        r0 = b.rows[0]
+        if r0.start >= end or r0.start + r0.size <= start:
+            continue
+        t = hal.maf_block_trim(b, max(0, start - r0.start),
+                               min(len(r0.text), end - r0.start))
+        if t is not None:
+            expect.append(t)
+    assert len(sub) == len(expect)
+    for x, y in zip(sub, expect):
+        assert [r.to_line() for r in x.rows] == [r.to_line() for r in y.rows]
+    # every reference row inside the range
+    for b in sub:
+        r0 = b.rows[0]
+        assert r0.start >= start and r0.start + r0.size <= end
