@@ -174,3 +174,49 @@ def graph_stats(graph: PanGraph) -> dict:
         total_node_length=int(sum(lens)),
         max_node_length=int(max(lens)) if lens else 0,
     )
+
+
+def clip_graph(graph: PanGraph, max_unaligned: int = 10_000):
+    """The graphmap-join "clip" tier: drop unaligned (haplotype-private)
+    stretches longer than max_unaligned from the graph, splitting the
+    affected walks into subrange fragments named `name:start-end`
+    (reference clip-vg / `vg clip -u`, cactus_graphmap_join.py:652+,
+    config XML :495-519).
+
+    Returns (clipped PanGraph, bed) where bed maps each original walk
+    name to the list of removed (start, end) intervals — together the
+    fragments and the bed tile every input base (the exclusion-report
+    closure invariant, pangenome_exclusions.py).
+    """
+    from .normalize import compact
+    new_walks: dict[str, list[tuple[int, int]]] = {}
+    bed: dict[str, list[tuple[int, int]]] = {}
+    for name, walk in graph.walks.items():
+        pos = 0
+        frags: list[tuple[int, int, list[tuple[int, int]]]] = []
+        cur: list[tuple[int, int]] = []
+        cur_start = 0
+        removed: list[tuple[int, int]] = []
+        for v, o in walk:
+            ln = graph.node_len(v)
+            if graph.node_block[v] < 0 and ln > max_unaligned:
+                if cur:
+                    frags.append((cur_start, pos, cur))
+                removed.append((pos, pos + ln))
+                cur = []
+                cur_start = pos + ln
+            else:
+                cur.append((v, o))
+            pos += ln
+        if cur:
+            frags.append((cur_start, pos, cur))
+        if removed:
+            bed[name] = removed
+            for a, b, steps in frags:
+                new_walks[f"{name}:{a}-{b}"] = steps
+        else:
+            new_walks[name] = walk
+    out = PanGraph(node_seq=list(graph.node_seq), walks=new_walks,
+                   node_block=list(graph.node_block))
+    compact(out)
+    return out, bed

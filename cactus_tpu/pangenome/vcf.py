@@ -32,6 +32,7 @@ class VcfRecord:
     ref: str
     alts: list[str]
     genotypes: dict[str, int]   # path name → allele index (0 = ref)
+    lv: int = 0                 # snarl nesting level (vg deconstruct LV)
 
     def to_line(self, sample_order: list[str]) -> str:
         gts = []
@@ -40,7 +41,8 @@ class VcfRecord:
             gts.append("." if g is None else str(g))
         return "\t".join([
             self.chrom, str(self.pos), ".", self.ref,
-            ",".join(self.alts), "60", "PASS", ".", "GT", *gts])
+            ",".join(self.alts), "60", "PASS", f"LV={self.lv}",
+            "GT", *gts])
 
 
 def merge_micro_anchors(records: list[VcfRecord], ref_seq: str,
@@ -188,7 +190,10 @@ def vcf_records(graph: PanGraph, ref_name: str,
     return merge_micro_anchors(records, ref_seq, min_anchor=min_anchor)
 
 
-def write_vcf(path_or_file, graph: PanGraph, ref_name: str) -> None:
+def write_vcf(path_or_file, graph: PanGraph, ref_name: str,
+              nested: bool = True, max_level: int | None = None) -> None:
+    """nested=True uses the anchor-chained snarl deconstruction with LV
+    nesting tags; max_level drops deeper sites (vcfbub --max-level)."""
     own = not hasattr(path_or_file, "write")
     fh = open(path_or_file, "w") if own else path_or_file
     try:
@@ -196,12 +201,125 @@ def write_vcf(path_or_file, graph: PanGraph, ref_name: str) -> None:
         ref_len = sum(graph.node_len(v) for v, _o in graph.walks[ref_name])
         fh.write("##fileformat=VCFv4.2\n")
         fh.write(f"##contig=<ID={ref_name},length={ref_len}>\n")
+        fh.write('##INFO=<ID=LV,Number=1,Type=Integer,'
+                 'Description="Snarl nesting level">\n')
         fh.write('##FORMAT=<ID=GT,Number=1,Type=String,'
                  'Description="Genotype">\n')
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                  + "\t".join(samples) + "\n")
-        for rec in vcf_records(graph, ref_name):
+        recs = (vcf_records_nested(graph, ref_name) if nested
+                else vcf_records(graph, ref_name))
+        for rec in recs:
+            if max_level is not None and rec.lv > max_level:
+                continue
             fh.write(rec.to_line(samples) + "\n")
     finally:
         if own:
             fh.close()
+
+
+# --------------------------------------------------------------------------
+# nested deconstruction (vg deconstruct + snarl-tree analog)
+# --------------------------------------------------------------------------
+
+def _walk_string_offsets(graph: PanGraph, walk):
+    """(spelled string, per-step base offset array)."""
+    parts = []
+    offs = []
+    pos = 0
+    for v, o in walk:
+        offs.append(pos)
+        c = graph.node_seq[v]
+        parts.append(_s(c if o == 1 else revcomp(c)))
+        pos += len(c)
+    offs.append(pos)
+    return "".join(parts), offs
+
+
+def _lis_indices(seq: list[int]) -> list[int]:
+    """Longest strictly-increasing subsequence → indices into seq."""
+    import bisect
+    tails: list[int] = []          # values
+    tails_idx: list[int] = []      # index in seq of tail
+    prev = [-1] * len(seq)
+    for i, x in enumerate(seq):
+        j = bisect.bisect_left(tails, x)
+        if j == len(tails):
+            tails.append(x)
+            tails_idx.append(i)
+        else:
+            tails[j] = x
+            tails_idx[j] = i
+        prev[i] = tails_idx[j - 1] if j > 0 else -1
+    out = []
+    k = tails_idx[-1] if tails_idx else -1
+    while k >= 0:
+        out.append(k)
+        k = prev[k]
+    return out[::-1]
+
+
+def vcf_records_nested(graph: PanGraph, ref_name: str) -> list[VcfRecord]:
+    """Anchor-chained deconstruction of every haplotype against the
+    reference path, with nesting levels.
+
+    Anchors are nodes unique to both walks; the longest colinear anchor
+    chain splits each haplotype into matched blocks, and every mismatched
+    stretch between consecutive anchors becomes one (padded) VCF site —
+    SNP, indel, MNV, or complex replacement alike.  Sites whose reference
+    span lies strictly inside another site's span get LV = depth (the
+    vg deconstruct snarl-nesting annotation; vcfbub keeps LV=0 by
+    default — reference cactus_graphmap_join.py:652+, config XML :493).
+    """
+    ref_walk = graph.walks[ref_name]
+    ref_seq, ref_offs = _walk_string_offsets(graph, ref_walk)
+    ref_count: dict[int, int] = {}
+    for v, _o in ref_walk:
+        ref_count[v] = ref_count.get(v, 0) + 1
+    ref_step_of = {v: k for k, (v, _o) in enumerate(ref_walk)
+                   if ref_count[v] == 1}
+
+    sites: dict[tuple[int, str], dict] = {}
+    for name, walk in graph.walks.items():
+        if name == ref_name:
+            continue
+        alt_seq, alt_offs = _walk_string_offsets(graph, walk)
+        count: dict[int, int] = {}
+        for v, _o in walk:
+            count[v] = count.get(v, 0) + 1
+        cand = [(i, ref_step_of[v]) for i, (v, _o) in enumerate(walk)
+                if count[v] == 1 and v in ref_step_of]
+        if not cand:
+            continue
+        keep = _lis_indices([k for _i, k in cand])
+        chain = [cand[i] for i in keep]     # [(alt step, ref step)]
+        for (ia, ka), (ib, kb) in zip(chain, chain[1:]):
+            r0, r1 = ref_offs[ka + 1], ref_offs[kb]     # between anchors
+            a0, a1 = alt_offs[ia + 1], alt_offs[ib]
+            R, A = ref_seq[r0:r1], alt_seq[a0:a1]
+            if R == A:
+                continue
+            # pad with the last base of the left anchor (VCF convention)
+            pos0 = r0 - 1                                # 0-based anchor
+            ref_str = ref_seq[pos0:r1]
+            alt_str = ref_seq[pos0] + A
+            key = (pos0 + 1, ref_str)
+            site = sites.setdefault(key, {"alts": [], "gts": {}})
+            if alt_str not in site["alts"]:
+                site["alts"].append(alt_str)
+            site["gts"][name] = site["alts"].index(alt_str) + 1
+    records = []
+    for (pos, ref_str), site in sorted(sites.items()):
+        records.append(VcfRecord(chrom=ref_name, pos=pos, ref=ref_str,
+                                 alts=site["alts"],
+                                 genotypes=site["gts"]))
+    # nesting levels by strict containment of reference spans
+    spans = [(r.pos, r.pos + len(r.ref)) for r in records]
+    for i, r in enumerate(records):
+        lv = 0
+        for j, (a, b) in enumerate(spans):
+            if j != i and a <= spans[i][0] and spans[i][1] <= b \
+                    and (a, b) != spans[i]:
+                lv += 1
+        r.lv = lv
+    return records

@@ -128,3 +128,126 @@ def test_cli_pangenome(tmp_path):
     vcf_lines = open(out + "/pangenome.vcf").read().splitlines()
     assert vcf_lines[0].startswith("##fileformat")
     assert any(not l.startswith("#") for l in vcf_lines)
+
+
+def test_normalize_collapses_shared_affixes(small_graph):
+    """Shared-affix collapse shrinks total node bases and preserves every
+    walk's spelling (GFAffix analog; vg validate invariant)."""
+    import copy
+    from cactus_tpu.pangenome.normalize import collapse_shared_affixes
+    _sim, seqs, g = small_graph
+    g2 = copy.deepcopy(g)
+    before = sum(g2.node_len(v) for v in range(g2.n_nodes))
+    collapse_shared_affixes(g2)
+    after = sum(g2.node_len(v) for v in range(g2.n_nodes))
+    g2.validate(seqs)
+    assert after <= before
+
+
+def test_normalize_handcrafted_bubble():
+    """Two bubble arms GATTC / GATTA share the GATT prefix: after
+    normalization it lives in ONE node and the arms shrink to SNP-size."""
+    from cactus_tpu.io.fasta import _CODE_OF
+    from cactus_tpu.pangenome.graph import PanGraph
+    from cactus_tpu.pangenome.normalize import collapse_shared_affixes
+
+    def codes(s):
+        return np.array([_CODE_OF[ord(c)] for c in s], dtype=np.uint8)
+
+    node_seq = [codes("CC"), codes("GATTC"), codes("GATTA"), codes("TT")]
+    walks = {"x": [(0, 1), (1, 1), (3, 1)],
+             "y": [(0, 1), (2, 1), (3, 1)]}
+    g = PanGraph(node_seq=node_seq, walks=walks,
+                 node_block=[-1, 0, 0, -1])
+    seqs = {"x": Sequence("x", codes("CCGATTCTT")),
+            "y": Sequence("y", codes("CCGATTATT"))}
+    g.validate(seqs)
+    collapse_shared_affixes(g)
+    g.validate(seqs)
+    lens = sorted(g.node_len(v) for v in range(g.n_nodes))
+    # CC, GATT, C, A, TT
+    assert lens == [1, 1, 2, 2, 4], lens
+
+
+def test_clip_tier_closure(small_graph):
+    """Clip removes long private insert nodes; fragments + bed tile every
+    input base (the exclusion-report closure invariant)."""
+    from cactus_tpu.pangenome.graph import clip_graph
+    _sim, seqs, g = small_graph
+    clipped, bed = clip_graph(g, max_unaligned=50)
+    for name, seq in seqs.items():
+        frag_bp = sum(
+            sum(clipped.node_len(v) for v, _o in w)
+            for n, w in clipped.walks.items()
+            if n == name or n.startswith(name + ":"))
+        bed_bp = sum(b - a for a, b in bed.get(name, []))
+        assert frag_bp + bed_bp == len(seq), name
+
+
+def test_nested_vcf_lv_levels():
+    """A SNP inside a region one haplotype deletes gets LV=1; the
+    deletion stays LV=0 (vg deconstruct nesting)."""
+    from cactus_tpu.io.fasta import _CODE_OF
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 4, 3000).astype(np.uint8)
+    snp = ref.copy()
+    snp[1500] = (snp[1500] + 1) % 4          # SNP mid-region
+    dele = np.concatenate([ref[:1200], ref[1800:]])  # deletes [1200,1800)
+    seq_dict = {
+        "ref.c": Sequence("ref.c", ref),
+        "snp.c": Sequence("snp.c", snp),
+        "del.c": Sequence("del.c", dele),
+    }
+    caf = _star_caf(seq_dict)
+    g = pgraph.build_graph(caf, seq_dict)
+    g.validate(seq_dict)
+    # deconstruct runs on the NORMALIZED graph (as graphmap-join does):
+    # un-normalized bubbles hide SNPs inside long parallel arms
+    from cactus_tpu.pangenome.normalize import collapse_shared_affixes
+    collapse_shared_affixes(g)
+    g.validate(seq_dict)
+    recs = pvcf.vcf_records_nested(g, "ref.c")
+    snps = [r for r in recs if len(r.ref) == len(r.alts[0])
+            and r.genotypes.get("snp.c")]
+    dels = [r for r in recs if len(r.ref) - max(len(a) for a in r.alts) > 500]
+    assert dels, recs
+    assert dels[0].lv == 0
+    assert snps, recs
+    inside = [r for r in snps if dels[0].pos <= r.pos
+              < dels[0].pos + len(dels[0].ref)]
+    assert inside and all(r.lv >= 1 for r in inside), snps
+
+
+def test_pangenome_split_by_chromosome(tmp_path):
+    """Two reference chromosomes: contigs route to the right chromosome
+    and per-chromosome graphs build (graphmap-split + align --batch)."""
+    from cactus_tpu.pangenome.driver import run_pangenome_split
+    rng = np.random.default_rng(9)
+    chr1 = rng.integers(0, 4, 8000).astype(np.uint8)
+    chr2 = rng.integers(0, 4, 8000).astype(np.uint8)
+
+    def mutate(x, seed):
+        r = np.random.default_rng(seed)
+        m = r.random(len(x)) < 0.02
+        return np.where(m, (x + 1) % 4, x).astype(np.uint8)
+
+    genomes = {
+        "ref": {"ref.chr1": Sequence("ref.chr1", chr1),
+                "ref.chr2": Sequence("ref.chr2", chr2)},
+        "s1": {"s1.tig1": Sequence("s1.tig1", mutate(chr1, 1)),
+               "s1.tig2": Sequence("s1.tig2", mutate(chr2, 2))},
+        "s2": {"s2.tig1": Sequence("s2.tig1", mutate(chr1, 3)),
+               "s2.junk": Sequence("s2.junk",
+                                   rng.integers(0, 4, 3000).astype(np.uint8))},
+    }
+    out = str(tmp_path / "pan")
+    stats = run_pangenome_split(genomes, "ref", out)
+    assign = dict(l.split("\t") for l in
+                  open(out + "/contig_assignment.tsv").read().splitlines())
+    assert assign["s1.tig1"] == "ref.chr1"
+    assert assign["s1.tig2"] == "ref.chr2"
+    assert assign["s2.tig1"] == "ref.chr1"
+    assert assign["s2.junk"] == "_AMBIGUOUS_"
+    assert set(stats["chromosomes"]) == {"ref.chr1", "ref.chr2"}
+    assert os.path.exists(out + "/ref.chr1/pangenome.gfa")
+    assert os.path.exists(out + "/ref.chr2/pangenome.vcf")
