@@ -159,11 +159,11 @@ def hal_stats(result: ProgressiveResult) -> list[dict]:
         parent_step = result.step_of_child(ev)
         if parent_step is not None:
             blocks = parent_step.caf.blocks
-            mine = [i for i in range(len(blocks.seg_block))
-                    if parent_step.caf.table.names[
-                        int(blocks.seg_seq[i])].split(".", 1)[0] == ev
-                    and parent_step.caf.alive[int(blocks.seg_block[i])]]
-            n_top = len(mine)
+            seq_is_mine = np.array(
+                [n.split(".", 1)[0] == ev
+                 for n in parent_step.caf.table.names])
+            n_top = int((seq_is_mine[blocks.seg_seq]
+                         & parent_step.caf.alive[blocks.seg_block]).sum())
         rows.append(dict(genome=ev, n_sequences=len(genome),
                          length=sum(len(s) for s in genome.values()),
                          n_top_segments=n_top, n_bottom_segments=n_bottom))

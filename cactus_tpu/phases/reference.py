@@ -208,26 +208,42 @@ def block_observations(caf: CafResult, gcodes: np.ndarray,
         o = col_off[int(b)]
         block_ids[o:o + L] = b
     seq_event = np.array([eidx.get(event_of(n), -1) for n in table.names])
-    for i in range(len(blocks.seg_block)):
-        b = int(blocks.seg_block[i])
-        if not caf.alive[b]:
-            continue
-        e = int(seq_event[blocks.seg_seq[i]])
-        if e < 0:
-            continue
-        s = int(blocks.seg_seq[i])
-        st = int(blocks.seg_start[i])
-        ln = int(blocks.seg_len[i])
-        g0 = int(table.offsets[s]) + st
-        codes = gcodes[g0:g0 + ln]
-        if int(blocks.seg_strand[i]) == -1:
-            codes = complement(codes)[::-1]
-        o = col_off[b]
-        valid = codes < 4
-        cols = np.flatnonzero(valid)
-        obs[o + cols, e, :] *= 1e-3            # down-weight non-observed
-        obs[o + cols, e, codes[cols]] *= 1e3   # restore the observed state
-        counts[o:o + ln, e] += valid
+    coloff_arr = np.full(blocks.n_blocks, -1, dtype=np.int64)
+    for b, o in col_off.items():
+        coloff_arr[b] = o
+
+    # vectorized over all segment bases (no per-segment Python loop):
+    # obs[c,e,s] = 1e-3^N(c,e) * 1e3^n(c,e,s) with N = #observations of
+    # event e in column c and n = #observations in state s — identical
+    # to the sequential multiplicative form, computed via bincounts;
+    # per-(c,e) max-normalization guards float32 underflow on deep
+    # paralogous columns.
+    sel = np.flatnonzero(caf.alive[blocks.seg_block]
+                         & (seq_event[blocks.seg_seq] >= 0))
+    if len(sel):
+        ln = blocks.seg_len[sel]
+        n_base = int(ln.sum())
+        seg_of = np.repeat(np.arange(len(sel)), ln)
+        k = np.arange(n_base) - np.repeat(np.cumsum(ln) - ln, ln)
+        s_seg = sel[seg_of]
+        gpos = (table.offsets[blocks.seg_seq[s_seg]]
+                + blocks.seg_start[s_seg] + k)
+        raw = gcodes[gpos]
+        strand = blocks.seg_strand[s_seg]
+        base = np.where(strand == 1, raw, complement(raw))
+        col = np.where(strand == 1, k, ln[seg_of] - 1 - k)
+        gcol = coloff_arr[blocks.seg_block[s_seg]] + col
+        e_rep = seq_event[blocks.seg_seq[s_seg]]
+        valid = base < 4
+        np.add.at(counts, (gcol, e_rep), valid.astype(np.int32))
+        gv, ev, bv = gcol[valid], e_rep[valid], base[valid]
+        ce = gv * E + ev
+        N = np.bincount(ce, minlength=total * E).reshape(total, E)
+        n_s = np.bincount(ce * 4 + bv, minlength=total * E * 4
+                          ).reshape(total, E, 4)
+        expo = 3.0 * n_s - 3.0 * N[:, :, None]
+        expo -= expo.max(axis=2, keepdims=True)   # best state == 1
+        obs = np.power(10.0, np.maximum(expo, -37.0)).astype(np.float32)
     return obs, counts, block_ids, col_off
 
 

@@ -66,37 +66,65 @@ class ProgressiveResult:
 
 def seq_maps_from_step(caf: CafResult,
                        ref: ref_phase.ReferenceResult) -> dict[str, SeqMap]:
-    """Vectorized child→ancestor coordinate maps from block structure."""
+    """Vectorized child→ancestor coordinate maps from block structure.
+
+    Fully array-parallel over segments (no per-segment Python loop): the
+    global tgt arrays are filled by one base expansion pass, then each
+    sequence's map is a view.  Expansion is batched so transient memory
+    stays bounded at genome scale."""
     table = caf.table
-    anc_names = list(ref.sequences)
-    anc_index = {n: i for i, n in enumerate(anc_names)}
-    maps = {n: SeqMap(np.full(int(L), -1, np.int32),
-                      np.full(int(L), -1, np.int64),
-                      np.zeros(int(L), np.int8))
-            for n, L in zip(table.names, table.lengths)}
+    anc_index = {n: i for i, n in enumerate(ref.sequences)}
+    total = int(table.total)
+    g_idx = np.full(total, -1, np.int32)
+    g_pos = np.full(total, -1, np.int64)
+    g_str = np.zeros(total, np.int8)
+
     blocks = caf.blocks
     lens = blocks.block_length()
-    for i in range(len(blocks.seg_block)):
-        b = int(blocks.seg_block[i])
-        if not caf.alive[b] or b not in ref.block_coord:
-            continue
-        anc_seq, astart, orient = ref.block_coord[b]
-        ai = anc_index[anc_seq]
-        st = int(blocks.seg_start[i])
-        ln = int(blocks.seg_len[i])
-        L = int(lens[b])
-        name = table.names[int(blocks.seg_seq[i])]
-        m = maps[name]
-        k = np.arange(ln)
-        # member base st+k sits at block column k (strand +1) or L-1-k (-1)
-        col = k if int(blocks.seg_strand[i]) == 1 else L - 1 - k
-        # ancestor position of column c: astart+c (orient +1) else
-        # astart + L-1-c
-        apos = astart + (col if orient == 1 else L - 1 - col)
-        rel = int(blocks.seg_strand[i]) * orient
-        m.tgt_idx[st:st + ln] = ai
-        m.tgt_pos[st:st + ln] = apos
-        m.strand[st:st + ln] = rel
+    nb = blocks.n_blocks
+    coord_ai = np.full(nb, -1, np.int32)
+    coord_astart = np.zeros(nb, np.int64)
+    coord_orient = np.ones(nb, np.int8)
+    for b, (anc_seq, astart, orient) in ref.block_coord.items():
+        coord_ai[b] = anc_index[anc_seq]
+        coord_astart[b] = astart
+        coord_orient[b] = orient
+
+    sel = np.flatnonzero(caf.alive[blocks.seg_block]
+                         & (coord_ai[blocks.seg_block] >= 0))
+    BATCH = 4_000_000   # expanded bases per batch
+    lo = 0
+    seg_ln_all = blocks.seg_len[sel]
+    cum = np.cumsum(seg_ln_all)
+    while lo < len(sel):
+        hi = int(np.searchsorted(cum, (cum[lo - 1] if lo else 0) + BATCH,
+                                 side="left")) + 1
+        s = sel[lo:hi]
+        ln = blocks.seg_len[s]
+        n = int(ln.sum())
+        seg_of = np.repeat(np.arange(len(s)), ln)
+        k = np.arange(n) - np.repeat(np.cumsum(ln) - ln, ln)
+        b = blocks.seg_block[s][seg_of]
+        strand = blocks.seg_strand[s][seg_of].astype(np.int64)
+        L = lens[b]
+        col = np.where(strand == 1, k, ln[seg_of] - 1 - k)
+        # member base sits at block column col (segment length == block
+        # length for lockstep blocks); ancestor position of column c is
+        # astart+c (orient +1) else astart+L-1-c
+        orient = coord_orient[b].astype(np.int64)
+        apos = coord_astart[b] + np.where(orient == 1, col, L - 1 - col)
+        gidx = (table.offsets[blocks.seg_seq[s]][seg_of]
+                + blocks.seg_start[s][seg_of] + k)
+        g_idx[gidx] = coord_ai[b]
+        g_pos[gidx] = apos
+        g_str[gidx] = (strand * orient).astype(np.int8)
+        lo = hi
+
+    maps = {}
+    for name, si in table.index.items():
+        o = int(table.offsets[si])
+        e = o + int(table.lengths[si])
+        maps[name] = SeqMap(g_idx[o:e], g_pos[o:e], g_str[o:e])
     return maps
 
 
