@@ -65,6 +65,21 @@ def _chain_scan(qs, ts, ln, gap_open, gap_extend, max_gap, lookback: int):
     return scores, preds
 
 
+_PAD_POS = 1 << 29     # beyond any real coordinate; padded anchors can
+                       # never satisfy the max_gap predicate, so they
+                       # score 0 with pred -1 and are sliced off
+
+
+def _pad_sorted_runs(r: np.ndarray, min_len: int = 16) -> np.ndarray:
+    n = max(min_len, 1 << (max(1, len(r)) - 1).bit_length())
+    if n == len(r):
+        return r
+    out = np.full((n, 3), _PAD_POS, dtype=np.int32)
+    out[:, 2] = 0
+    out[:len(r)] = r
+    return out
+
+
 def chain_anchors(runs: np.ndarray, gap_open: int = 20, gap_extend: int = 1,
                   max_gap: int = 8192, lookback: int = 64):
     """Chain (qstart, tstart, length) runs; returns (order, scores, preds).
@@ -75,13 +90,61 @@ def chain_anchors(runs: np.ndarray, gap_open: int = 20, gap_extend: int = 1,
     if len(runs) == 0:
         return (np.zeros(0, np.int64),) * 3
     order = np.lexsort((runs[:, 1], runs[:, 0]))
-    r = runs[order].astype(np.int32)
+    r = _pad_sorted_runs(runs[order].astype(np.int32))
     from . import smart_put
     put = smart_put(len(r) * lookback)
     scores, preds = _chain_scan(
         put(r[:, 0]), put(r[:, 1]), put(r[:, 2]),
         gap_open, gap_extend, max_gap, lookback)
-    return order, np.asarray(scores), np.asarray(preds)
+    n = len(order)
+    return order, np.asarray(scores)[:n], np.asarray(preds)[:n]
+
+
+@partial(jax.jit, static_argnames=("lookback",))
+def _chain_scan_batch(qs, ts, ln, gap_open, gap_extend, max_gap,
+                      lookback: int):
+    return jax.vmap(
+        lambda q, t, l: _chain_scan.__wrapped__(
+            q, t, l, gap_open, gap_extend, max_gap, lookback)
+    )(qs, ts, ln)
+
+
+def chain_anchors_batch(runs_list: list[np.ndarray], gap_open: int = 20,
+                        gap_extend: int = 1, max_gap: int = 8192,
+                        lookback: int = 64) -> list[tuple]:
+    """Batched chain_anchors over many anchor sets.
+
+    Tasks are pow2-pad-binned and each bin runs as ONE vmapped scan
+    dispatch — amortizing device latency and bounding XLA recompiles to
+    O(log max_n) shapes instead of one per distinct anchor count.
+    Returns [(order, scores, preds), ...] matching runs_list order.
+    """
+    out: list = [None] * len(runs_list)
+    bins: dict[int, list[int]] = {}
+    padded: list = [None] * len(runs_list)
+    orders: list = [None] * len(runs_list)
+    for i, runs in enumerate(runs_list):
+        if len(runs) == 0:
+            out[i] = (np.zeros(0, np.int64),) * 3
+            continue
+        order = np.lexsort((runs[:, 1], runs[:, 0]))
+        r = _pad_sorted_runs(runs[order].astype(np.int32))
+        orders[i] = order
+        padded[i] = r
+        bins.setdefault(len(r), []).append(i)
+    from . import smart_put
+    for L, idxs in bins.items():
+        stack = np.stack([padded[i] for i in idxs])
+        put = smart_put(len(idxs) * L * lookback)
+        scores, preds = _chain_scan_batch(
+            put(stack[:, :, 0]), put(stack[:, :, 1]), put(stack[:, :, 2]),
+            gap_open, gap_extend, max_gap, lookback)
+        scores = np.asarray(scores)
+        preds = np.asarray(preds)
+        for row, i in enumerate(idxs):
+            n = len(orders[i])
+            out[i] = (orders[i], scores[row, :n], preds[row, :n])
+    return out
 
 
 def extract_chains(runs: np.ndarray, order: np.ndarray, scores: np.ndarray,

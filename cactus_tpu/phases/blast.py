@@ -82,6 +82,7 @@ def find_anchors(q: np.ndarray, t: np.ndarray, k: int, step: int,
 @dataclass
 class _PendingGap:
     """A gap between chained runs awaiting banded alignment."""
+    task: int          # index into the task list (0 for single-pair use)
     chain_id: int
     slot: int          # position in the chain's op layout
     q0: int
@@ -91,7 +92,10 @@ class _PendingGap:
 
 
 def _fill_gaps_banded(gaps, qcodes, tcodes, submat, gap_params):
-    """Batch-align all pending gaps, binned by band requirement."""
+    """Batch-align all pending gaps, binned by band requirement.
+
+    `qcodes`/`tcodes` may be single arrays (all gaps on one pair) or
+    lists indexed by `g.task` for a cross-task global batch."""
     results = {}
     by_band: dict[int, list] = {}
     for g in gaps:
@@ -100,24 +104,22 @@ def _fill_gaps_banded(gaps, qcodes, tcodes, submat, gap_params):
         while band <= span + 16:
             band *= 2
         by_band.setdefault(band, []).append(g)
+    multi = isinstance(qcodes, list)
     for band, group in by_band.items():
-        pairs = [(qcodes[g.q0:g.q1], tcodes[g.t0:g.t1]) for g in group]
+        if multi:
+            pairs = [(qcodes[g.task][g.q0:g.q1], tcodes[g.task][g.t0:g.t1])
+                     for g in group]
+        else:
+            pairs = [(qcodes[g.q0:g.q1], tcodes[g.t0:g.t1]) for g in group]
         out = align_pairs_banded(pairs, submat, gap_params, band=band)
         for g, (_score, ops) in zip(group, out):
-            results[(g.chain_id, g.slot)] = ops
+            results[(g.task, g.chain_id, g.slot)] = ops
     return results
 
 
-def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
-                      strand, cfg: BlastParams, submat, max_fill: int = 8192):
-    """Convert extracted chains into PafRecords with full cigars.
-
-    qcodes are on the aligned strand ('-' = already reverse-complemented);
-    coordinates are converted to forward-strand PAF at the end.
-    """
-    gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
-    qlen = len(qcodes)
-    # collect per-chain segments: list of (kind, payload)
+def _chain_layouts(chains, cfg: BlastParams, task: int = 0,
+                   max_fill: int = 8192):
+    """Pass 1 of chains→records: op layouts + pending gap list."""
     pending: list[_PendingGap] = []
     layouts = []  # per chain: list of ops or placeholders ("gap", slot)
     for cid, ch in enumerate(chains):
@@ -148,15 +150,20 @@ def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
                                            ("D", int(tg))]))
                 else:
                     layout.append(("gap", slot))
-                    pending.append(_PendingGap(cid, slot, int(pqe), int(qs),
+                    pending.append(_PendingGap(task, cid, slot,
+                                               int(pqe), int(qs),
                                                int(pte), int(ts)))
                     slot += 1
             layout.append(("run", int(qs), int(ts), int(ln)))
             prev = (qs + ln, ts + ln)
         layouts.append(layout)
+    return layouts, pending
 
-    filled = _fill_gaps_banded(pending, qcodes, tcodes, submat, gap_params)
 
+def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
+                  tlen, strand, cfg: BlastParams, submat, task: int = 0):
+    """Pass 2 of chains→records: assemble cigars + score + emit PAF."""
+    gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
     records = []
     for cid, layout in enumerate(layouts):
         if not layout:
@@ -182,7 +189,7 @@ def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
                 elif it[0] == "ops":
                     ops.extend(it[1])
                 else:  # gap
-                    ops.extend(filled[(cid, it[1])])
+                    ops.extend(filled[(task, cid, it[1])])
             ops = merge_cigar(ops)
             nmatch, score = _score_alignment(qcodes, tcodes, q0, t0, ops,
                                              submat, gap_params)
@@ -201,6 +208,20 @@ def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
             rec.set_tag("AS", "i", score)
             records.append(rec)
     return records
+
+
+def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
+                      strand, cfg: BlastParams, submat, max_fill: int = 8192):
+    """Convert extracted chains into PafRecords with full cigars.
+
+    qcodes are on the aligned strand ('-' = already reverse-complemented);
+    coordinates are converted to forward-strand PAF at the end.
+    """
+    gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
+    layouts, pending = _chain_layouts(chains, cfg, max_fill=max_fill)
+    filled = _fill_gaps_banded(pending, qcodes, tcodes, submat, gap_params)
+    return _emit_records(layouts, filled, qcodes, tcodes, qname, tname,
+                         qlen_full, tlen, strand, cfg, submat)
 
 
 def _score_alignment(qcodes, tcodes, q0, t0, ops, submat, gp: GapParams):
@@ -339,17 +360,25 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
     return out
 
 
+def _task_runs(task: StrandTask, qpos: np.ndarray, tpos: np.ndarray,
+               cfg: BlastParams) -> np.ndarray:
+    """Anchors → merged diagonal runs for one task (host, vectorized)."""
+    sp = cfg.seed
+    span = sp.span_for(task.preset)
+    step = sp.step_for(task.preset)
+    if task.self_alignment and task.strand == "+":
+        keep = qpos != tpos  # drop the trivial self-diagonal
+        qpos, tpos = qpos[keep], tpos[keep]
+    return seed_ops.merge_diagonal_runs(qpos, tpos, k=span, max_gap=step)
+
+
 def records_for_task(task: StrandTask, qpos: np.ndarray, tpos: np.ndarray,
                      cfg: BlastParams, submat) -> list[PafRecord]:
     """Anchors → diagonal runs → chains → gap-filled PAF records."""
     sp = cfg.seed
-    span = sp.span_for(task.preset)
-    step = sp.step_for(task.preset)
-    min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match, span)
-    if task.self_alignment and task.strand == "+":
-        keep = qpos != tpos  # drop the trivial self-diagonal
-        qpos, tpos = qpos[keep], tpos[keep]
-    runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=span, max_gap=step)
+    min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match,
+                    sp.span_for(task.preset))
+    runs = _task_runs(task, qpos, tpos, cfg)
     if len(runs) == 0:
         return []
     # seed-run-level chaining: gaps larger than max_fill split records
@@ -365,12 +394,46 @@ def records_for_task(task: StrandTask, qpos: np.ndarray, tpos: np.ndarray,
 
 def run_tasks(tasks: list[StrandTask], cfg: BlastParams,
               mesh=None, log=None) -> list[PafRecord]:
-    """Anchor + chain + fill a task list; anchoring shards over `mesh`."""
+    """Anchor + chain + fill a task list; anchoring shards over `mesh`.
+
+    Dispatch/collect structure: (1) all seed joins (mesh-sharded bins),
+    (2) all chain-DP scans as pow2-binned vmapped batches, (3) ONE
+    global gap-fill pass band-binned across every task, (4) host record
+    assembly.  Output is identical to per-task processing; device
+    round-trips drop from O(tasks) to O(shape bins).
+    """
     submat = score_matrix_6(PoaParams().sub_matrix)
     anchors = anchors_for_tasks(tasks, cfg, mesh=mesh, log=log)
+    runs_list = [_task_runs(t, qp, tp, cfg)
+                 for t, (qp, tp) in zip(tasks, anchors)]
+    chained = chain_ops.chain_anchors_batch(runs_list, max_gap=8192)
+
+    sp = cfg.seed
+    gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
+    all_layouts: list = []
+    all_pending: list[_PendingGap] = []
+    for i, (task, runs, (order, scores, preds)) in enumerate(
+            zip(tasks, runs_list, chained)):
+        if len(runs) == 0:
+            all_layouts.append([])
+            continue
+        min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match,
+                        sp.span_for(task.preset))
+        chains = chain_ops.extract_chains(runs, order, scores, preds,
+                                          min_score=min_chain)
+        layouts, pending = _chain_layouts(chains, cfg, task=i)
+        all_layouts.append(layouts)
+        all_pending.extend(pending)
+
+    filled = _fill_gaps_banded(all_pending,
+                               [t.q for t in tasks], [t.t for t in tasks],
+                               submat, gap_params)
+
     records: list[PafRecord] = []
-    for task, (qpos, tpos) in zip(tasks, anchors):
-        records.extend(records_for_task(task, qpos, tpos, cfg, submat))
+    for i, (task, layouts) in enumerate(zip(tasks, all_layouts)):
+        records.extend(_emit_records(
+            layouts, filled, task.q, task.t, task.qname, task.tname,
+            task.qlen_full, task.tlen, task.strand, cfg, submat, task=i))
     return records
 
 
