@@ -48,7 +48,14 @@ def run_pangenome(genomes: dict[str, dict[str, Sequence]],
         seqs.update(genomes[ev])
     pg = graph_mod.build_graph(step.caf, seqs)
     pg.validate(seqs)
+    return _emit_graph_artifacts(pg, seqs, ref_event, outdir,
+                                 normalize=normalize, clip=clip, log=log)
 
+
+def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
+                          outdir: str, normalize: bool = True,
+                          clip: int | None = 10_000,
+                          log=lambda m: None) -> dict:
     if normalize:
         rounds = collapse_shared_affixes(pg)
         pg.validate(seqs)
@@ -82,6 +89,62 @@ def run_pangenome(genomes: dict[str, dict[str, Sequence]],
         json.dump(stats, fh, indent=1)
     log(f"graph: {stats['n_nodes']} nodes, {stats['n_edges']} edges, "
         f"{stats['n_paths']} paths → {gfa}")
+    return stats
+
+
+def run_pangenome_sv(genomes: dict[str, dict[str, Sequence]],
+                     ref_event: str, outdir: str,
+                     config: Config | None = None,
+                     min_sv: int = 50,
+                     min_chain_override: int | None = 64,
+                     normalize: bool = True, clip: int | None = 10_000,
+                     log=lambda m: None) -> dict:
+    """The full minigraph-cactus tier: iterative SV graph → graphmap →
+    base-level alignment against the graph → normalize/clip/VCF.
+
+    Mirrors cactus-pangenome's stage chain (refmap/cactus_pangenome.py:
+    3-13): instead of the all-pairs star alignment, every haplotype is
+    aligned only to the SV graph's node sequences (the `_MINIGRAPH_`
+    event), and base-level homology between haplotypes arises
+    transitively through the shared node columns in CAF — the reference
+    architecture, and O(haplotypes), not O(haplotypes²).
+    """
+    from ..io.paf import write_paf
+    from ..phases.caf import run_caf
+    from .minigraph import build_sv_graph, graphmap
+
+    os.makedirs(outdir, exist_ok=True)
+    cfg = config or Config.default()
+    svg, order = build_sv_graph(genomes, ref_event, config=cfg,
+                                min_sv=min_sv, log=log)
+    svg.write_rgfa(os.path.join(outdir, "sv_graph.rgfa"))
+    records = graphmap(svg, genomes, config=cfg, log=log)
+    with open(os.path.join(outdir, "graphmap.paf"), "w") as fh:
+        write_paf(fh, records)
+
+    seqs: dict[str, Sequence] = dict(svg.node_fasta())
+    node_names = set(seqs)
+    for ev in genomes:
+        seqs.update(genomes[ev])
+    caf = run_caf(records, {n: len(s) for n, s in seqs.items()},
+                  cfg.caf, ingroup_events=set(genomes) | {"_MINIGRAPH_"},
+                  min_chain_override=min_chain_override, log=log)
+    pg = graph_mod.build_graph(caf, seqs)
+    pg.validate(seqs)
+    # drop the graph pseudo-event's walks (join drops _MINIGRAPH_)
+    from .normalize import compact
+    for n in node_names:
+        pg.walks.pop(n, None)
+    compact(pg)
+    hap_seqs = {n: s for n, s in seqs.items() if n not in node_names}
+    pg.validate(hap_seqs)
+    stats = _emit_graph_artifacts(pg, hap_seqs, ref_event, outdir,
+                                  normalize=normalize, clip=clip, log=log)
+    stats["sv_graph"] = dict(n_nodes=svg.n_nodes,
+                             n_edges=len(svg.edges),
+                             order=order)
+    with open(os.path.join(outdir, "graph_stats.json"), "w") as fh:
+        json.dump(stats, fh, indent=1)
     return stats
 
 
