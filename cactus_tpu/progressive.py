@@ -169,8 +169,13 @@ class ProgressiveAligner:
     def __init__(self, tree: Tree, genomes: dict[str, dict[str, Sequence]],
                  config: Config | None = None,
                  min_chain_override: int | None = None,
-                 store=None, log=None, n_devices: int | None = None):
+                 store=None, log=None, n_devices: int | None = None,
+                 tree_workers: int = 1):
         self.tree = tree.copy()
+        # ancestor-level (tree) parallelism: independent subtree steps
+        # run concurrently (the reference's one-Toil-job-per-ancestor
+        # DAG, progressive_schedule cactus_progressive.py:86-155)
+        self.tree_workers = max(1, tree_workers)
         self.tree.name_internal_nodes()
         self.config = config or Config.default()
         self.genomes = dict(genomes)
@@ -185,7 +190,10 @@ class ProgressiveAligner:
             from .parallel.mesh import make_mesh
             self.mesh = make_mesh(n_devices)
 
-    def run(self) -> ProgressiveResult:
+    def run(self, targets: set[str] | None = None) -> ProgressiveResult:
+        """Run all ancestor steps (or only `targets`, relying on the
+        store for their dependencies — the cactus-prepare decomposed
+        per-ancestor stage semantics)."""
         import time
         steps: dict[str, AncestorStep] = {}
         if self.store is not None:
@@ -193,26 +201,17 @@ class ProgressiveAligner:
             for ev, genome in self.genomes.items():
                 if not self.store.has_genome(ev):
                     self.store.save_genome(ev, genome)
-        for node in self.tree.postorder():
-            if node.is_leaf():
-                continue
-            if (self.store is not None and self.store.has_step(node.name)
-                    and self.store.has_genome(node.name)):
-                # resume: reuse the checkpointed step (--restart semantics)
-                step = self.store.load_step(node.name)
-                self.genomes[node.name] = dict(step.ref.sequences)
-                steps[node.name] = step
-                self.log(f"{node.name}: resumed from store")
-                continue
-            t0 = time.time()
-            step = self._ancestor_step(node)
-            steps[node.name] = step
-            self.log(f"{node.name}: {int(step.caf.alive.sum())} blocks, "
-                     f"{step.ref.total_length()} bp ancestor, "
-                     f"{time.time() - t0:.1f}s")
-            if self.store is not None:
-                self.store.save_genome(node.name, self.genomes[node.name])
-                self.store.save_step(step)
+        internal = [n for n in self.tree.postorder() if not n.is_leaf()]
+        if targets is not None:
+            internal = [n for n in internal
+                        if n.name in targets
+                        or (self.store is not None
+                            and self.store.has_step(n.name))]
+        if self.tree_workers > 1:
+            self._run_tree_parallel(internal, steps)
+        else:
+            for node in internal:
+                self._run_node(node, steps)
         result = ProgressiveResult(tree=self.tree, steps=steps,
                                    genomes=self.genomes)
         if self.config.check.run_check:
@@ -226,6 +225,64 @@ class ProgressiveAligner:
                     "hal_validate failed:\n" + "\n".join(errs))
             self.log("runCheck: hal_validate clean")
         return result
+
+    def _run_node(self, node: Tree, steps: dict[str, AncestorStep]) -> None:
+        """One ancestor: resume from the store or compute + checkpoint."""
+        import time
+        if (self.store is not None and self.store.has_step(node.name)
+                and self.store.has_genome(node.name)):
+            # resume: reuse the checkpointed step (--restart semantics)
+            step = self.store.load_step(node.name)
+            self.genomes[node.name] = dict(step.ref.sequences)
+            steps[node.name] = step
+            self.log(f"{node.name}: resumed from store")
+            return
+        t0 = time.time()
+        step = self._ancestor_step(node)
+        steps[node.name] = step
+        self.log(f"{node.name}: {int(step.caf.alive.sum())} blocks, "
+                 f"{step.ref.total_length()} bp ancestor, "
+                 f"{time.time() - t0:.1f}s")
+        if self.store is not None:
+            self.store.save_genome(node.name, self.genomes[node.name])
+            self.store.save_step(step)
+
+    def _run_tree_parallel(self, internal: list[Tree],
+                           steps: dict[str, AncestorStep]) -> None:
+        """Dependency-scheduled concurrent ancestor steps.
+
+        A node is ready once every internal child's step exists (leaf
+        children and leaf outgroups are always ready); the thread pool
+        mirrors the reference's Toil job DAG over ancestors.  Steps land
+        in `steps` / `self.genomes` under the GIL, and a node is only
+        submitted after its dependencies completed, so workers never
+        race on shared state.
+        """
+        from concurrent.futures import (FIRST_COMPLETED, ThreadPoolExecutor,
+                                        wait)
+        internal_names = {n.name for n in internal}
+        pending = {n.name: n for n in internal}
+        done: set[str] = set()
+
+        def ready(node: Tree) -> bool:
+            return all(c.name in done or c.name not in internal_names
+                       for c in node.children)
+
+        with ThreadPoolExecutor(max_workers=self.tree_workers) as pool:
+            futures = {}
+            while pending or futures:
+                for name in [n for n, nd in pending.items() if ready(nd)]:
+                    futures[pool.submit(self._run_node, pending[name],
+                                        steps)] = name
+                    del pending[name]
+                if not futures:
+                    raise RuntimeError("tree schedule deadlock: "
+                                       f"pending={list(pending)}")
+                fin, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+                for f in fin:
+                    name = futures.pop(f)
+                    f.result()      # propagate worker exceptions
+                    done.add(name)
 
     # ---- one ancestor ----
     def _ancestor_step(self, node: Tree) -> AncestorStep:

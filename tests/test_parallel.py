@@ -72,3 +72,31 @@ def test_entry_compiles():
     fn, args = entry()
     out = jax.jit(fn, static_argnames=())(*args)
     jax.block_until_ready(out)
+
+
+def test_distributed_noop_single_process(monkeypatch):
+    from cactus_tpu.parallel import distributed as dist
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert dist.initialize() is False
+    assert dist.is_primary()
+    assert dist.process_count() == 1
+
+
+def test_host_device_mesh_cpu():
+    import jax
+    from cactus_tpu.parallel import distributed as dist
+    mesh = dist.host_device_mesh(backend="cpu")
+    n = len(jax.devices("cpu"))
+    assert mesh.shape["h"] * mesh.shape["d"] == n
+    gm = dist.global_mesh(backend="cpu")
+    assert gm.shape["d"] == n
+
+
+def test_scaling_report():
+    from cactus_tpu.parallel import distributed as dist
+    mesh = dist.global_mesh(backend="cpu")
+    n = mesh.shape["d"]
+    rep = dist.scaling_report(mesh, t_one=10.0, t_mesh=10.0 / n)
+    assert rep["efficiency"] == 1.0
+    rep = dist.scaling_report(mesh, t_one=10.0, t_mesh=12.5 / n)
+    assert abs(rep["efficiency"] - 0.8) < 1e-6

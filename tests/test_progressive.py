@@ -87,3 +87,25 @@ def test_progressive_four_leaves_with_outgroup():
         scores[(x, y)] = s
         assert s.recall > 0.80, (x, y, s)
         assert s.precision > 0.85, (x, y, s)
+
+
+def test_tree_parallel_matches_sequential():
+    """Ancestor-level parallelism (Toil job-DAG analog) is bit-stable:
+    two workers produce the same homology sets as the sequential
+    postorder."""
+    tree = parse_newick(
+        "((a:0.02,b:0.02)ab:0.02,(c:0.02,d:0.02)cd:0.02)root;")
+    sim = evolver.simulate(tree, root_len=6_000, seed=29)
+    genomes = _genomes_from_sim(sim, ["a", "b", "c", "d"])
+    r1 = progressive.ProgressiveAligner(
+        tree, genomes, min_chain_override=64).run()
+    r2 = progressive.ProgressiveAligner(
+        tree, genomes, min_chain_override=64, tree_workers=2).run()
+    assert set(r2.steps) == set(r1.steps)
+    for x, y in [("a", "b"), ("c", "d"), ("a", "d")]:
+        p1 = progressive.leaf_pairs(r1, x, y)
+        p2 = progressive.leaf_pairs(r2, x, y)
+        assert np.array_equal(np.sort(np.asarray(list(p1))
+                                      if isinstance(p1, set) else p1),
+                              np.sort(np.asarray(list(p2))
+                                      if isinstance(p2, set) else p2))
