@@ -73,6 +73,25 @@ def cmd_preprocess(args) -> int:
     sf = SeqFile.parse(args.seqfile)
     genomes = load_genomes_from_seqfile(sf, do_mask=not args.no_mask)
     os.makedirs(args.outdir, exist_ok=True)
+    if getattr(args, "tandem_mask", False):
+        from .preprocessor.variants import tandem_mask_genome
+        genomes = {ev: tandem_mask_genome(g) for ev, g in genomes.items()}
+    if getattr(args, "lastz_mask", False):
+        from .config import Config
+        from .preprocessor.variants import lastz_repeat_mask
+        cfg = Config.default().blast
+        genomes = {ev: lastz_repeat_mask(g, cfg, log=_log)
+                   for ev, g in genomes.items()}
+    if getattr(args, "satellite", None):
+        from .preprocessor.variants import satellite_bed, apply_bed
+        for ev in list(genomes):
+            bed = satellite_bed(genomes[ev])
+            if bed:
+                with open(os.path.join(args.outdir,
+                                       f"{ev}.satellites.bed"), "w") as fh:
+                    for row in bed:
+                        fh.write("\t".join(str(x) for x in row) + "\n")
+                genomes[ev] = apply_bed(genomes[ev], bed, args.satellite)
     for event, genome in genomes.items():
         p = os.path.join(args.outdir, f"{event}.fa")
         write_fasta(p, genome)
@@ -94,10 +113,20 @@ def cmd_align(args) -> int:
         _log(f"loaded config overrides from {args.config}")
     aligner = ProgressiveAligner(
         tree, genomes, config=config,
-        min_chain_override=args.min_chain, store=store, log=_log)
-    result = aligner.run()
+        min_chain_override=args.min_chain, store=store, log=_log,
+        tree_workers=getattr(args, "tree_workers", 1))
+    targets = ({t for t in args.target.split(",")}
+               if getattr(args, "target", None) else None)
+    result = aligner.run(targets=targets)
+    if targets is not None:
+        _log(f"computed target step(s) {sorted(targets)}; artifacts "
+             "for finished steps only")
     from .phases import hal as hal_phase
     hal_phase.write_result_c2h(result, args.outdir + "/c2h")
+    if getattr(args, "hal", None):
+        from .hal_archive import HalArchive
+        HalArchive.from_result(args.hal, result)
+        _log(f"wrote HAL archive {args.hal}")
     if args.maf:
         hal_phase.write_hal2maf(args.maf, result, args.ref_genome)
         _log(f"wrote {args.maf}")
@@ -152,23 +181,26 @@ def cmd_hal2maf(args) -> int:
 
 
 def cmd_prepare(args) -> int:
-    """Print the step-decomposed command plan (cactus-prepare analog:
-    every stage independently runnable/restartable)."""
+    """Step-decomposed command plan (cactus-prepare analog: every stage
+    independently runnable/restartable); optional shell script / WDL
+    workflow output."""
+    import sys
+    from .prepare import make_plan, write_script, write_wdl
     sf = SeqFile.parse(args.seqfile)
     tree = sf.tree if sf.tree is not None else sf.star_tree()
-    t = tree.copy()
-    t.name_internal_nodes()
-    print(f"## cactus-tpu plan for {args.seqfile} -> {args.outdir}")
-    print(f"python -m cactus_tpu preprocess {args.seqfile} "
-          f"{args.outdir}/prep")
-    for node in t.postorder():
-        if node.is_leaf():
-            continue
-        children = ", ".join(c.name for c in node.children)
-        print(f"# ancestor {node.name} (children: {children})")
-    print(f"python -m cactus_tpu align {args.seqfile} {args.outdir} "
-          f"--maf {args.outdir}/out.maf")
-    print(f"python -m cactus_tpu stats {args.outdir}")
+    stages = make_plan(tree, args.seqfile, args.outdir)
+    if getattr(args, "wdl", None):
+        with open(args.wdl, "w") as fh:
+            write_wdl(stages, fh)
+        _log(f"wrote WDL workflow {args.wdl}")
+    if getattr(args, "script", None):
+        with open(args.script, "w") as fh:
+            write_script(stages, fh)
+        _log(f"wrote script {args.script}")
+    if not getattr(args, "wdl", None) and not getattr(args, "script",
+                                                      None):
+        print(f"## cactus-tpu plan for {args.seqfile} -> {args.outdir}")
+        write_script(stages, sys.stdout)
     return 0
 
 
@@ -245,6 +277,39 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_hal(args) -> int:
+    """HAL-archive tools: stats / fasta / maf / validate / removeDupes
+    (the halStats / hal2fasta / hal2maf / halValidate / halRemoveDupes
+    CLI surface of the reference hal submodule)."""
+    from .hal_archive import HalArchive
+    arc = HalArchive.open(args.archive)
+    if args.tool == "stats":
+        for row in arc.stats():
+            print("{genome}\t{n_sequences}\t{length}\t{n_top_segments}\t"
+                  "{n_bottom_segments}".format(**row))
+    elif args.tool == "fasta":
+        from .io.fasta import write_fasta
+        import sys
+        write_fasta(args.out or sys.stdout, arc.dna(args.genome))
+    elif args.tool == "maf":
+        from .io.maf import write_maf
+        blocks = arc.hal2maf(ref_genome=args.genome,
+                             ref_seq=args.ref_seq,
+                             ref_start=args.start,
+                             ref_end=args.end)
+        write_maf(args.out, blocks)
+        _log(f"wrote {args.out} ({len(blocks)} blocks)")
+    elif args.tool == "validate":
+        errs = arc.validate()
+        for e in errs:
+            print(e)
+        return 1 if errs else 0
+    elif args.tool == "removeDupes":
+        n = arc.remove_dupes(args.genome)
+        _log(f"demoted {n} duplicate top segments in {args.genome}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cactus-tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -253,6 +318,7 @@ def main(argv=None) -> int:
     pa.add_argument("seqfile")
     pa.add_argument("outdir")
     pa.add_argument("--maf", help="also write a MAF referenced on the root")
+    pa.add_argument("--hal", help="also write a durable .hal archive")
     pa.add_argument("--ref-genome", default=None)
     pa.add_argument("--min-chain", type=int, default=None,
                     help="override the melting minimum chain length")
@@ -260,6 +326,11 @@ def main(argv=None) -> int:
                     help="repeat-mask inputs before aligning")
     pa.add_argument("--config", default=None,
                     help="cactus-format config XML with parameter overrides")
+    pa.add_argument("--tree-workers", type=int, default=1,
+                    help="concurrent independent ancestor steps")
+    pa.add_argument("--target", default=None,
+                    help="compute only these ancestor step(s) "
+                         "(comma-separated; deps resume from the store)")
     pa.set_defaults(fn=cmd_align)
 
     pp = sub.add_parser("preprocess",
@@ -267,6 +338,15 @@ def main(argv=None) -> int:
     pp.add_argument("seqfile")
     pp.add_argument("outdir")
     pp.add_argument("--no-mask", action="store_true")
+    pp.add_argument("--tandem-mask", action="store_true",
+                    help="FasTAN-style tandem-repeat masking")
+    pp.add_argument("--lastz-mask", action="store_true",
+                    help="sampled self-alignment repeat masking")
+    pp.add_argument("--satellite", choices=["softmask", "hardmask",
+                                            "clip"],
+                    help="annotate satellite arrays (dna-brnn analog) "
+                         "and apply the given action; writes "
+                         "<event>.satellites.bed")
     pp.set_defaults(fn=cmd_preprocess)
 
     pb = sub.add_parser("blast", help="pairwise anchoring stage → PAF")
@@ -291,6 +371,10 @@ def main(argv=None) -> int:
                         help="print the step-decomposed command plan")
     pr.add_argument("seqfile")
     pr.add_argument("outdir")
+    pr.add_argument("--wdl", default=None,
+                    help="write a WDL 1.0 workflow (Cromwell/Terra)")
+    pr.add_argument("--script", default=None,
+                    help="write an ordered shell script")
     pr.set_defaults(fn=cmd_prepare)
 
     pu = sub.add_parser("update",
@@ -318,6 +402,18 @@ def main(argv=None) -> int:
     pv.add_argument("out")
     pv.add_argument("--ref-genome", default=None)
     pv.set_defaults(fn=cmd_conservation)
+
+    ph = sub.add_parser("hal", help="HAL archive tools (halStats/"
+                        "hal2fasta/hal2maf/halValidate/halRemoveDupes)")
+    ph.add_argument("tool", choices=["stats", "fasta", "maf", "validate",
+                                     "removeDupes"])
+    ph.add_argument("archive")
+    ph.add_argument("--genome", default=None)
+    ph.add_argument("--out", default=None)
+    ph.add_argument("--ref-seq", default=None)
+    ph.add_argument("--start", type=int, default=0)
+    ph.add_argument("--end", type=int, default=None)
+    ph.set_defaults(fn=cmd_hal)
 
     ps = sub.add_parser("stats", help="halStats-style genome table")
     ps.add_argument("store")

@@ -89,3 +89,26 @@ def test_store_roundtrip_equivalence(sim_dir, tmp_path):
         p1 = progressive.leaf_pairs(res, x, y)
         p2 = progressive.leaf_pairs(res2, x, y)
         assert p1 == p2
+
+
+def test_cli_hal_archive_tools(sim_dir, tmp_path, capsys):
+    _sim, seqfile, _d = sim_dir
+    out = str(tmp_path / "aln")
+    hal = str(tmp_path / "aln.hal")
+    assert cli.main(["align", seqfile, out, "--hal", hal,
+                     "--min-chain", "64"]) == 0
+    assert os.path.getsize(hal) > 0
+    assert cli.main(["hal", "validate", hal]) == 0
+    assert cli.main(["hal", "stats", hal]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert any(l.startswith("root\t") for l in lines)
+    fa = str(tmp_path / "a.fa")
+    assert cli.main(["hal", "fasta", hal, "--genome", "a",
+                     "--out", fa]) == 0
+    assert os.path.getsize(fa) > 0
+    maf = str(tmp_path / "arc.maf")
+    assert cli.main(["hal", "maf", hal, "--genome", "root",
+                     "--out", maf]) == 0
+    assert os.path.getsize(maf) > 0
+    assert cli.main(["hal", "removeDupes", hal, "--genome", "a"]) == 0
+    assert cli.main(["hal", "validate", hal]) == 0
