@@ -175,6 +175,15 @@ def cmd_hal2maf(args) -> int:
     if args.merge:
         from .maf_tools import merge_adjacent_blocks
         blocks = merge_adjacent_blocks(blocks)
+    if getattr(args, "norm", False):
+        from .io.taf import taf_norm
+        blocks = taf_norm(blocks)
+    if getattr(args, "taf", False):
+        from .io.taf import write_taf, taf_index
+        write_taf(args.out, blocks)
+        taf_index(args.out)
+        _log(f"wrote {args.out} (+.tai index, {len(blocks)} blocks)")
+        return 0
     write_maf(args.out, blocks)
     _log(f"wrote {args.out} ({len(blocks)} blocks)")
     return 0
@@ -364,7 +373,11 @@ def main(argv=None) -> int:
     pm.add_argument("--dup-filter", default=None,
                     choices=["single", "single-ref", "consensus"])
     pm.add_argument("--merge", action="store_true",
-                    help="merge abutting blocks (taffy norm)")
+                    help="merge abutting blocks")
+    pm.add_argument("--norm", action="store_true",
+                    help="taffy-norm block merging (gap fill ≤30bp)")
+    pm.add_argument("--taf", action="store_true",
+                    help="write TAF (+.tai index) instead of MAF")
     pm.set_defaults(fn=cmd_hal2maf)
 
     pr = sub.add_parser("prepare",
