@@ -70,6 +70,11 @@ def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
     graph_mod.write_gfa(gfa, pg, ref_name=ref_paths[0])
     vcf = os.path.join(outdir, "pangenome.vcf")
     vcf_mod.write_vcf(vcf, pg, ref_paths[0])
+    # the processed tier: collapse-bubble merge_duplicates + vcfbub
+    # (graphmap-join's `vcfbub --max-level 0 --max-ref-length 100000`)
+    vcf_mod.write_vcf(os.path.join(outdir, "pangenome.bub.vcf"), pg,
+                      ref_paths[0], merge_dups=True,
+                      bub_max_ref_length=100_000, max_level=0)
 
     stats = graph_mod.graph_stats(pg)
     if clip is not None:

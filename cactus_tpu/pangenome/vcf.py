@@ -191,9 +191,14 @@ def vcf_records(graph: PanGraph, ref_name: str,
 
 
 def write_vcf(path_or_file, graph: PanGraph, ref_name: str,
-              nested: bool = True, max_level: int | None = None) -> None:
+              nested: bool = True, max_level: int | None = None,
+              bub_max_ref_length: int | None = None,
+              merge_dups: bool = False) -> None:
     """nested=True uses the anchor-chained snarl deconstruction with LV
-    nesting tags; max_level drops deeper sites (vcfbub --max-level)."""
+    nesting tags; max_level drops deeper sites (vcfbub --max-level);
+    bub_max_ref_length pops oversized top-level sites (vcfbub
+    --max-ref-length) and merge_dups fuses same-CHROM/POS/REF sites
+    (collapse-bubble merge_duplicates)."""
     own = not hasattr(path_or_file, "write")
     fh = open(path_or_file, "w") if own else path_or_file
     try:
@@ -209,6 +214,11 @@ def write_vcf(path_or_file, graph: PanGraph, ref_name: str,
                  + "\t".join(samples) + "\n")
         recs = (vcf_records_nested(graph, ref_name) if nested
                 else vcf_records(graph, ref_name))
+        if merge_dups:
+            recs = merge_duplicates(recs)
+        if bub_max_ref_length is not None:
+            recs = vcfbub(recs, max_level=max_level or 0,
+                          max_ref_length=bub_max_ref_length)
         for rec in recs:
             if max_level is not None and rec.lv > max_level:
                 continue
@@ -323,3 +333,58 @@ def vcf_records_nested(graph: PanGraph, ref_name: str) -> list[VcfRecord]:
                 lv += 1
         r.lv = lv
     return records
+
+
+# --------------------------------------------------------------------------
+# VCF post-processing: vcfbub + collapse-bubble merge_duplicates
+# --------------------------------------------------------------------------
+
+def vcfbub(records: list[VcfRecord], max_level: int = 0,
+           max_ref_length: int | None = None) -> list[VcfRecord]:
+    """vcfbub semantics (graphmap-join runs `vcfbub --max-level 0
+    --max-ref-length 100000`, cactus_graphmap_join.py:652+): keep
+    top-level sites (LV ≤ max_level); when a kept site's reference
+    allele exceeds max_ref_length, "pop" it — drop the giant record and
+    keep the nested records inside its span instead."""
+    spans = {id(r): (r.pos, r.pos + len(r.ref)) for r in records}
+    popped_spans: list[tuple[int, int]] = []
+    out: list[VcfRecord] = []
+    for r in sorted(records, key=lambda r: (r.pos, -len(r.ref))):
+        if r.lv <= max_level:
+            if max_ref_length is not None and len(r.ref) > max_ref_length:
+                popped_spans.append(spans[id(r)])
+                continue
+            out.append(r)
+        else:
+            a, b = spans[id(r)]
+            if any(pa <= a and b <= pb for pa, pb in popped_spans):
+                out.append(r)
+    return sorted(out, key=lambda r: r.pos)
+
+
+def merge_duplicates(records: list[VcfRecord]) -> list[VcfRecord]:
+    """collapse-bubble merge_duplicates (config XML :493): records at
+    the same CHROM/POS/REF fuse into one site — ALT lists union (stable
+    order), genotypes remapped; conflicting genotype calls for one
+    sample keep the first (deterministic input order)."""
+    merged: dict[tuple[str, int, str], VcfRecord] = {}
+    order: list[tuple[str, int, str]] = []
+    for r in records:
+        key = (r.chrom, r.pos, r.ref)
+        m = merged.get(key)
+        if m is None:
+            merged[key] = VcfRecord(chrom=r.chrom, pos=r.pos, ref=r.ref,
+                                    alts=list(r.alts),
+                                    genotypes=dict(r.genotypes), lv=r.lv)
+            order.append(key)
+            continue
+        remap = {}
+        for ai, alt in enumerate(r.alts, start=1):
+            if alt not in m.alts:
+                m.alts.append(alt)
+            remap[ai] = m.alts.index(alt) + 1
+        for sample, g in r.genotypes.items():
+            if sample not in m.genotypes:
+                m.genotypes[sample] = remap.get(g, g) if g else g
+        m.lv = min(m.lv, r.lv)
+    return [merged[k] for k in order]

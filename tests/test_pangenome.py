@@ -251,3 +251,32 @@ def test_pangenome_split_by_chromosome(tmp_path):
     assert set(stats["chromosomes"]) == {"ref.chr1", "ref.chr2"}
     assert os.path.exists(out + "/ref.chr1/pangenome.gfa")
     assert os.path.exists(out + "/ref.chr2/pangenome.vcf")
+
+
+def test_vcfbub_pops_giant_sites():
+    from cactus_tpu.pangenome.vcf import VcfRecord, vcfbub
+    giant = VcfRecord("ref", 100, "A" * 2000, ["A"], {"h1": 1}, lv=0)
+    nested = VcfRecord("ref", 500, "ACG", ["A"], {"h2": 1}, lv=1)
+    small = VcfRecord("ref", 5000, "AT", ["A"], {"h1": 1}, lv=0)
+    deep_orphan = VcfRecord("ref", 9000, "AC", ["A"], {"h2": 1}, lv=1)
+    out = vcfbub([giant, nested, small, deep_orphan],
+                 max_level=0, max_ref_length=1000)
+    assert small in out
+    assert giant not in out          # popped: too long
+    assert nested in out             # kept in place of its parent
+    assert deep_orphan not in out    # nested without popped parent
+    # no length limit: top-level only
+    out2 = vcfbub([giant, nested, small, deep_orphan], max_level=0)
+    assert giant in out2 and nested not in out2
+
+
+def test_merge_duplicates_fuses_same_site():
+    from cactus_tpu.pangenome.vcf import VcfRecord, merge_duplicates
+    a = VcfRecord("ref", 10, "AC", ["A"], {"h1": 1})
+    b = VcfRecord("ref", 10, "AC", ["ATC"], {"h2": 1})
+    c = VcfRecord("ref", 10, "AC", ["A"], {"h3": 1})
+    out = merge_duplicates([a, b, c])
+    assert len(out) == 1
+    m = out[0]
+    assert m.alts == ["A", "ATC"]
+    assert m.genotypes == {"h1": 1, "h2": 2, "h3": 1}
