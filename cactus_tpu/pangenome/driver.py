@@ -76,7 +76,18 @@ def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
                       ref_paths[0], merge_dups=True,
                       bub_max_ref_length=100_000, max_level=0)
 
+    # index factory (graphmap-join emits GBZ/snarls/xg/odgi stats)
+    from .indexes import degree_stats, save_gbz, snarls
+    save_gbz(os.path.join(outdir, "pangenome.gbz"), pg)
+    sn = snarls(pg, ref_paths[0])
+    with open(os.path.join(outdir, "snarls.json"), "w") as fh:
+        json.dump([dict(start=s.start, end=s.end, level=s.level,
+                        span=s.span, n_nodes=s.n_nodes)
+                   for s in sn], fh)
+
     stats = graph_mod.graph_stats(pg)
+    stats["odgi"] = degree_stats(pg)
+    stats["n_snarls"] = len(sn)
     if clip is not None:
         clipped, bed = graph_mod.clip_graph(pg, max_unaligned=clip)
         graph_mod.write_gfa(os.path.join(outdir, "pangenome.clip.gfa"),
