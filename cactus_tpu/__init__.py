@@ -16,3 +16,22 @@ A from-scratch reimplementation of the capabilities of Cactus
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache for every entry point (CLI, driver,
+# bench) — the DP kernels jit once per shape bin and a cold cache costs
+# minutes per bin; tests/conftest.py sets the same values for pytest.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/cactus_tpu_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import sys as _sys
+if "jax" in _sys.modules:
+    # jax already imported (its env snapshot is taken) — set directly
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -304,16 +304,25 @@ class ProgressiveAligner:
                        for c in node.children)
         preset = divergence_preset(2.0 * max_path)
 
-        # per-phase wall-clock telemetry (the reference's st_logInfo
-        # elapsed-seconds lines, pipeline/cactus_consolidated.c:366-555)
+        # per-phase wall-clock + peak-RSS telemetry (the reference's
+        # st_logInfo elapsed-seconds lines and CACTUS_LOG_MEMORY
+        # peak-RSS reporting; pipeline/cactus_consolidated.c:366-555,
+        # shared/common.py:819-825,928-955)
+        import resource as _resource
         import time as _time
         timings: dict[str, float] = {}
+        mem_mb: dict[str, float] = {}
+
+        def _rss_mb() -> float:
+            return _resource.getrusage(
+                _resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
         self.log(f"{node.name}: blast starting (preset {preset}, "
                  f"{len(seqs)} seqs, og={outgroups})")
         t0 = _time.time()
         records = self._blast(node, children, outgroups, preset)
         timings["blast"] = _time.time() - t0
+        mem_mb["blast"] = _rss_mb()
 
         # outgroup alignments are OVERLAY evidence (reconstruction votes),
         # not structural pinches: independent og alignments wobble against
@@ -341,6 +350,7 @@ class ProgressiveAligner:
                       outgroup_events=set(),
                       min_chain_override=self.min_chain_override)
         timings["caf"] = _time.time() - t0
+        mem_mb["caf"] = _rss_mb()
         self.log(f"{node.name}: bar starting "
                  f"({int(caf.alive.sum())} live blocks)")
 
@@ -356,6 +366,7 @@ class ProgressiveAligner:
                          f"{caf.blocks.n_blocks - n0} outgroup-covered "
                          f"segments (bar rescue)")
         timings["bar"] = _time.time() - t0
+        mem_mb["bar"] = _rss_mb()
 
         t0 = _time.time()
         gcodes = bar_phase.global_codes(caf.table, in_seqs)
@@ -365,13 +376,17 @@ class ProgressiveAligner:
                                       og_records=og_records,
                                       og_codes=og_codes)
         timings["reference"] = _time.time() - t0
+        mem_mb["reference"] = _rss_mb()
         # the full ancestor genome (incl. dust threads) stays available
         # for export/maps; the parent's blast packs small contigs into
         # super-contigs, so fragmentation can't explode its pair grid
         self.genomes[node.name] = dict(ref.sequences)
         maps = seq_maps_from_step(caf, ref)
         self.log(f"{node.name} phases: " + " ".join(
-            f"{k}={v:.1f}s" for k, v in timings.items()))
+            f"{k}={v:.1f}s" for k, v in timings.items())
+                 + " | peak rss " + " ".join(
+            f"{k}={v:.0f}MB" for k, v in mem_mb.items()))
+        timings.update({f"{k}_peak_rss_mb": v for k, v in mem_mb.items()})
         return AncestorStep(event=node.name, caf=caf, ref=ref,
                             anc_seq_names=list(ref.sequences),
                             maps=maps, ingroup_events=set(children),
