@@ -147,14 +147,17 @@ def cmd_blast(args) -> int:
     sf = SeqFile.parse(args.seqfile)
     genomes = load_genomes_from_seqfile(sf)
     events = args.events.split(",") if args.events else list(genomes)
+    cfg = Config.default().blast
+    if getattr(args, "fastga", False):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, aligner="fastga")
     records = []
     for i, a in enumerate(events):
         for b in events[i + 1:]:
             for qn, qs in genomes[a].items():
                 for tn, ts in genomes[b].items():
                     records.extend(blast_phase.align_contig_pair(
-                        qs, ts, qn, tn, Config.default().blast,
-                        preset=args.preset))
+                        qs, ts, qn, tn, cfg, preset=args.preset))
     records = blast_phase.mark_primaries(records)
     with open(args.out, "w") as fh:
         write_paf(fh, records)
@@ -364,6 +367,8 @@ def main(argv=None) -> int:
     pb.add_argument("--events", default=None,
                     help="comma-separated genome names (default: all pairs)")
     pb.add_argument("--preset", default="default")
+    pb.add_argument("--fastga", action="store_true",
+                    help="adaptamer-style unique-seed aligner mode")
     pb.set_defaults(fn=cmd_blast)
 
     pm = sub.add_parser("hal2maf", help="export MAF from an alignment store")

@@ -118,6 +118,13 @@ class BlastParams:
     trim_flanking: int = 100
     trim_outgroup_flanking: int = 2000
     output_secondary_alignments: bool = False
+    # alternative whole-genome aligner mode (reference --fastga,
+    # local_alignment.py:120-241): adaptamer-style seeding — only
+    # target-unique seed hits, merged runs kept at ≥ fastga_min_match —
+    # sparse anchors for near-identical genomes at a fraction of the
+    # seed volume
+    aligner: str = "lastz"              # "lastz" | "fastga"
+    fastga_min_match: int = 20
     seed: SeedParams = field(default_factory=SeedParams)
     extend: ExtendParams = field(default_factory=ExtendParams)
 

@@ -316,12 +316,14 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
     device-count independent (bit-identical 1 vs N devices).
     """
     sp = cfg.seed
+    # fastga mode: adaptamer-style target-unique seed hits
+    max_occ = 1 if cfg.aligner == "fastga" else sp.max_occurrences
     out: list = [None] * len(tasks)
     if mesh is None or len(mesh.devices.flat) <= 1:
         for i, task in enumerate(tasks):
             qpos, tpos = find_anchors(
                 task.q, task.t, k=sp.k, step=sp.step_for(task.preset),
-                max_occ=sp.max_occurrences, max_anchors=sp.max_anchors,
+                max_occ=max_occ, max_anchors=sp.max_anchors,
                 pattern=sp.pattern_for(task.preset),
                 q_seed_mask=task.q_mask, t_seed_mask=task.t_mask,
                 task=task, log=log)
@@ -348,7 +350,7 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
                 qc[row], qv[row], tc[row], tv[row] = a, b, c, d
             qpos, tpos, counts = sharded_pair_seed_join(
                 mesh, qc, qv, tc, tv, k=sp.k, step=step,
-                max_occ=sp.max_occurrences, max_anchors=sp.max_anchors,
+                max_occ=max_occ, max_anchors=sp.max_anchors,
                 pattern=pattern)
             qpos = np.asarray(qpos)
             tpos = np.asarray(tpos)
@@ -369,7 +371,12 @@ def _task_runs(task: StrandTask, qpos: np.ndarray, tpos: np.ndarray,
     if task.self_alignment and task.strand == "+":
         keep = qpos != tpos  # drop the trivial self-diagonal
         qpos, tpos = qpos[keep], tpos[keep]
-    return seed_ops.merge_diagonal_runs(qpos, tpos, k=span, max_gap=step)
+    runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=span, max_gap=step)
+    if cfg.aligner == "fastga" and len(runs):
+        # adaptamer length floor: short (likely chance) unique matches
+        # are dropped, leaving the long-exact-match anchor set
+        runs = runs[runs[:, 2] >= cfg.fastga_min_match]
+    return runs
 
 
 def records_for_task(task: StrandTask, qpos: np.ndarray, tpos: np.ndarray,

@@ -153,3 +153,30 @@ def test_filter_primary_chains_demotes_orphans():
     orphan.set_tag("tp", "A", "P")
     out0 = blast.filter_primary_chains([orphan], 0, 1_000_000)
     assert out0[0].get_tag("tp") == "P"
+
+
+def test_fastga_mode_close_genomes():
+    """The --fastga aligner mode (adaptamer-style unique seeding,
+    local_alignment.py:120-241): near-identical genomes align with high
+    accuracy from a much sparser anchor set."""
+    import dataclasses
+    from cactus_tpu.config import Config
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.testutil.comparator import score_pairs
+    from cactus_tpu.utils.trees import parse_newick
+
+    tree = parse_newick("(a:0.01,b:0.01)r;")
+    sim = evolver.simulate(tree, root_len=40_000, seed=13)
+    qa = Sequence("a.c", sim.genomes["a"].codes)
+    tb = Sequence("b.c", sim.genomes["b"].codes)
+    cfg = dataclasses.replace(Config.default().blast, aligner="fastga")
+    recs = blast.align_contig_pair(qa, tb, "a.c", "b.c", cfg)
+    assert recs
+    pred = set()
+    for r in recs:
+        rel = 1 if r.strand == "+" else -1
+        for qp, tp in r.aligned_pairs():
+            pred.add((qp, tp, rel))
+    truth = {(p, q, s) for p, q, s in sim.truth_pairs("a", "b")}
+    s = score_pairs(truth, pred)
+    assert s.recall > 0.95 and s.precision > 0.95, s
