@@ -295,6 +295,75 @@ def traceback_band(dirs: np.ndarray, m: int, n: int, lo: int,
     return ops[::-1]
 
 
+@partial(jax.jit, static_argnames=("S",))
+def traceback_band_batch_device(dirs, m_len, n_len, lo, end_mat, S: int):
+    """On-device banded traceback, vmapped over the pair batch.
+
+    The direction tensor is (P, Mmax, B) — pulling it to the host costs
+    P·Mmax·B bytes over PCIe (or a network tunnel), ~100× the useful
+    information.  Walking it on device returns only (P, S) uint8 move
+    codes (1=M, 2=I, 3=D, reverse order) + counts: O(m+n) per pair.
+    Exactly mirrors traceback_band's transitions.
+    """
+    B = dirs.shape[2]
+
+    def one(dirs_p, m, n, lo_p, cur0):
+        moves0 = jnp.zeros(S, jnp.uint8)
+
+        def cond(st):
+            i, j, _cur, _k, _mv = st
+            return (i > 0) | (j > 0)
+
+        def body(st):
+            i, j, cur, k, mv = st
+            b = jnp.clip(j - i - lo_p, 0, B - 1)
+            byte = dirs_p[jnp.maximum(i - 1, 0), b]
+            at_i0 = i == 0
+            at_j0 = (j == 0) & ~at_i0
+            normal = ~at_i0 & ~at_j0
+            is_h = normal & (cur == 0)
+            is_i = normal & (cur == 1)
+            is_d = normal & (cur == 2)
+            op = jnp.where(at_i0 | is_d, jnp.uint8(3),
+                           jnp.where(at_j0 | is_i, jnp.uint8(2),
+                                     jnp.uint8(1)))
+            di = jnp.where(at_j0 | is_h | is_i, 1, 0)
+            dj = jnp.where(at_i0 | is_h | is_d, 1, 0)
+            cur = jnp.where(
+                is_h, (byte & 3).astype(cur.dtype),
+                jnp.where(is_i,
+                          jnp.where((byte >> 2) & 1, 0, 1),
+                          jnp.where(is_d,
+                                    jnp.where((byte >> 3) & 1, 0, 2),
+                                    cur)))
+            mv = mv.at[k].set(op)
+            return (i - di, j - dj, cur, k + 1, mv)
+
+        i0 = m.astype(jnp.int32)
+        j0 = n.astype(jnp.int32)
+        st = jax.lax.while_loop(
+            cond, body, (i0, j0, cur0.astype(jnp.int32),
+                         jnp.int32(0), moves0))
+        return st[4], st[3]
+
+    return jax.vmap(one)(dirs, m_len, n_len, lo, end_mat)
+
+
+_OP_CHARS = np.array(["?", "M", "I", "D"])
+
+
+def moves_to_ops(moves: np.ndarray, count: int) -> list[tuple[str, int]]:
+    """Reverse-order move codes → forward cigar ops (host run-length)."""
+    mv = moves[:count][::-1]
+    if not len(mv):
+        return []
+    brk = np.flatnonzero(np.diff(mv)) + 1
+    starts = np.concatenate([[0], brk])
+    ends = np.concatenate([brk, [len(mv)]])
+    return [(str(_OP_CHARS[mv[s]]), int(e - s))
+            for s, e in zip(starts, ends)]
+
+
 # Below this many DP cells the dispatch latency to a (possibly remote)
 # accelerator outweighs the compute: route the batch to host CPU.
 SMALL_BATCH_CELLS = 32_000_000
@@ -346,6 +415,22 @@ def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
         put(packed["m_len"]), put(packed["n_len"]),
         put(packed["lo"]), put(submat),
         band=band, gap_open=gap.gap_open, gap_extend=gap.gap_extend)
+    on_tpu = device is None and jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        # traceback on device: ship O(m+n) move codes, not the (P, M, B)
+        # direction tensor (which can be hundreds of MB per batch)
+        smax = int(max(len(q) + len(t) for q, t in pairs))
+        S = max(32, 1 << (smax - 1).bit_length())
+        moves, counts = traceback_band_batch_device(
+            dirs, put(packed["m_len"]), put(packed["n_len"]),
+            put(packed["lo"]), end_mat, S)
+        moves = np.asarray(moves)
+        counts = np.asarray(counts)
+        end_scores = np.asarray(end_scores)
+        end_mat = np.asarray(end_mat)
+        return [(int(end_scores[p, end_mat[p]]),
+                 moves_to_ops(moves[p], int(counts[p])))
+                for p in range(len(pairs))]
     dirs = np.asarray(dirs)
     end_scores = np.asarray(end_scores)
     end_mat = np.asarray(end_mat)

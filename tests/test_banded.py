@@ -160,3 +160,48 @@ def test_windowed_long_pair():
     for i0, j0, ln in runs:
         assert 0 <= i0 and i0 + ln <= len(q)
         assert 0 <= j0 and j0 + ln <= len(t2)
+
+
+def test_device_traceback_matches_host():
+    """traceback_band_batch_device (on-device walk, O(m+n) transfer)
+    reproduces the host traceback exactly."""
+    import jax.numpy as jnp
+    from cactus_tpu.config import PoaParams
+    from cactus_tpu.ops.banded import (banded_align_batch, moves_to_ops,
+                                       pack_band_batch, score_matrix_6,
+                                       traceback_band,
+                                       traceback_band_batch_device)
+    rng = np.random.default_rng(5)
+    band = 64
+    pairs = []
+    for _ in range(12):
+        m = int(rng.integers(10, 200))
+        q = rng.integers(0, 4, m).astype(np.uint8)
+        # mutate to create indels/substitutions
+        t = q.copy()
+        for _k in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, len(t)))
+            t = np.delete(t, p) if rng.random() < 0.5 else \
+                np.insert(t, p, rng.integers(0, 4))
+        pairs.append((q, t.astype(np.uint8)))
+    packed = pack_band_batch(pairs, band)
+    submat = score_matrix_6(PoaParams().sub_matrix)
+    dirs, end_scores, end_mat = banded_align_batch(
+        jnp.asarray(packed["q"]), jnp.asarray(packed["t_shift"]),
+        jnp.asarray(packed["m_len"]), jnp.asarray(packed["n_len"]),
+        jnp.asarray(packed["lo"]), jnp.asarray(submat),
+        band=band, gap_open=400, gap_extend=30)
+    smax = int(max(len(q) + len(t) for q, t in pairs))
+    S = max(32, 1 << (smax - 1).bit_length())
+    moves, counts = traceback_band_batch_device(
+        dirs, jnp.asarray(packed["m_len"]), jnp.asarray(packed["n_len"]),
+        jnp.asarray(packed["lo"]), end_mat, S)
+    moves, counts = np.asarray(moves), np.asarray(counts)
+    dirs_np = np.asarray(dirs)
+    em = np.asarray(end_mat)
+    for p in range(len(pairs)):
+        host = traceback_band(dirs_np[p], int(packed["m_len"][p]),
+                              int(packed["n_len"][p]),
+                              int(packed["lo"][p]), int(em[p]))
+        dev = moves_to_ops(moves[p], int(counts[p]))
+        assert dev == host, (p, dev, host)
