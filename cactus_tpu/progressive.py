@@ -170,7 +170,9 @@ class ProgressiveAligner:
                  config: Config | None = None,
                  min_chain_override: int | None = None,
                  store=None, log=None, n_devices: int | None = None,
-                 tree_workers: int = 1):
+                 tree_workers: int = 1, check_tree: bool = True,
+                 branch_scale: float = 1.0,
+                 upweight_ancestors: bool = False):
         self.tree = tree.copy()
         # ancestor-level (tree) parallelism: independent subtree steps
         # run concurrently (the reference's one-Toil-job-per-ancestor
@@ -182,6 +184,22 @@ class ProgressiveAligner:
         self.min_chain_override = min_chain_override
         self.store = store          # AlignmentStore for checkpoint/resume
         self.log = log or (lambda msg: None)
+        if check_tree:
+            # input-tree sanity (progressive_decomposition.py:303-343)
+            from .utils.decomposition import (check_branch_lengths,
+                                              check_degree2_ancestors,
+                                              check_multifurcations)
+            check_branch_lengths(self.tree, log=self.log)
+            check_degree2_ancestors(self.tree)
+            check_multifurcations(self.tree, log=self.log)
+        # divergence presets read from a (possibly scaled) copy of the
+        # tree (get_ancestor_scaled_tree, reference :208-241)
+        self.div_tree = self.tree
+        if branch_scale != 1.0 or upweight_ancestors:
+            from .utils.decomposition import get_ancestor_scaled_tree
+            self.div_tree = get_ancestor_scaled_tree(
+                self.tree, max_div=2.0, branch_scale=branch_scale,
+                upweight_ancestors=upweight_ancestors)
         # SPMD: shard the blast chunk-pair grid over an n-device mesh
         # (the Toil-cluster fan-out analog; results are bit-identical to
         # single-device by construction — see parallel/mesh.py)
@@ -299,9 +317,11 @@ class ProgressiveAligner:
             for name, s in self.genomes[ev].items():
                 seqs[name] = s
 
-        # divergence preset from the deepest ingroup path (caf.c:159-183)
+        # divergence preset from the deepest ingroup path (caf.c:159-183),
+        # measured on the scaled divergence tree when configured
+        div_node = self.div_tree.find(node.name) or node
         max_path = max((c.length or 0.0) + c.max_leaf_depth()
-                       for c in node.children)
+                       for c in div_node.children)
         preset = divergence_preset(2.0 * max_path)
 
         # per-phase wall-clock + peak-RSS telemetry (the reference's
