@@ -1,0 +1,187 @@
+"""PAF toolkit parity — the paffy tile/trim/view/split_file surfaces.
+
+Reference: the paffy submodule's tools drive the chaining pipeline
+(paf/local_alignment.py:660-727): `paffy tile` assigns tile levels
+(how deep a record sits under better-scoring cover on its query),
+`paffy trim` cuts lower-scoring records back to the query intervals no
+better record covers, `paffy view` reports summary stats, and
+`paffy split_file --query` partitions records into per-contig-group
+jobs (chainContigGroupSize, config XML :106).  `paffy invert` is
+PafRecord.inverted.  chain / filter / dechunk / upconvert live in
+ops/chain.py and phases/chunking.py.
+"""
+
+from __future__ import annotations
+
+from ..io.paf import PafRecord
+
+
+def _overlap(a0: int, a1: int, b0: int, b1: int) -> int:
+    return max(0, min(a1, b1) - max(a0, b0))
+
+
+def tile(records: list[PafRecord],
+         min_overlap_fraction: float = 0.5) -> list[PafRecord]:
+    """Assign tile levels (tl:i tags): level 1 records are the best in
+    their query region; a record gets level k+1 when better-scoring
+    records already at level ≤ k cover more than min_overlap_fraction
+    of it.  The downstream filter keeps level ≤ 1 (local_alignment.py
+    :686-699)."""
+    by_query: dict[str, list[PafRecord]] = {}
+    for r in records:
+        by_query.setdefault(r.qname, []).append(r)
+    for recs in by_query.values():
+        recs.sort(key=lambda r: -r.score)
+        placed: list[tuple[int, int, int]] = []   # (q0, q1, level)
+        for r in recs:
+            span = max(1, r.qend - r.qstart)
+            depth: dict[int, int] = {}
+            for q0, q1, lvl in placed:
+                ov = _overlap(r.qstart, r.qend, q0, q1)
+                depth[lvl] = depth.get(lvl, 0) + ov
+            level = 1
+            acc = 0
+            for lvl in sorted(depth):
+                acc += depth[lvl]
+                if acc > min_overlap_fraction * span:
+                    level = lvl + 1
+            r.set_tag("tl", "i", level)
+            placed.append((r.qstart, r.qend, level))
+    return records
+
+
+def trim_record_to_query(r: PafRecord, q0: int,
+                         q1: int) -> PafRecord | None:
+    """Cut a record down to query interval [q0, q1), walking the cigar
+    so target coordinates stay consistent.  Returns None when nothing
+    remains."""
+    q0 = max(q0, r.qstart)
+    q1 = min(q1, r.qend)
+    if q1 <= q0:
+        return None
+    fwd = r.strand == "+"
+    q = r.qstart if fwd else r.qend - 1
+    t = r.tstart
+    new_ops: list[tuple[str, int]] = []
+    nt0 = nt1 = None
+    nmatch = 0
+
+    def inside(qq):
+        return q0 <= qq < q1
+
+    for op, ln in r.cigar:
+        if op in "M=X":
+            for _ in range(ln):
+                if inside(q):
+                    if nt0 is None:
+                        nt0 = t
+                    nt1 = t + 1
+                    if new_ops and new_ops[-1][0] == "M":
+                        new_ops[-1] = ("M", new_ops[-1][1] + 1)
+                    else:
+                        new_ops.append(("M", 1))
+                    nmatch += 1
+                q += 1 if fwd else -1
+                t += 1
+        elif op == "I":
+            cnt = sum(1 for k in range(ln)
+                      if inside(q + (k if fwd else -k)))
+            if cnt and nt0 is not None:
+                new_ops.append(("I", cnt))
+            q += ln if fwd else -ln
+        elif op in "DN":
+            if nt0 is not None:
+                new_ops.append(("D", ln))
+            t += ln
+    # strip trailing indels
+    while new_ops and new_ops[-1][0] in "ID":
+        new_ops.pop()
+    while new_ops and new_ops[0][0] in "ID":
+        new_ops.pop(0)
+    if not new_ops or nt0 is None:
+        return None
+    import copy
+    out = copy.deepcopy(r)
+    out.qstart, out.qend = q0, q1
+    out.tstart, out.tend = nt0, nt1
+    out.cigar = new_ops
+    out.nmatch = nmatch
+    out.alnlen = sum(ln for _op, ln in new_ops)
+    return out
+
+
+def trim(records: list[PafRecord]) -> list[PafRecord]:
+    """paffy trim: each query base belongs to its best-scoring record —
+    lower-scoring records are cut back to the uncovered intervals
+    (records wholly covered are dropped)."""
+    by_query: dict[str, list[PafRecord]] = {}
+    for r in records:
+        by_query.setdefault(r.qname, []).append(r)
+    out: list[PafRecord] = []
+    for recs in by_query.values():
+        recs.sort(key=lambda r: -r.score)
+        covered: list[tuple[int, int]] = []
+        for r in recs:
+            # subtract covered intervals from [qstart, qend)
+            freeparts = [(r.qstart, r.qend)]
+            for c0, c1 in covered:
+                nxt = []
+                for f0, f1 in freeparts:
+                    if c1 <= f0 or c0 >= f1:
+                        nxt.append((f0, f1))
+                        continue
+                    if f0 < c0:
+                        nxt.append((f0, c0))
+                    if c1 < f1:
+                        nxt.append((c1, f1))
+                freeparts = nxt
+            from ..phases.blast import _insert_interval
+            for f0, f1 in freeparts:
+                piece = trim_record_to_query(r, f0, f1)
+                if piece is not None:
+                    out.append(piece)
+            _insert_interval(covered, r.qstart, r.qend)
+    return out
+
+
+def view(records: list[PafRecord]) -> dict:
+    """paffy view: summary statistics of a record set."""
+    n_primary = sum(1 for r in records if r.is_primary)
+    aligned = sum(r.qend - r.qstart for r in records)
+    matches = sum(r.nmatch for r in records)
+    alnlen = sum(r.alnlen for r in records)
+    return dict(
+        n_records=len(records),
+        n_primary=n_primary,
+        aligned_query_bp=int(aligned),
+        n_matches=int(matches),
+        identity=round(matches / alnlen, 4) if alnlen else 0.0,
+        queries=len({r.qname for r in records}),
+        targets=len({r.tname for r in records}),
+    )
+
+
+def split_file(records: list[PafRecord],
+               group_size: int = 10_000_000) -> list[list[PafRecord]]:
+    """paffy split_file --query: partition records into groups of query
+    contigs whose total length stays under group_size (the
+    chainContigGroupSize fan-out, local_alignment.py:638-646)."""
+    qlen: dict[str, int] = {}
+    for r in records:
+        qlen[r.qname] = max(qlen.get(r.qname, 0), r.qlen)
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for name in sorted(qlen):
+        if cur and acc + qlen[name] > group_size:
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append(name)
+        acc += qlen[name]
+    if cur:
+        groups.append(cur)
+    of_group = {name: gi for gi, g in enumerate(groups) for name in g}
+    out: list[list[PafRecord]] = [[] for _ in groups]
+    for r in records:
+        out[of_group[r.qname]].append(r)
+    return out
