@@ -319,6 +319,14 @@ def cmd_hal(args) -> int:
     elif args.tool == "removeDupes":
         n = arc.remove_dupes(args.genome)
         _log(f"demoted {n} duplicate top segments in {args.genome}")
+    elif args.tool == "metadata":
+        if args.set:
+            k, _, v = args.set.partition("=")
+            arc.set_metadata(k, v)
+            _log(f"set {k}")
+        else:
+            import json as _json
+            print(_json.dumps(arc.get_metadata(), indent=1))
     return 0
 
 
@@ -424,7 +432,9 @@ def main(argv=None) -> int:
     ph = sub.add_parser("hal", help="HAL archive tools (halStats/"
                         "hal2fasta/hal2maf/halValidate/halRemoveDupes)")
     ph.add_argument("tool", choices=["stats", "fasta", "maf", "validate",
-                                     "removeDupes"])
+                                     "removeDupes", "metadata"])
+    ph.add_argument("--set", default=None,
+                    help="metadata key=value to store (halSetMetadata)")
     ph.add_argument("archive")
     ph.add_argument("--genome", default=None)
     ph.add_argument("--out", default=None)

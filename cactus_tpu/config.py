@@ -286,6 +286,9 @@ class OutgroupParams:
 @dataclass
 class Config:
     distance_to_add_to_root_alignment: float = 0.1
+    # per-ancestor-step retry budget on transient failures (the Toil
+    # job-retry analog; checkpoint store bounds lost work to one step)
+    retries: int = 1
     preprocessor: PreprocessorParams = field(default_factory=PreprocessorParams)
     blast: BlastParams = field(default_factory=BlastParams)
     caf: CafParams = field(default_factory=CafParams)

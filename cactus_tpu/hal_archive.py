@@ -544,3 +544,23 @@ class HalArchive:
                         continue
                 out.append(blk)
         return out
+
+
+# --------------------------------------------------------------------------
+# metadata (halSetMetadata / halStats --metadata equivalents)
+# --------------------------------------------------------------------------
+
+def _metadata_set(arc: HalArchive, key: str, value) -> None:
+    arc.toc["metadata"][key] = value
+    arc._write_toc()
+
+
+HalArchive.set_metadata = _metadata_set
+
+
+def _metadata_get(arc: HalArchive, key: str | None = None):
+    md = arc.toc.get("metadata", {})
+    return md if key is None else md.get(key)
+
+
+HalArchive.get_metadata = _metadata_get

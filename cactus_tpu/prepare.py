@@ -52,14 +52,23 @@ def make_plan(tree: Tree, seqfile: str, outdir: str,
     return stages
 
 
-def write_script(stages: list[Stage], fh) -> None:
-    """Ordered shell script (dependencies respected by list order)."""
+def write_script(stages: list[Stage], fh,
+                 seq_bytes: int | None = None) -> None:
+    """Ordered shell script (dependencies respected by list order);
+    when the input size is known, each align stage is annotated with
+    the reference's memory-model estimate."""
     fh.write("#!/bin/sh\nset -e\n")
+    mem_note = ""
+    if seq_bytes:
+        from .utils.resources import estimate_consolidated_memory
+        gb = estimate_consolidated_memory(seq_bytes) / (1 << 30)
+        mem_note = f" [est. memory {gb:.1f} GiB]"
     for s in stages:
+        note = mem_note if s.name.startswith("align_") else ""
         if s.deps:
-            fh.write(f"# {s.name} (after: {', '.join(s.deps)})\n")
+            fh.write(f"# {s.name} (after: {', '.join(s.deps)}){note}\n")
         else:
-            fh.write(f"# {s.name}\n")
+            fh.write(f"# {s.name}{note}\n")
         fh.write(s.command + "\n")
 
 

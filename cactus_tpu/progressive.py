@@ -245,7 +245,12 @@ class ProgressiveAligner:
         return result
 
     def _run_node(self, node: Tree, steps: dict[str, AncestorStep]) -> None:
-        """One ancestor: resume from the store or compute + checkpoint."""
+        """One ancestor: resume from the store or compute + checkpoint.
+
+        Transient failures retry up to config retries (the Toil
+        job-retry analog, SURVEY §5 failure detection); the checkpoint
+        store means a retried process loses only the failing step.
+        """
         import time
         if (self.store is not None and self.store.has_step(node.name)
                 and self.store.has_genome(node.name)):
@@ -256,7 +261,16 @@ class ProgressiveAligner:
             self.log(f"{node.name}: resumed from store")
             return
         t0 = time.time()
-        step = self._ancestor_step(node)
+        retries = getattr(self.config, "retries", 1)
+        for attempt in range(retries + 1):
+            try:
+                step = self._ancestor_step(node)
+                break
+            except (MemoryError, OSError, RuntimeError) as e:
+                if attempt >= retries:
+                    raise
+                self.log(f"{node.name}: attempt {attempt + 1} failed "
+                         f"({type(e).__name__}: {e}); retrying")
         steps[node.name] = step
         self.log(f"{node.name}: {int(step.caf.alive.sum())} blocks, "
                  f"{step.ref.total_length()} bp ancestor, "

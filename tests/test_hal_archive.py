@@ -140,3 +140,33 @@ def test_append_is_durable(aligned, tmp_path):
     assert set(arc3.genomes()) == {"root", "ab", "c", "a", "b"}
     assert arc3.validate() == []
     assert arc3.parent("a") == "ab"
+
+
+def test_metadata_roundtrip(archive):
+    arc, _ = archive
+    arc.set_metadata("commit", "abc123")
+    arc.set_metadata("config", {"preset": "four"})
+    from cactus_tpu.hal_archive import HalArchive
+    arc2 = HalArchive.open(arc.path)
+    assert arc2.get_metadata("commit") == "abc123"
+    assert arc2.get_metadata("config") == {"preset": "four"}
+    assert "commit" in arc2.get_metadata()
+    # archive still valid after TOC rewrites
+    assert arc2.validate() == []
+
+
+def test_resource_model():
+    from cactus_tpu.utils.resources import (estimate_consolidated_memory,
+                                            estimate_disk)
+    gb = 1 << 30
+    assert estimate_consolidated_memory(10_000_000) == 16 * gb
+    assert estimate_consolidated_memory(50_000_000) == 64 * gb
+    # interpolation between 10Mb and 50Mb
+    mid = estimate_consolidated_memory(30_000_000)
+    assert 16 * gb < mid < 64 * gb
+    # extrapolation beyond the table grows
+    assert estimate_consolidated_memory(25_000_000_000) > \
+        estimate_consolidated_memory(20_000_000_000)
+    # core scaling
+    assert estimate_consolidated_memory(10_000_000, cores=2) > 16 * gb
+    assert estimate_disk(100, 10) == 520

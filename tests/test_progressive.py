@@ -109,3 +109,26 @@ def test_tree_parallel_matches_sequential():
                                       if isinstance(p1, set) else p1),
                               np.sort(np.asarray(list(p2))
                                       if isinstance(p2, set) else p2))
+
+
+def test_step_retry_on_transient_failure(monkeypatch):
+    """A step that fails once with a transient error is retried
+    (Toil job-retry analog)."""
+    tree = parse_newick("(a:0.02,b:0.02)root;")
+    sim = evolver.simulate(tree, root_len=4_000, seed=31)
+    genomes = _genomes_from_sim(sim, ["a", "b"])
+    aligner = progressive.ProgressiveAligner(
+        tree, genomes, min_chain_override=64)
+    real = aligner._ancestor_step
+    calls = {"n": 0}
+
+    def flaky(node):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated transient device loss")
+        return real(node)
+
+    aligner._ancestor_step = flaky
+    result = aligner.run()
+    assert calls["n"] == 2
+    assert "root" in result.steps
