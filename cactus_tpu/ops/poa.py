@@ -263,10 +263,11 @@ def poa_align(graph: PoaGraph, seq: np.ndarray, gap: int = 30,
     H, dirs, _ends = poa_align_scan(put(bases_p), put(preds_p), put(q_p),
                                     gap=gap, match=match,
                                     mismatch=mismatch)
-    H = np.asarray(H)
-    dirs = np.asarray(dirs)
     L = len(seq)
-    ends = H[:N, L]
+    # pull only the final DP column (the end-cell argmax input) — the
+    # full H is Nb×(Lb+1) int64 and only dirs is needed for traceback
+    ends = np.asarray(H[:, L])[:N]
+    dirs = np.asarray(dirs)
     # end: best node with no successor... any node may end the alignment;
     # global-ish: pick max over final column (ends) minus remaining-gap 0
     v = int(np.argmax(ends))
