@@ -62,3 +62,44 @@ def write_blocks_maf(path: str, caf: CafResult, seqs: dict[str, Sequence],
                      min_degree: int = 2) -> None:
     from ..io.maf import write_maf
     write_maf(path, blocks_to_maf(caf, seqs, min_degree=min_degree))
+
+
+def hal2maf_chunked(result, ref_genome: str | None = None,
+                    chunk_size: int = 100_000, workers: int = 4,
+                    dup_filter: str | None = None,
+                    norm: bool = False, **kw) -> list[MafBlock]:
+    """Chunk-parallel hal2maf (the cactus-hal2maf fan-out,
+    maf/cactus_hal2maf.py:234-460): the reference genome's coordinate
+    space splits into ranges, each range renders + post-processes
+    (dup filter, taffy-norm merge) independently on a thread pool, and
+    chunks concatenate in range order — output equals the single-pass
+    export."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..phases.hal import hal2maf
+
+    ref_genome = ref_genome or result.tree.name
+    ranges = []
+    for name, seq in result.genomes[ref_genome].items():
+        for start in range(0, len(seq), chunk_size):
+            ranges.append((name, start, min(len(seq),
+                                           start + chunk_size)))
+
+    def one(r):
+        name, a, b = r
+        blocks = hal2maf(result, ref_genome, ref_seq=name, ref_start=a,
+                         ref_end=b, **kw)
+        if dup_filter:
+            from ..maf_tools import dup_filter as df
+            blocks = df(blocks, mode=dup_filter, ref_genome=ref_genome)
+        if norm:
+            from ..io.taf import taf_norm
+            blocks = taf_norm(blocks)
+        return blocks
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        parts = list(pool.map(one, ranges))
+    out: list[MafBlock] = []
+    for p in parts:
+        out.extend(p)
+    return out

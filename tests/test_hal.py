@@ -168,3 +168,18 @@ def test_hal2maf_subrange_equivalence(mammal_result):
     for b in sub:
         r0 = b.rows[0]
         assert r0.start >= start and r0.start + r0.size <= end
+
+
+def test_hal2maf_chunked_equivalent(mammal_result):
+    """Chunk-parallel export == single-pass export (pair sets)."""
+    import numpy as np
+    from cactus_tpu.phases.hal import hal2maf
+    from cactus_tpu.phases.maf_export import hal2maf_chunked
+    from cactus_tpu.testutil.comparator import maf_pairs_arr
+    _sim, result = mammal_result
+    whole = hal2maf(result, "root")
+    chunked = hal2maf_chunked(result, "root", chunk_size=1500, workers=3)
+    for x, y in [("a", "b"), ("root", "a")]:
+        pw = np.sort(maf_pairs_arr(whole, x, y))
+        pc = np.sort(maf_pairs_arr(chunked, x, y))
+        assert np.array_equal(pw, pc), (x, y)
