@@ -475,6 +475,14 @@ class ProgressiveAligner:
             for a in children:
                 for og in outgroups:
                     chunk_pair_tasks(chunks[a], chunks[og], og_preset, tasks)
+        elif outgroups:
+            # cascade tier 0 aligns FULL ingroups to the nearest og —
+            # independent of the ingroup-pair results, so its tasks
+            # share the main dispatch (one device batch, no extra
+            # barrier); later tiers depend on tier-0 coverage
+            for a in children:
+                chunk_pair_tasks(chunks[a], chunks[outgroups[0]],
+                                 og_preset, tasks)
         if self.mesh is not None:
             self.log(f"{node.name}: {len(tasks)} blast tasks over "
                      f"{len(self.mesh.devices.flat)} devices")
@@ -483,8 +491,14 @@ class ProgressiveAligner:
         records = dechunk_records(records, by_name)
 
         if cfg.trim_ingroups and outgroups:
+            og0 = outgroups[0]
+            tier0 = [r for r in records
+                     if r.tname.split(".", 1)[0] == og0]
+            records = [r for r in records
+                       if r.tname.split(".", 1)[0] != og0]
             records += self._blast_outgroup_cascade(
-                node, children, outgroups, packed, chunks, og_preset)
+                node, children, outgroups, packed, chunks, og_preset,
+                tier0_records=tier0)
 
         records = split_packed_records(records, pack_maps)
         lengths = {n: len(s)
@@ -495,7 +509,7 @@ class ProgressiveAligner:
 
     def _blast_outgroup_cascade(self, node: Tree, children: list[str],
                                 outgroups: list[str], packed, chunks,
-                                og_preset: str):
+                                og_preset: str, tier0_records=None):
         """Progressive ingroup→outgroup trimming (reference
         make_ingroup_to_outgroup_alignments_0/1/2/3,
         paf/local_alignment.py:421-526): align each ingroup to the
@@ -512,29 +526,34 @@ class ProgressiveAligner:
         sub_rebase: dict[str, dict] = {c: {} for c in children}
         out: list = []
         for tier, og in enumerate(outgroups):
-            tasks = []
-            tier_rebase: dict = {}
-            for c in children:
-                rchunks = chunk_genome(remainder[c], cfg.chunk_size,
-                                       cfg.overlap_size)
-                for ch in rchunks:
-                    if ch.name != ch.origin:
-                        tier_rebase[ch.name] = ch
-                for qc in rchunks:
-                    if len(qc.seq) < cfg.minimum_sequence_length:
-                        continue
-                    for tc in chunks[og]:
-                        if len(tc.seq) < cfg.minimum_sequence_length:
+            if tier == 0 and tier0_records is not None:
+                # produced inside the main blast dispatch (already in
+                # packed coords — dechunked there)
+                recs = tier0_records
+            else:
+                tasks = []
+                tier_rebase: dict = {}
+                for c in children:
+                    rchunks = chunk_genome(remainder[c], cfg.chunk_size,
+                                           cfg.overlap_size)
+                    for ch in rchunks:
+                        if ch.name != ch.origin:
+                            tier_rebase[ch.name] = ch
+                    for qc in rchunks:
+                        if len(qc.seq) < cfg.minimum_sequence_length:
                             continue
-                        tasks.extend(blast_phase.pair_tasks(
-                            qc.seq, tc.seq, qc.name, tc.name, cfg,
-                            og_preset))
-            if not tasks:
-                break
-            recs = blast_phase.run_tasks(tasks, cfg, mesh=self.mesh,
-                                         log=self.log)
-            # rebase the 30 Mb chunk layer → current remainder coords
-            recs = dechunk_records(recs, tier_rebase)
+                        for tc in chunks[og]:
+                            if len(tc.seq) < cfg.minimum_sequence_length:
+                                continue
+                            tasks.extend(blast_phase.pair_tasks(
+                                qc.seq, tc.seq, qc.name, tc.name, cfg,
+                                og_preset))
+                if not tasks:
+                    break
+                recs = blast_phase.run_tasks(tasks, cfg, mesh=self.mesh,
+                                             log=self.log)
+                # rebase the 30 Mb chunk layer → current remainder coords
+                recs = dechunk_records(recs, tier_rebase)
             # this tier's remainder→packed map, before it advances
             cur_rebase = {name: ch for c in children
                           for name, ch in sub_rebase[c].items()}

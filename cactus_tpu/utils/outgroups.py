@@ -90,3 +90,67 @@ def greedy_outgroups(tree: Tree, node: Tree, k: int,
                 multiplier[id(e)] = (multiplier.get(id(e), 1.0)
                                      * overlap_scale)
     return chosen
+
+
+# --------------------------------------------------------------------------
+# chromosome-aware outgroup constraints (--chromInfo)
+# --------------------------------------------------------------------------
+
+def load_chrom_info(path: str) -> dict[str, set[str]]:
+    """Parse a chromInfo file: `genome[  chrom1,chrom2]` per line —
+    maps genomes to sex-chromosome labels (reference
+    outgroup.py:205-235).  Genomes may be absent (no constraint)."""
+    out: dict[str, set[str]] = {}
+    with open(path) as fh:
+        for line in fh:
+            toks = line.split()
+            if not toks:
+                continue
+            if len(toks) > 2:
+                raise ValueError(f"chromInfo line has >2 columns: "
+                                 f"{line.rstrip()}")
+            if toks[0] in out:
+                raise ValueError(f"duplicate genome {toks[0]} in "
+                                 "chromInfo")
+            out[toks[0]] = set(toks[1].split(",")) if len(toks) == 2 \
+                else set()
+    return out
+
+
+def chrom_constrained_outgroups(tree: Tree, node: Tree, k: int,
+                                chrom_map: dict[str, set[str]],
+                                extra_chrom_outgroups: int = 1,
+                                eligible: set[str] | None = None,
+                                **kw) -> list[str]:
+    """Greedy outgroups + chromosome coverage: every chromosome label
+    present under `node` must appear in at least one outgroup, adding
+    up to extra_chrom_outgroups beyond k if needed (the
+    check_chrom_satisfied / refine_og_chroms behavior,
+    outgroup.py:237-290)."""
+    chosen = greedy_outgroups(tree, node, k, eligible=eligible, **kw)
+    need = set()
+    for lf in node.leaf_names():
+        need |= chrom_map.get(lf, set())
+    if not need:
+        return chosen
+    have = set()
+    for og in chosen:
+        have |= chrom_map.get(og, set())
+    missing = need - have
+    if not missing:
+        return chosen
+    inside = set(node.leaf_names()) | {node.name}
+    cands = [lf for lf in tree.leaf_names()
+             if lf not in inside and lf not in chosen
+             and (eligible is None or lf in eligible)]
+    cands.sort(key=lambda lf: tree.distance(node.name, lf))
+    budget = extra_chrom_outgroups
+    for lf in cands:
+        if not missing or budget <= 0:
+            break
+        gain = chrom_map.get(lf, set()) & missing
+        if gain:
+            chosen.append(lf)
+            missing -= gain
+            budget -= 1
+    return chosen

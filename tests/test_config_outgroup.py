@@ -78,3 +78,39 @@ def test_clade_discount_prefers_in_clade():
 def test_root_has_no_outgroups():
     tree = parse_newick("(a:0.1,b:0.1)root;")
     assert greedy_outgroups(tree, tree, 3) == []
+
+
+def test_chrom_constrained_outgroups(tmp_path):
+    from cactus_tpu.utils.outgroups import (chrom_constrained_outgroups,
+                                            load_chrom_info)
+    from cactus_tpu.utils.trees import parse_newick
+    ci = tmp_path / "chrom.info"
+    ci.write_text("a X,Y\nb X\nc X\nd X,Y\ne\n")
+    cm = load_chrom_info(str(ci))
+    assert cm["a"] == {"X", "Y"} and cm["e"] == set()
+    tree = parse_newick(
+        "((a:0.1,b:0.1)ab:0.1,(c:0.05,(d:0.4,e:0.05)de:0.05)cde:0.1)r;")
+    ab = tree.find("ab")
+    # plain greedy picks nearest (c or e); ab needs X+Y coverage —
+    # d (X,Y) must be added even though it is distant
+    ogs = chrom_constrained_outgroups(tree, ab, 1, cm)
+    have = set()
+    for og in ogs:
+        have |= cm.get(og, set())
+    assert {"X", "Y"} <= have, ogs
+    # no constraint → unchanged behavior
+    assert chrom_constrained_outgroups(tree, ab, 1, {}) == \
+        chrom_constrained_outgroups(tree, ab, 1, {"a": set()})
+
+
+def test_chrom_info_rejects_bad_lines(tmp_path):
+    from cactus_tpu.utils.outgroups import load_chrom_info
+    bad = tmp_path / "bad.info"
+    bad.write_text("a X Y Z\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_chrom_info(str(bad))
+    dup = tmp_path / "dup.info"
+    dup.write_text("a X\na Y\n")
+    with _pytest.raises(ValueError):
+        load_chrom_info(str(dup))
