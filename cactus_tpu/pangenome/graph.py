@@ -66,21 +66,32 @@ class PanGraph:
                     f"expected {len(want)}")
 
 
-def build_graph(caf: CafResult, seqs: dict[str, Sequence]) -> PanGraph:
+def build_graph(caf: CafResult, seqs: dict[str, Sequence],
+                chop: bool = False) -> PanGraph:
+    """Block structure → sequence graph.
+
+    chop=False: one node per DISTINCT member string per block (coarse
+    allele nodes — bubbles at block granularity).  chop=True: blocks
+    split at columns where members disagree, so runs of agreeing
+    columns become ONE node shared by all haplotypes and disagreeing
+    runs become per-allele nodes — the vg/minigraph-cactus node
+    granularity (haplotypes share reference nodes between variants),
+    required by consumers that anchor on shared nodes (panpatch,
+    haplotype indexes).
+    """
     gcodes = global_codes(caf.table, seqs)
     table = caf.table
     blocks = caf.blocks
 
     node_seq: list[np.ndarray] = []
     node_block: list[int] = []
-    allele_of: dict[tuple[int, bytes], int] = {}
+    allele_of: dict[tuple, int] = {}
 
-    def allele_node(b: int, codes_oriented: np.ndarray) -> int:
-        key = (b, codes_oriented.tobytes())
+    def allele_node(key, codes_oriented: np.ndarray, b: int) -> int:
         v = allele_of.get(key)
         if v is None:
             v = len(node_seq)
-            node_seq.append(codes_oriented.copy())
+            node_seq.append(np.ascontiguousarray(codes_oriented))
             node_block.append(b)
             allele_of[key] = v
         return v
@@ -95,10 +106,48 @@ def build_graph(caf: CafResult, seqs: dict[str, Sequence]) -> PanGraph:
     order = np.lexsort((blocks.seg_start, blocks.seg_seq))
     walks: dict[str, list[tuple[int, int]]] = {n: [] for n in table.names}
     seg_by_seq: dict[int, list[int]] = {}
+    segs_of_block: dict[int, list[int]] = {}
     for i in order:
         b = int(blocks.seg_block[i])
         if caf.alive[b]:
             seg_by_seq.setdefault(int(blocks.seg_seq[i]), []).append(int(i))
+            segs_of_block.setdefault(b, []).append(int(i))
+
+    # chop plan per block: list of (col_start, col_end) runs, split at
+    # columns where member strings disagree
+    chops: dict[int, list[tuple[int, int]]] = {}
+    if chop:
+        for b, idxs in segs_of_block.items():
+            rows = []
+            for i in idxs:
+                st = int(blocks.seg_start[i])
+                ln = int(blocks.seg_len[i])
+                strand = int(blocks.seg_strand[i])
+                off = int(table.offsets[int(blocks.seg_seq[i])])
+                seg = gcodes[off + st:off + st + ln]
+                rows.append(seg if strand == 1 else revcomp(seg))
+            mat = np.stack(rows)
+            agree = (mat == mat[0]).all(axis=0)
+            brk = np.flatnonzero(np.diff(agree.astype(np.int8))) + 1
+            bounds = np.concatenate([[0], brk, [mat.shape[1]]])
+            chops[b] = [(int(a), int(c))
+                        for a, c in zip(bounds, bounds[1:])]
+
+    def block_steps(b: int, seg: np.ndarray, strand: int):
+        """Sub-node steps for one segment traversal."""
+        oriented = seg if strand == 1 else revcomp(seg)
+        pieces = chops.get(b) if chop else None
+        if not pieces or len(pieces) == 1:
+            v = allele_node((b, oriented.tobytes()), oriented, b)
+            return [(v, strand)]
+        steps = []
+        for c0, c1 in pieces:
+            sub = oriented[c0:c1]
+            v = allele_node((b, c0, sub.tobytes()), sub, b)
+            steps.append((v, strand))
+        if strand == -1:
+            steps.reverse()
+        return steps
 
     for si, name in enumerate(table.names):
         off = int(table.offsets[si])
@@ -113,9 +162,7 @@ def build_graph(caf: CafResult, seqs: dict[str, Sequence]) -> PanGraph:
             if st > pos:
                 walk.append((insert_node(gcodes[off + pos:off + st]), 1))
             seg = gcodes[off + st:off + st + ln]
-            # render in block orientation so alleles of a block compare
-            oriented = seg if strand == 1 else revcomp(seg)
-            walk.append((allele_node(b, oriented), strand))
+            walk.extend(block_steps(b, seg, strand))
             pos = st + ln
         if pos < total:
             walk.append((insert_node(gcodes[off + pos:off + total]), 1))

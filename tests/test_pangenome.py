@@ -280,3 +280,34 @@ def test_merge_duplicates_fuses_same_site():
     m = out[0]
     assert m.alts == ["A", "ATC"]
     assert m.genotypes == {"h1": 1, "h2": 2, "h3": 1}
+
+
+def test_build_graph_chop_shares_nodes():
+    """chop=True yields vg-granularity nodes: haplotypes share the
+    agreeing runs, and the walk-spelling invariant still holds."""
+    import numpy as np
+    from cactus_tpu.config import Config
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu.pangenome.graph import build_graph
+    from cactus_tpu.phases.blast import align_genomes
+    from cactus_tpu.phases.caf import run_caf
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 4, 6_000).astype(np.uint8)
+    alt = base.copy()
+    alt[::500] = (alt[::500] + 1) % 4        # sparse SNPs
+    seqs = {"a.c": Sequence("a.c", base), "b.c": Sequence("b.c", alt)}
+    cfg = Config.default()
+    records = align_genomes({"c": seqs["a.c"]}, {"c": seqs["b.c"]},
+                            "a", "b", cfg.blast)
+    caf = run_caf(records, {n: len(s) for n, s in seqs.items()},
+                  cfg.caf, ingroup_events={"a", "b"},
+                  min_chain_override=64)
+    coarse = build_graph(caf, seqs)
+    fine = build_graph(caf, seqs, chop=True)
+    fine.validate(seqs)
+    shared_fine = set(v for v, _o in fine.walks["a.c"]) & \
+        set(v for v, _o in fine.walks["b.c"])
+    shared_coarse = set(v for v, _o in coarse.walks["a.c"]) & \
+        set(v for v, _o in coarse.walks["b.c"])
+    assert len(shared_fine) > len(shared_coarse)
+    assert len(shared_fine) >= 5
