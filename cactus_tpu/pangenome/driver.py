@@ -46,7 +46,7 @@ def run_pangenome(genomes: dict[str, dict[str, Sequence]],
     seqs: dict[str, Sequence] = {}
     for ev in genomes:
         seqs.update(genomes[ev])
-    pg = graph_mod.build_graph(step.caf, seqs)
+    pg = graph_mod.build_graph(step.caf, seqs, chop=True)
     pg.validate(seqs)
     return _emit_graph_artifacts(pg, seqs, ref_event, outdir,
                                  normalize=normalize, clip=clip, log=log)
@@ -145,7 +145,7 @@ def run_pangenome_sv(genomes: dict[str, dict[str, Sequence]],
     caf = run_caf(records, {n: len(s) for n, s in seqs.items()},
                   cfg.caf, ingroup_events=set(genomes) | {"_MINIGRAPH_"},
                   min_chain_override=min_chain_override, log=log)
-    pg = graph_mod.build_graph(caf, seqs)
+    pg = graph_mod.build_graph(caf, seqs, chop=True)
     pg.validate(seqs)
     # drop the graph pseudo-event's walks (join drops _MINIGRAPH_)
     from .normalize import compact
