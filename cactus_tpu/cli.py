@@ -219,24 +219,28 @@ def cmd_prepare(args) -> int:
 def cmd_update(args) -> int:
     from . import update as update_mod
     store = AlignmentStore(args.store)
+    result = None
     if args.action == "add":
         seqs = read_fasta(args.fasta)
         from .preprocessor.headers import sanitize_genome
         genome = sanitize_genome(args.event, seqs)
-        update_mod.add_genome(store, args.event, genome, args.parent,
-                              branch_length=args.branch_length,
-                              min_chain_override=args.min_chain, log=_log)
+        result = update_mod.add_genome(
+            store, args.event, genome, args.parent,
+            branch_length=args.branch_length,
+            min_chain_override=args.min_chain, log=_log)
     elif args.action == "replace":
         seqs = read_fasta(args.fasta)
         from .preprocessor.headers import sanitize_genome
         genome = sanitize_genome(args.event, seqs)
-        update_mod.replace_genome(store, args.event, genome,
-                                  min_chain_override=args.min_chain,
-                                  log=_log)
+        result = update_mod.replace_genome(
+            store, args.event, genome,
+            min_chain_override=args.min_chain, log=_log)
     else:
-        update_mod.remove_genome(store, args.event,
-                                 min_chain_override=args.min_chain,
-                                 log=_log)
+        result = update_mod.remove_genome(
+            store, args.event, min_chain_override=args.min_chain,
+            log=_log)
+    if getattr(args, "hal", None) and result is not None:
+        update_mod.refresh_archive(args.hal, result, log=_log)
     return 0
 
 
@@ -412,6 +416,8 @@ def main(argv=None) -> int:
     pu.add_argument("--parent", default=None)
     pu.add_argument("--branch-length", type=float, default=0.1)
     pu.add_argument("--min-chain", type=int, default=None)
+    pu.add_argument("--hal", default=None,
+                    help="also refresh this HAL archive after the update")
     pu.set_defaults(fn=cmd_update)
 
     pc = sub.add_parser("chains",

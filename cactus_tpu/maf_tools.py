@@ -160,3 +160,46 @@ def _col_positions(row: MafRow) -> list[int]:
                 out.append(p)
                 p -= 1
     return out
+
+
+# --------------------------------------------------------------------------
+# bigMaf export (cactus-maf2bigmaf)
+# --------------------------------------------------------------------------
+
+BIGMAF_AS = """table bedMaf
+"Bed3 with maf block"
+    (
+    string chrom;      "Reference sequence chromosome or scaffold"
+    uint   chromStart; "Start position in chromosome"
+    uint   chromEnd;   "End position in chromosome"
+    lstring mafBlock;  "MAF block"
+    )
+"""
+
+
+def write_bigmaf(path: str, blocks, ref_genome: str) -> int:
+    """cactus-maf2bigmaf equivalent: emit the bigMaf bed text (one row
+    per block on the reference genome, the MAF block packed into the
+    mafBlock field with ';' line separators) plus the autoSql schema at
+    `path`.as — the exact inputs bedToBigBed consumes
+    (maf/cactus_maf2bigmaf.py).  Returns rows written."""
+    n = 0
+    with open(path, "w") as fh:
+        for blk in blocks:
+            ref_rows = [r for r in blk.rows
+                        if r.src.split(".", 1)[0] == ref_genome]
+            if not ref_rows:
+                continue
+            r = ref_rows[0]
+            start = r.start if r.strand == "+" else \
+                r.src_size - r.start - r.size
+            lines = ["a score=0.0"]
+            for row in blk.rows:
+                lines.append(f"s {row.src} {row.start} {row.size} "
+                             f"{row.strand} {row.src_size} {row.text}")
+            fh.write(f"{r.src}\t{start}\t{start + r.size}\t"
+                     + ";".join(lines) + ";\n")
+            n += 1
+    with open(path + ".as", "w") as fh:
+        fh.write(BIGMAF_AS)
+    return n

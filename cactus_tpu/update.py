@@ -116,3 +116,14 @@ def _rerun(store: AlignmentStore, tree: Tree, config, min_chain_override,
                                  min_chain_override=min_chain_override,
                                  store=store, log=log)
     return aligner.run()
+
+
+def refresh_archive(path: str, result: ProgressiveResult,
+                    log=lambda m: None) -> None:
+    """Rewrite the durable HAL archive after an update (the reference
+    re-runs halReplaceGenome / halAppendSubtree against the HDF5 HAL;
+    the incremental work already happened in the store rerun, so the
+    archive export is a straight dump of the refreshed result)."""
+    from .hal_archive import HalArchive
+    HalArchive.from_result(path, result)
+    log(f"refreshed HAL archive {path}")

@@ -108,3 +108,55 @@ def test_coverage_stats():
                    ("x.d", 0, 4, "+", 10, "ACGT")])
     cov = coverage_stats([b], "ref")
     assert cov["x"][2] == 4  # every ref site covered twice by genome x
+
+
+def test_update_refreshes_archive(tmp_path):
+    """cactus-tpu update --hal rewrites the durable archive after an
+    add (halAppendSubtree/halReplaceGenome role)."""
+    import os
+    from cactus_tpu import cli
+    from cactus_tpu.hal_archive import HalArchive
+    from cactus_tpu.io.fasta import write_fasta, Sequence
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.utils.trees import parse_newick
+    tree = parse_newick("((a:0.03,b:0.03)ab:0.03,c:0.06)root;")
+    sim = evolver.simulate(tree, root_len=4_000, seed=61)
+    d = tmp_path
+    from cactus_tpu.io.fasta import write_fasta as _wf
+    pa, pb = str(d / "a.fa"), str(d / "b.fa")
+    _wf(pa, {"a": Sequence("a", sim.genomes["a"].codes)})
+    _wf(pb, {"b": Sequence("b", sim.genomes["b"].codes)})
+    seqfile = str(d / "seqfile.txt")
+    with open(seqfile, "w") as fh:
+        fh.write("(a:0.03,b:0.03)root;\n")
+        fh.write(f"a {pa}\nb {pb}\n")
+    out = str(d / "aln")
+    hal = str(d / "aln.hal")
+    assert cli.main(["align", seqfile, out, "--hal", hal,
+                     "--min-chain", "64"]) == 0
+    arc0 = HalArchive.open(hal)
+    assert set(arc0.genomes()) >= {"a", "b"}
+    cfa = str(d / "c.fa")
+    write_fasta(cfa, {"c": Sequence("c", sim.genomes["c"].codes)})
+    assert cli.main(["update", "add", out, "c", "--fasta", cfa,
+                     "--parent", "root", "--min-chain", "64",
+                     "--hal", hal]) == 0
+    arc = HalArchive.open(hal)
+    assert "c" in arc.genomes()
+    assert arc.validate() == []
+
+
+def test_write_bigmaf(tmp_path):
+    from cactus_tpu.io.maf import MafBlock, MafRow
+    from cactus_tpu.maf_tools import write_bigmaf
+    blocks = [MafBlock(rows=[
+        MafRow("anc.c", 10, 5, "+", 100, "ACGTA"),
+        MafRow("a.c", 0, 5, "+", 50, "ACGTA")])]
+    p = str(tmp_path / "out.bigmaf.txt")
+    assert write_bigmaf(p, blocks, "anc") == 1
+    text = open(p).read()
+    assert text.startswith("anc.c\t10\t15\t")
+    assert "s anc.c 10 5 + 100 ACGTA;" in text
+    import os
+    assert os.path.exists(p + ".as")
+    assert "mafBlock" in open(p + ".as").read()
