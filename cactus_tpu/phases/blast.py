@@ -162,9 +162,16 @@ def _chain_layouts(chains, cfg: BlastParams, task: int = 0,
 
 def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
                   tlen, strand, cfg: BlastParams, submat, task: int = 0):
-    """Pass 2 of chains→records: assemble cigars + score + emit PAF."""
+    """Pass 2 of chains→records: assemble cigars + score + emit PAF.
+
+    Scoring is ONE vectorized pass over all candidate records: every M
+    run of every record lands in global index arrays, substitution
+    scores and match counts come from a single gather + reduceat — no
+    per-record numpy slicing (the 40k-call hot spot at genome scale).
+    """
     gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
-    records = []
+    cands = []                     # (ops, q0, t0, q1, t1, gap_cost)
+    run_rows = []                  # (cand idx, qstart, tstart, len)
     for cid, layout in enumerate(layouts):
         if not layout:
             continue
@@ -191,22 +198,60 @@ def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
                 else:  # gap
                     ops.extend(filled[(task, cid, it[1])])
             ops = merge_cigar(ops)
-            nmatch, score = _score_alignment(qcodes, tcodes, q0, t0, ops,
-                                             submat, gap_params)
-            if score < cfg.extend.gapped_threshold:
-                continue  # lastz gappedThresh equivalent: drop weak records
-            if strand == "+":
-                fq0, fq1 = q0, q1
-            else:
-                fq0, fq1 = qlen_full - q1, qlen_full - q0
-            alnlen = sum(l for _o, l in ops)
-            rec = PafRecord(qname=qname, qlen=qlen_full, qstart=fq0, qend=fq1,
-                            strand=strand, tname=tname, tlen=tlen,
-                            tstart=t0, tend=t1, nmatch=nmatch, alnlen=alnlen,
-                            mapq=60)
-            rec.cigar = ops
-            rec.set_tag("AS", "i", score)
-            records.append(rec)
+            ci = len(cands)
+            i, j = q0, t0
+            gap_cost = 0
+            for op, ln in ops:
+                if op == "M":
+                    run_rows.append((ci, i, j, ln))
+                    i += ln
+                    j += ln
+                elif op == "I":
+                    gap_cost += gap_params.gap_open \
+                        + ln * gap_params.gap_extend
+                    i += ln
+                else:
+                    gap_cost += gap_params.gap_open \
+                        + ln * gap_params.gap_extend
+                    j += ln
+            cands.append((ops, q0, t0, q1, t1, gap_cost))
+    if not cands:
+        return []
+    # vectorized substitution scoring over all M runs at once
+    nmatch_v = np.zeros(len(cands), np.int64)
+    sub_v = np.zeros(len(cands), np.int64)
+    if run_rows:
+        rr = np.asarray(run_rows, np.int64)
+        ln = rr[:, 3]
+        total = int(ln.sum())
+        row_of = np.repeat(np.arange(len(rr)), ln)
+        k = np.arange(total) - np.repeat(np.cumsum(ln) - ln, ln)
+        qi = rr[row_of, 1] + k
+        ti = rr[row_of, 2] + k
+        qs = qcodes[qi].astype(np.int32)
+        ts = tcodes[ti].astype(np.int32)
+        eq = (qs == ts).astype(np.int64)
+        sc = submat[qs, ts].astype(np.int64)
+        cand_of = rr[row_of, 0]
+        np.add.at(nmatch_v, cand_of, eq)
+        np.add.at(sub_v, cand_of, sc)
+    records = []
+    for ci, (ops, q0, t0, q1, t1, gap_cost) in enumerate(cands):
+        score = int(sub_v[ci]) - gap_cost
+        if score < cfg.extend.gapped_threshold:
+            continue  # lastz gappedThresh equivalent: drop weak records
+        if strand == "+":
+            fq0, fq1 = q0, q1
+        else:
+            fq0, fq1 = qlen_full - q1, qlen_full - q0
+        alnlen = sum(l for _o, l in ops)
+        rec = PafRecord(qname=qname, qlen=qlen_full, qstart=fq0, qend=fq1,
+                        strand=strand, tname=tname, tlen=tlen,
+                        tstart=t0, tend=t1, nmatch=int(nmatch_v[ci]),
+                        alnlen=alnlen, mapq=60)
+        rec.cigar = ops
+        rec.set_tag("AS", "i", score)
+        records.append(rec)
     return records
 
 
@@ -222,27 +267,6 @@ def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
     filled = _fill_gaps_banded(pending, qcodes, tcodes, submat, gap_params)
     return _emit_records(layouts, filled, qcodes, tcodes, qname, tname,
                          qlen_full, tlen, strand, cfg, submat)
-
-
-def _score_alignment(qcodes, tcodes, q0, t0, ops, submat, gp: GapParams):
-    i, j = q0, t0
-    nmatch = 0
-    score = 0
-    for op, ln in ops:
-        if op == "M":
-            qs = qcodes[i:i + ln].astype(np.int32)
-            ts = tcodes[j:j + ln].astype(np.int32)
-            nmatch += int(np.sum(qs == ts))
-            score += int(np.sum(submat[qs, ts]))
-            i += ln
-            j += ln
-        elif op == "I":
-            score -= gp.gap_open + ln * gp.gap_extend
-            i += ln
-        else:
-            score -= gp.gap_open + ln * gp.gap_extend
-            j += ln
-    return nmatch, score
 
 
 @dataclass
