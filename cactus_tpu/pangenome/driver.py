@@ -164,6 +164,50 @@ def run_pangenome_sv(genomes: dict[str, dict[str, Sequence]],
     return stats
 
 
+def run_pangenome_refmap(genomes: dict[str, dict[str, Sequence]],
+                         ref_event: str, outdir: str,
+                         config: Config | None = None,
+                         min_chain_override: int | None = 64,
+                         normalize: bool = True,
+                         clip: int | None = 10_000,
+                         log=lambda m: None) -> dict:
+    """cactus-refmap alternative (refmap/cactus_refmap.py): every
+    assembly aligns ONLY against the reference genome (minimap2-to-
+    reference in the reference pipeline; this package's own anchoring
+    stack here), and the base graph comes from those star-to-reference
+    records — O(haplotypes) like the SV tier, but anchored on a linear
+    reference instead of an SV graph."""
+    from ..phases.blast import align_genomes
+    from ..phases.caf import run_caf
+
+    os.makedirs(outdir, exist_ok=True)
+    cfg = config or Config.default()
+    seqs: dict[str, Sequence] = {}
+    for ev in genomes:
+        seqs.update(genomes[ev])
+    def _unprefixed(ev):
+        # align_genomes re-applies the event prefix to contig keys
+        return {n.split(".", 1)[1] if n.startswith(ev + ".") else n: s
+                for n, s in genomes[ev].items()}
+
+    ref_genome = _unprefixed(ref_event)
+    records = []
+    for ev in genomes:
+        if ev == ref_event:
+            continue
+        n0 = len(records)
+        records.extend(align_genomes(_unprefixed(ev), ref_genome,
+                                     ev, ref_event, cfg.blast))
+        log(f"refmap: {ev}: {len(records) - n0} records vs {ref_event}")
+    caf = run_caf(records, {n: len(s) for n, s in seqs.items()},
+                  cfg.caf, ingroup_events=set(genomes),
+                  min_chain_override=min_chain_override, log=log)
+    pg = graph_mod.build_graph(caf, seqs, chop=True)
+    pg.validate(seqs)
+    return _emit_graph_artifacts(pg, seqs, ref_event, outdir,
+                                 normalize=normalize, clip=clip, log=log)
+
+
 def run_pangenome_split(genomes: dict[str, dict[str, Sequence]],
                         ref_event: str, outdir: str,
                         config: Config | None = None,

@@ -311,3 +311,36 @@ def test_build_graph_chop_shares_nodes():
         set(v for v, _o in coarse.walks["b.c"])
     assert len(shared_fine) > len(shared_coarse)
     assert len(shared_fine) >= 5
+
+
+def test_run_pangenome_refmap(tmp_path):
+    """refmap tier: star-to-reference records only; bubbles still
+    resolve transitively through the shared reference columns."""
+    import os
+    import numpy as np
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu.pangenome.driver import run_pangenome_refmap
+    rng = np.random.default_rng(23)
+    ref = rng.integers(0, 4, 8_000).astype(np.uint8)
+
+    def hap(seed):
+        r = np.random.default_rng(seed)
+        out = ref.copy()
+        hit = r.random(len(out)) < 0.01
+        out[hit] = (out[hit] + r.integers(1, 4, int(hit.sum()))) % 4
+        return out
+
+    genomes = {
+        "ref": {"ref.c": Sequence("ref.c", ref)},
+        "h1": {"h1.c": Sequence("h1.c", hap(1))},
+        "h2": {"h2.c": Sequence("h2.c", hap(2))},
+    }
+    out = str(tmp_path / "refmap")
+    stats = run_pangenome_refmap(genomes, "ref", out)
+    assert stats["n_paths"] == 3
+    assert os.path.exists(os.path.join(out, "pangenome.gfa"))
+    assert os.path.exists(os.path.join(out, "pangenome.vcf"))
+    # SNP bubbles present: h1/h2 SNPs become sites in the VCF
+    vcf = open(os.path.join(out, "pangenome.vcf")).read().splitlines()
+    sites = [l for l in vcf if l and not l.startswith("#")]
+    assert len(sites) > 20
