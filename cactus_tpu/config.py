@@ -178,6 +178,9 @@ class PecanParams:
     use_progressive_merging: bool = True
     use_mum_anchors: bool = True
     recursive_mums: bool = True
+    # reference always runs stateMachine5_construct(fiveState)
+    # (bar/impl/bar.c:65); False falls back to the 3-state machine
+    five_state: bool = True
 
 
 @dataclass

@@ -294,10 +294,37 @@ def star_align_ends(per_end: dict[int, list[EndString]],
                     else:
                         j += ln
         else:
-            # pecan path: pair-HMM posterior matches (bar.c cPecan branch)
-            from ..ops.pairhmm import HmmParams, posterior_pairs_banded
-            hits = posterior_pairs_banded(pairs, HmmParams(), band=band,
-                                          gamma=0.5)
+            # pecan path: pair-HMM posterior matches (bar.c cPecan
+            # branch).  Five-state machine by default (stateMachine5,
+            # bar.c:65); big matrices split at MUM-chain anchors first
+            # (useMumAnchors / splitMatrixBiggerThanThis semantics,
+            # config:276-285) so each piece runs a narrow band.
+            pec = cfg.pecan
+            if pec.use_mum_anchors:
+                from ..ops.anchors import split_pair_by_mums
+                pieces = []      # (group idx, q0, t0)
+                piece_pairs = []
+                for gi, (qc, tc) in enumerate(pairs):
+                    for q0, t0, qs, ts in split_pair_by_mums(
+                            qc, tc,
+                            max_span=pec.split_matrix_bigger_than_this):
+                        pieces.append((gi, q0, t0))
+                        piece_pairs.append((qs, ts))
+            else:
+                pieces = [(gi, 0, 0) for gi in range(len(pairs))]
+                piece_pairs = pairs
+            if pec.five_state:
+                from ..ops.pairhmm5 import (Hmm5Params,
+                                            posterior_pairs_banded5)
+                piece_hits = posterior_pairs_banded5(
+                    piece_pairs, Hmm5Params(), band=band, gamma=0.5)
+            else:
+                from ..ops.pairhmm import HmmParams, posterior_pairs_banded
+                piece_hits = posterior_pairs_banded(
+                    piece_pairs, HmmParams(), band=band, gamma=0.5)
+            hits = [[] for _ in pairs]
+            for (gi, q0, t0), ph in zip(pieces, piece_hits):
+                hits[gi].extend((i + q0, j + t0, p) for i, j, p in ph)
             for (m, b, t_len, _), matched in zip(group, hits):
                 # merge consecutive (i,j) hits into runs
                 start = None
