@@ -17,8 +17,23 @@ version does the same mapping:
    alleles to columns, splicing insertion chains) are host-side pointer
    work, exactly the part that stays on CPU in this framework's design.
 
-Gap model: linear gaps (single penalty), the round-1 simplification of
-abPOA's convex two-piece model (config gap_open1/2, extend1/2).
+Gap models: `poa_align_scan` is the round-1 linear-gap kernel (kept for
+the throughput bench and as the simple fallback); `poa_align_scan_affine`
+is the abPOA-parity kernel — CONVEX two-piece affine gaps (gap of length
+l costs min(o1+l*e1, o2+l*e2), config gap_open1/2 + extend1/2,
+cactus_progressive_config.xml:312-326), per-state traceback bits, and an
+ADAPTIVE BAND centred on each node's topological depth (abPOA band =
+band_constant + band_fraction*len, config:310-311).  The in-row
+insertion chains of the two gap models are cross-coupled through H, so
+they solve as a 2-vector MAX-PLUS matrix Kogge-Stone scan (the tropical
+twin of ops/pairhmm5's probability chain).
+
+Minimizer seeding (abPOA partialOrderAlignmentDisableSeeding) is
+intentionally NOT implemented: the reference's own config documents that
+disabling seeding "will slightly increase accuracy and robustness"
+(cactus_progressive_config.xml:300); the adaptive band already bounds
+compute, so this framework always runs the higher-accuracy unseeded
+path.
 """
 
 from __future__ import annotations
@@ -44,6 +59,9 @@ class PoaGraph:
     n_groups: int = 0
     # walks: per added sequence, the node visited at each position
     walks: list[np.ndarray] = field(default_factory=list)
+    # topological depth per node (longest path from a source) — the
+    # adaptive band centres on it (abPOA's moving band analog)
+    depth: list[int] = field(default_factory=list)
 
     @property
     def n_nodes(self) -> int:
@@ -73,6 +91,8 @@ class PoaGraph:
             self._warn_pred_overflow(len(kept))
             kept = kept[:MAX_PREDS]
         self.preds.append(kept)
+        self.depth.append(1 + max((self.depth[p] for p in kept),
+                                  default=-1))
         if group is None:
             group = self.n_groups
             self.n_groups += 1
@@ -300,16 +320,294 @@ def poa_align(graph: PoaGraph, seq: np.ndarray, gap: int = 30,
     return ops
 
 
+# --------------------------------------------------------------------------
+# convex (dual-affine) gap kernel with adaptive band — abPOA parity
+# --------------------------------------------------------------------------
+
+def _maxplus_chain(s1, s2, a11, a12, a21, a22, B):
+    """Tropical 2-vector scan: y[b] = A (x) y[b-1] (+) s[b] where
+    (A (x) v)_i = max_j(A_ij + v_j).  a_ij are scalar ints; s1/s2 (B,)
+    int32 source terms.  Returns (y1, y2)."""
+    y1, y2 = s1, s2
+    F11 = jnp.full((B,), a11, jnp.int32)
+    F12 = jnp.full((B,), a12, jnp.int32)
+    F21 = jnp.full((B,), a21, jnp.int32)
+    F22 = jnp.full((B,), a22, jnp.int32)
+
+    def shift(x, off):
+        return jnp.concatenate([jnp.full((off,), NEG, jnp.int32), x[:-off]])
+
+    off = 1
+    while off < B:
+        v1, v2 = shift(y1, off), shift(y2, off)
+        y1 = jnp.maximum(y1, jnp.maximum(F11 + v1, F12 + v2))
+        y2 = jnp.maximum(y2, jnp.maximum(F21 + v1, F22 + v2))
+        G11, G12 = shift(F11, off), shift(F12, off)
+        G21, G22 = shift(F21, off), shift(F22, off)
+        # clamp at NEG: repeated tropical products of NEG-padded entries
+        # would otherwise run off toward int32 overflow
+        nF11 = jnp.maximum(jnp.maximum(F11 + G11, F12 + G21), NEG)
+        nF12 = jnp.maximum(jnp.maximum(F11 + G12, F12 + G22), NEG)
+        nF21 = jnp.maximum(jnp.maximum(F21 + G11, F22 + G21), NEG)
+        nF22 = jnp.maximum(jnp.maximum(F21 + G12, F22 + G22), NEG)
+        F11, F12, F21, F22 = nF11, nF12, nF21, nF22
+        y1 = jnp.maximum(y1, NEG)
+        y2 = jnp.maximum(y2, NEG)
+        off *= 2
+    return y1, y2
+
+
+@partial(jax.jit, static_argnames=("band", "o1", "e1", "o2", "e2"))
+def poa_align_scan_affine(bases, preds, off, q_ext, submat,
+                          band: int, o1: int, e1: int, o2: int, e2: int):
+    """Convex-gap sequence-vs-DAG DP with per-node band offsets.
+
+    bases (N,) uint8; preds (N, MAX_PREDS) int32 (-1 pad); off (N,)
+    int32 band offsets (cell (v, b) is column j = off[v] + b, i.e.
+    query prefix length j); q_ext (L+1,) uint8 with q_ext[0] = pad and
+    q_ext[j] = q[j-1]; submat (6,6) int32.
+
+    Gap of length l costs min(o1 + l*e1, o2 + l*e2) on either side
+    (abPOA convex mode, config gap_open1/2 + extend1/2).
+
+    Returns (H_all (N, B) int32, dirs (N, B) uint16, ends (N,) int32 =
+    score at column L per node, NEG when L is outside the node's band).
+
+    dirs bit layout (per H cell): 0-2 move (0=diag 1=del1 2=del2 3=ins1
+    4=ins2); 3-4 diag pred slot; 5-6 F1 slot, 7 F1-extend; 8-9 F2 slot,
+    10 F2-extend; 11 E1-extend; 12 E2-extend.
+    """
+    N = bases.shape[0]
+    B = band
+    Lp1 = q_ext.shape[0]
+    L = Lp1 - 1
+    b_idx = jnp.arange(B, dtype=jnp.int32)
+
+    # virtual start row: j insertions at convex cost
+    def row0_at(j):
+        c = jnp.minimum(o1 + j * e1, o2 + j * e2)
+        return jnp.where(j == 0, 0, jnp.where(j > 0, -c, NEG)).astype(
+            jnp.int32)
+
+    def node_step(carry, v):
+        H_all, F1_all, F2_all = carry
+        j = off[v] + b_idx                      # (B,) columns of this row
+        qv = q_ext[jnp.clip(j, 0, L)]
+        s = submat[bases[v].astype(jnp.int32), qv.astype(jnp.int32)]
+        pv = preds[v]                            # (MAX_PREDS,)
+        has_pred = jnp.any(pv >= 0)
+        pidx = jnp.maximum(pv, 0)
+        d = off[v] - off[pidx]                   # (P,) relative shifts
+        gidx = d[:, None] + b_idx[None, :]       # (P, B) band index at pred
+        ok_g = (pv >= 0)[:, None] & (gidx >= 0) & (gidx < B)
+        gi = jnp.clip(gidx, 0, B - 1)
+        Hp = jnp.where(ok_g, jnp.take_along_axis(H_all[pidx], gi, 1), NEG)
+        F1p = jnp.where(ok_g, jnp.take_along_axis(F1_all[pidx], gi, 1), NEG)
+        F2p = jnp.where(ok_g, jnp.take_along_axis(F2_all[pidx], gi, 1), NEG)
+        ok_d = (pv >= 0)[:, None] & (gidx >= 1) & (gidx <= B)
+        gd = jnp.clip(gidx - 1, 0, B - 1)
+        Hd = jnp.where(ok_d, jnp.take_along_axis(H_all[pidx], gd, 1), NEG)
+        # source nodes read the virtual start row instead
+        vHp = row0_at(j)[None, :]
+        vHd = row0_at(j - 1)[None, :]
+        first = (jnp.arange(MAX_PREDS) == 0)[:, None]
+        Hp = jnp.where(has_pred, Hp, jnp.where(first, vHp, NEG))
+        Hd = jnp.where(has_pred, Hd, jnp.where(first, vHd, NEG))
+        F1p = jnp.where(has_pred, F1p, NEG)
+        F2p = jnp.where(has_pred, F2p, NEG)
+
+        # F_k: stack open/extend candidates over preds -> argmax decode
+        c1 = jnp.concatenate([Hp - (o1 + e1), F1p - e1], axis=0)  # (2P, B)
+        c2 = jnp.concatenate([Hp - (o2 + e2), F2p - e2], axis=0)
+        F1 = jnp.max(c1, axis=0)
+        a1 = jnp.argmax(c1, axis=0).astype(jnp.int32)
+        F2 = jnp.max(c2, axis=0)
+        a2 = jnp.argmax(c2, axis=0).astype(jnp.int32)
+        f1_slot, f1_ext = a1 % MAX_PREDS, a1 // MAX_PREDS
+        f2_slot, f2_ext = a2 % MAX_PREDS, a2 // MAX_PREDS
+
+        diag_all = Hd + s[None, :]
+        diag = jnp.max(diag_all, axis=0)
+        dslot = jnp.argmax(diag_all, axis=0).astype(jnp.int32)
+        h0 = jnp.maximum(diag, jnp.maximum(F1, F2))
+
+        # in-row convex insertion chains (coupled through H):
+        # E_k[b] = max(h0[b-1]-o_k-e_k, E_k[b-1]-e_k, E_o[b-1]-o_k-e_k)
+        def sr1(x):
+            return jnp.concatenate([jnp.full((1,), NEG, jnp.int32), x[:-1]])
+
+        E1, E2 = _maxplus_chain(sr1(h0) - (o1 + e1), sr1(h0) - (o2 + e2),
+                                -e1, -(o1 + e1), -(o2 + e2), -e2, B)
+        H = jnp.maximum(h0, jnp.maximum(E1, E2))
+        valid = j <= L
+        H = jnp.where(valid, H, NEG)
+        E1 = jnp.where(valid, E1, NEG)
+        E2 = jnp.where(valid, E2, NEG)
+        F1 = jnp.where(valid, F1, NEG)
+        F2 = jnp.where(valid, F2, NEG)
+
+        # decode moves (prefer diag on ties, then deletions)
+        move = jnp.where(H == diag, 0,
+                jnp.where(H == F1, 1,
+                 jnp.where(H == F2, 2,
+                  jnp.where(H == E1, 3, 4)))).astype(jnp.int32)
+        e1_ext = (E1 == sr1(E1) - e1).astype(jnp.int32)
+        e2_ext = (E2 == sr1(E2) - e2).astype(jnp.int32)
+        dirs = (move | (dslot << 3) | (f1_slot << 5) | (f1_ext << 7)
+                | (f2_slot << 8) | (f2_ext << 10) | (e1_ext << 11)
+                | (e2_ext << 12)).astype(jnp.uint16)
+
+        H_all = H_all.at[v].set(H)
+        F1_all = F1_all.at[v].set(F1)
+        F2_all = F2_all.at[v].set(F2)
+        return (H_all, F1_all, F2_all), dirs
+
+    neg = jnp.full((N, B), NEG, jnp.int32)
+    (H_all, _f1, _f2), dirs = jax.lax.scan(
+        node_step, (neg, neg, neg), jnp.arange(N, dtype=jnp.int32))
+    bL = L - off
+    ends = jnp.where((bL >= 0) & (bL < B),
+                     jnp.take_along_axis(
+                         H_all, jnp.clip(bL, 0, B - 1)[:, None], 1)[:, 0],
+                     NEG)
+    return H_all, dirs, ends
+
+
+def _traceback_affine(graph: PoaGraph, dirs: np.ndarray, off: np.ndarray,
+                      end_v: int, L: int):
+    """Walk the per-state direction bits back from (end_v, column L).
+
+    States mirror the DP: H (cell), E1/E2 (in-row insertion chains),
+    F1/F2 (graph-direction deletion chains).  The walk terminates at the
+    virtual start row: reached through a source node (diag or deletion
+    open), with any remaining query prefix emitted as insertions."""
+    ops: list = []
+    state = "H"
+    v, j = end_v, L
+    k = 1   # active gap model while in E/F
+    while True:
+        b = j - int(off[v])
+        byte = int(dirs[v, b]) if 0 <= b < dirs.shape[1] else 0
+        if state == "H":
+            move = byte & 7
+            if move == 0:                     # diag: emit match
+                ops.append(("M", v, j - 1))
+                j -= 1
+                plist = graph.preds[v]
+                if not plist:                 # source: rest = insertions
+                    for jj in range(j, 0, -1):
+                        ops.append(("I", jj - 1))
+                    break
+                v = plist[min((byte >> 3) & 3, len(plist) - 1)]
+            elif move in (1, 2):
+                state, k = "F", move
+            else:
+                state, k = "E", move - 2
+        elif state == "E":
+            ops.append(("I", j - 1))
+            ext = (byte >> (10 + k)) & 1      # bit 11 (E1) / 12 (E2)
+            j -= 1
+            if j <= 0:
+                break
+            if not ext:
+                state = "H"
+        else:  # F
+            ops.append(("D", v))
+            if k == 1:
+                slot, ext = (byte >> 5) & 3, (byte >> 7) & 1
+            else:
+                slot, ext = (byte >> 8) & 3, (byte >> 10) & 1
+            plist = graph.preds[v]
+            if not plist:                     # deleted a source node
+                for jj in range(j, 0, -1):
+                    ops.append(("I", jj - 1))
+                break
+            v = plist[min(slot, len(plist) - 1)]
+            if not ext:
+                state = "H"
+    ops.reverse()
+    return ops
+
+
+def poa_align_affine(graph: PoaGraph, seq: np.ndarray,
+                     o1: int = 400, e1: int = 30,
+                     o2: int = 1200, e2: int = 1,
+                     submat: np.ndarray | None = None,
+                     band_constant: int = 1000,
+                     band_fraction: float = 0.1):
+    """Align `seq` to the graph with convex gaps + adaptive band.
+
+    The band for node v covers columns [off[v], off[v]+B) with off
+    centred on the node's topological depth — the static-shape analog
+    of abPOA's moving adaptive band (band = band_constant +
+    band_fraction*len, config:310-311).  Returns traceback ops for
+    add_alignment."""
+    if submat is None:
+        from ..config import PoaParams
+        from .banded import score_matrix_6
+        submat = score_matrix_6(PoaParams().sub_matrix)
+    bases, preds = graph.tensors()
+    N = len(bases)
+    L = len(seq)
+    depth = np.asarray(graph.depth, dtype=np.int64)
+    max_depth = max(int(depth.max()), 1) if N else 1
+    want = int(band_constant + band_fraction * L
+               + abs(L - max_depth)) * 2
+    B = _bin_up(min(want, L + 1), minimum=64)
+    Nb = _bin_up(N)
+    if B >= L + 1:
+        B = _bin_up(L + 1, minimum=64)
+        off = np.zeros(Nb, dtype=np.int32)
+    else:
+        center = depth.astype(np.float64) * (L / max_depth)
+        off = np.clip(center.astype(np.int32) - B // 2, 0, L + 1 - B)
+        off = np.maximum.accumulate(off)   # monotone: preds stay gatherable
+        off = np.concatenate([off, np.full(Nb - N, off[-1] if N else 0,
+                                           dtype=np.int32)])
+    bases_p = np.zeros(Nb, dtype=np.uint8)
+    bases_p[:N] = bases
+    preds_p = np.full((Nb, MAX_PREDS), -1, dtype=np.int32)
+    preds_p[:N] = preds
+    q_ext = np.full(L + 1, 5, dtype=np.uint8)
+    q_ext[1:] = seq
+    from . import smart_put
+    put = smart_put(Nb * B * MAX_PREDS)
+    H, dirs, ends = poa_align_scan_affine(
+        put(bases_p), put(preds_p), put(off[:Nb].astype(np.int32)),
+        put(q_ext), put(submat.astype(np.int32)),
+        band=B, o1=o1, e1=e1, o2=o2, e2=e2)
+    ends = np.asarray(ends)[:N]
+    dirs = np.asarray(dirs)[:N]
+    end_v = int(np.argmax(ends))
+    return _traceback_affine(graph, dirs, off, end_v, L)
+
+
 def poa_msa(seqs: list[np.ndarray], gap: int = 30, match: int = 10,
-            mismatch: int = -15) -> PoaGraph:
+            mismatch: int = -15, params=None) -> PoaGraph:
     """Progressive POA: longest sequence seeds the graph, others align
-    in length order (abPOA progressive_mode analog)."""
+    in length order (abPOA progressive_mode analog).
+
+    With `params` (a PoaParams), alignment runs the abPOA-parity convex
+    affine kernel with adaptive band + the 5x5 substitution matrix;
+    otherwise the simple linear-gap kernel."""
     order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i]))
     graph = PoaGraph.from_sequence(seqs[order[0]])
     walk_order = [order[0]]
+    submat = None
+    if params is not None:
+        from .banded import score_matrix_6
+        submat = score_matrix_6(params.sub_matrix)
     for i in order[1:]:
-        ops = poa_align(graph, seqs[i], gap=gap, match=match,
-                        mismatch=mismatch)
+        if params is not None:
+            ops = poa_align_affine(
+                graph, seqs[i], o1=params.gap_open1,
+                e1=params.gap_extend1, o2=params.gap_open2,
+                e2=params.gap_extend2, submat=submat,
+                band_constant=params.band_constant,
+                band_fraction=params.band_fraction)
+        else:
+            ops = poa_align(graph, seqs[i], gap=gap, match=match,
+                            mismatch=mismatch)
         graph.add_alignment(seqs[i], ops)
         walk_order.append(i)
     # restore walks to input order

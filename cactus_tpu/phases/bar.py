@@ -255,7 +255,7 @@ def star_align_ends(per_end: dict[int, list[EndString]],
                 continue
             members = sorted(members, key=lambda e: -e.length())
             seqs_o = [m.codes(gcodes) for m in members]
-            graph = poa_msa(seqs_o)
+            graph = poa_msa(seqs_o, params=poa)
             matched = graph.match_runs_between_walks()
             matched.sort()
             prev = None
