@@ -9,9 +9,10 @@ cactus_progressive_config.xml:195-231).
 Simplifications vs the full cactus graph (round-1): chains are detected as
 maximal link-paths where two block ends are exclusively adjacent to each
 other; melting destroys blocks of chains shorter than the round threshold.
-The 3-edge-connected-component cactus decomposition is approximated by this
-link-path structure (adequate for progressive alignment output; the full
-decomposition is a later-round item).
+The 3-edge-connected-component cactus decomposition is computed by
+graph/cactus.py (XOR-label 2-edge-cut classes); this module keeps the
+link-path structure used by melting, and graph/flowers.py derives the
+recursive Flower/Chain/Link view from it.
 """
 
 from __future__ import annotations

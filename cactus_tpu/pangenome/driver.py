@@ -75,6 +75,11 @@ def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
     vcf_mod.write_vcf(os.path.join(outdir, "pangenome.bub.vcf"), pg,
                       ref_paths[0], merge_dups=True,
                       bub_max_ref_length=100_000, max_level=0)
+    # the wave tier: vcfwave realignment decomposition of the bub VCF
+    # (graphmap-join's optional `vcfwave` pass, config XML :493)
+    vcf_mod.write_vcf(os.path.join(outdir, "pangenome.wave.vcf"), pg,
+                      ref_paths[0], merge_dups=True,
+                      bub_max_ref_length=100_000, max_level=0, wave=True)
 
     # index factory (graphmap-join emits GBZ/snarls/xg/odgi stats)
     from .indexes import degree_stats, save_gbz, snarls

@@ -2,13 +2,14 @@
 
 Reference flow: graphmap-join deconstructs the graph against the
 reference path into VCF (+vcfbub/vcfwave cleanup; cactus_graphmap_join.py
-:652+, config XML :493).  Round-1 scope here: simple bubbles —
+:652+, config XML :493).  vcf_records covers simple bubbles —
  - block-allele sites (SNP/MNV): a block with >=2 allele nodes on the
    reference path;
  - insertions: a haplotype-private node between two blocks that are
    adjacent on the reference path;
  - deletions: a haplotype adjacency that skips reference-path nodes.
-Nested/overlapping snarls are a later-round item (full snarl tree).
+vcf_records_nested walks the full snarl tree and emits nested variants
+with LV (level) tags; vcfbub/merge_duplicates post-process them.
 """
 
 from __future__ import annotations
@@ -193,12 +194,13 @@ def vcf_records(graph: PanGraph, ref_name: str,
 def write_vcf(path_or_file, graph: PanGraph, ref_name: str,
               nested: bool = True, max_level: int | None = None,
               bub_max_ref_length: int | None = None,
-              merge_dups: bool = False) -> None:
+              merge_dups: bool = False, wave: bool = False) -> None:
     """nested=True uses the anchor-chained snarl deconstruction with LV
     nesting tags; max_level drops deeper sites (vcfbub --max-level);
     bub_max_ref_length pops oversized top-level sites (vcfbub
-    --max-ref-length) and merge_dups fuses same-CHROM/POS/REF sites
-    (collapse-bubble merge_duplicates)."""
+    --max-ref-length); merge_dups fuses same-CHROM/POS/REF sites
+    (collapse-bubble merge_duplicates); wave realigns complex sites
+    into primitives (vcfwave)."""
     own = not hasattr(path_or_file, "write")
     fh = open(path_or_file, "w") if own else path_or_file
     try:
@@ -219,6 +221,8 @@ def write_vcf(path_or_file, graph: PanGraph, ref_name: str,
         if bub_max_ref_length is not None:
             recs = vcfbub(recs, max_level=max_level or 0,
                           max_ref_length=bub_max_ref_length)
+        if wave:
+            recs = merge_duplicates(vcfwave(recs))
         for rec in recs:
             if max_level is not None and rec.lv > max_level:
                 continue
@@ -333,6 +337,147 @@ def vcf_records_nested(graph: PanGraph, ref_name: str) -> list[VcfRecord]:
                 lv += 1
         r.lv = lv
     return records
+
+
+# --------------------------------------------------------------------------
+# vcfwave: realignment decomposition of complex sites
+# --------------------------------------------------------------------------
+
+def _codes(s: str) -> np.ndarray:
+    from ..io.fasta import _CODE_OF
+    return _CODE_OF[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
+
+
+def _left_shift(pos: int, ref: str, alt: str, rec_ref: str,
+                rec_pos: int) -> tuple[int, str, str]:
+    """Normalize an anchored indel by shifting left within the record's
+    own reference allele (vt-normalize semantics, record-local)."""
+    while len(ref) != len(alt) and pos > rec_pos:
+        long, short = (ref, alt) if len(ref) > len(alt) else (alt, ref)
+        if len(short) != 1 or long[-1] != short[0]:
+            break
+        prev = rec_ref[pos - 1 - rec_pos]
+        pos -= 1
+        if len(ref) > len(alt):
+            ref, alt = prev + long[:-1], prev
+        else:
+            ref, alt = prev, prev + long[:-1]
+    return pos, ref, alt
+
+
+def _decompose_cigar(rec: VcfRecord, alt: str, ops) -> list[tuple]:
+    """Walk one REF/ALT affine alignment into primitive (pos, ref, alt)
+    triples.  ops consume q=alt ('I' inserts alt bases), t=ref."""
+    prims: list[tuple[int, str, str]] = []
+    rp = ap = 0
+    R, A = rec.ref, alt
+    for op, ln in ops:
+        if op == "M":
+            for k in range(ln):
+                if R[rp + k] != A[ap + k]:
+                    prims.append((rec.pos + rp + k, R[rp + k], A[ap + k]))
+            rp += ln
+            ap += ln
+        elif op == "I":                      # insertion relative to ref
+            if rp > 0:
+                p, r, a = (rec.pos + rp - 1, R[rp - 1],
+                           R[rp - 1] + A[ap:ap + ln])
+            else:                            # left edge: right-anchor
+                p, r, a = rec.pos, R[0], A[ap:ap + ln] + R[0]
+            prims.append(_left_shift(p, r, a, R, rec.pos))
+            ap += ln
+        else:                                # 'D': deletion from ref
+            if rp > 0:
+                p, r, a = (rec.pos + rp - 1, R[rp - 1:rp + ln], R[rp - 1])
+            else:
+                p, r, a = rec.pos, R[:ln + 1], R[ln]
+            prims.append(_left_shift(p, r, a, R, rec.pos))
+            rp += ln
+    return prims
+
+
+def vcfwave(records: list[VcfRecord], band: int | None = None,
+            max_allele: int = 100_000) -> list[VcfRecord]:
+    """Realignment decomposition of complex VCF sites (vcfwave analog).
+
+    The reference pipeline post-processes graph VCFs with `vcfwave`,
+    which realigns every ALT allele against REF (bi-WFA) and re-emits
+    the site as primitive SNP/ins/del records with genotypes carried
+    over (cactus_graphmap_join.py:652+, config XML :493 `vcfwave`).
+
+    TPU-first shape: ALL (alt, ref) allele pairs across every record
+    are packed into ONE batched banded-DP launch (`align_pairs_banded`
+    routes to the fused Pallas kernel on TPU); cigar decomposition and
+    genotype remapping stay on host.  Primitive records are re-anchored
+    per VCF convention and indels are left-shift normalized within the
+    record.  Sites longer than max_allele pass through unchanged.
+    """
+    from ..config import PoaParams
+    from ..ops.banded import GapParams, align_pairs_banded, score_matrix_6
+
+    # gather the complex alleles
+    jobs: list[tuple[int, int]] = []      # (record idx, alt idx)
+    pairs = []
+    for ri, rec in enumerate(records):
+        if len(rec.ref) == 1 and all(len(a) == 1 for a in rec.alts):
+            continue                      # pure SNP/MNV of width 1
+        if len(rec.ref) > max_allele or any(len(a) > max_allele
+                                            for a in rec.alts):
+            continue
+        for ai, alt in enumerate(rec.alts):
+            simple = (len(rec.ref) == 1 and alt[:1] == rec.ref) or \
+                     (len(alt) == 1 and rec.ref[:1] == alt)
+            if alt == rec.ref or simple:
+                continue                  # already a primitive indel
+            jobs.append((ri, ai))
+            pairs.append((_codes(alt), _codes(rec.ref)))
+    if not jobs:
+        return sorted(records, key=lambda r: (r.chrom, r.pos))
+
+    if band is None:
+        spread = max(abs(len(q) - len(t)) for q, t in pairs)
+        band = max(64, 1 << int(spread + 33 - 1).bit_length())
+    submat = score_matrix_6(PoaParams().sub_matrix)
+    aligned = align_pairs_banded(pairs, submat, GapParams(), band=band)
+
+    prim_of: dict[int, dict[int, list[tuple]]] = {}
+    for (ri, ai), (_score, ops) in zip(jobs, aligned):
+        prim_of.setdefault(ri, {})[ai] = _decompose_cigar(
+            records[ri], records[ri].alts[ai], ops)
+
+    out: list[VcfRecord] = []
+    for ri, rec in enumerate(records):
+        by_alt = prim_of.get(ri)
+        if by_alt is None:
+            out.append(rec)
+            continue
+        # sites keyed by (pos, ref); allele lists merged across ALTs
+        sites: dict[tuple[int, str], dict] = {}
+        alt_site_allele: dict[int, dict[tuple[int, str], int]] = {}
+        for ai in range(len(rec.alts)):
+            prims = by_alt.get(ai)
+            if prims is None:             # this ALT was already primitive
+                prims = [(rec.pos, rec.ref, rec.alts[ai])]
+            amap: dict[tuple[int, str], int] = {}
+            for pos, ref, alt in prims:
+                site = sites.setdefault((pos, ref), {"alts": []})
+                if alt not in site["alts"]:
+                    site["alts"].append(alt)
+                amap[(pos, ref)] = site["alts"].index(alt) + 1
+            alt_site_allele[ai] = amap
+        for (pos, ref), site in sorted(sites.items()):
+            gts = {}
+            for sample, g in rec.genotypes.items():
+                if g is None:
+                    gts[sample] = None
+                elif g == 0:
+                    gts[sample] = 0
+                else:
+                    gts[sample] = alt_site_allele[g - 1].get((pos, ref), 0)
+            out.append(VcfRecord(chrom=rec.chrom, pos=pos, ref=ref,
+                                 alts=site["alts"], genotypes=gts,
+                                 lv=rec.lv))
+    return sorted(out, key=lambda r: (r.chrom, r.pos))
 
 
 # --------------------------------------------------------------------------

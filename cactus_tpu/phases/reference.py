@@ -11,9 +11,10 @@ likelihood under Jukes-Cantor via Felsenstein pruning
 pipeline/cactus_consolidated.c:108,489).
 
 TPU-first design:
- - ordering/matching is host-side (pointer-light numpy greedy matching on
-   the end-adjacency graph — the `greedy` option of the reference's
-   matching algorithms; blossom5 parity is a later-round item);
+ - ordering/matching is host-side: exact blossom max-weight matching
+   (matching_algorithm=blossom5/maxWeight/maxCardinality) with a greedy
+   fallback past a size cap, plus nudge permutations — the reference's
+   matchingAndOrdering surface (buildReference.c:1293-1306);
  - the Felsenstein pruning pass is ONE batched JAX computation over every
    column of every block at once: messages are (columns, 4) tensors
    propagated up the event tree with per-branch JC transition matmuls —

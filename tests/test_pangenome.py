@@ -344,3 +344,51 @@ def test_run_pangenome_refmap(tmp_path):
     vcf = open(os.path.join(out, "pangenome.vcf")).read().splitlines()
     sites = [l for l in vcf if l and not l.startswith("#")]
     assert len(sites) > 20
+
+
+def test_vcfwave_decomposes_complex_site():
+    """A complex replacement realigns into primitive SNP + indel records
+    with genotypes carried over (vcfwave analog)."""
+    from cactus_tpu.pangenome.vcf import VcfRecord, vcfwave
+    # REF ACGTACGT vs ALT ACCTACT: one SNP (G>C at pos+2) and one
+    # deletion (G dropped near the tail)
+    rec = VcfRecord("ref", 10, "ACGTACGT", ["ACCTACT"],
+                    {"h1": 1, "h2": 0, "h3": None})
+    out = vcfwave([rec])
+    assert all(len(r.ref) == 1 or len(r.alts[0]) == 1 or
+               len(r.ref) == len(r.alts[0]) == 1 for r in out)
+    snps = [r for r in out if len(r.ref) == 1 and len(r.alts[0]) == 1]
+    indels = [r for r in out if len(r.ref) != len(r.alts[0])]
+    assert any(r.pos == 12 and r.ref == "G" and r.alts == ["C"]
+               for r in snps)
+    assert len(indels) == 1 and len(indels[0].ref) - \
+        len(indels[0].alts[0]) == 1
+    for r in out:
+        assert r.genotypes["h1"] == 1
+        assert r.genotypes["h2"] == 0
+        assert r.genotypes["h3"] is None
+
+
+def test_vcfwave_multiallelic_shared_primitive():
+    """Two ALTs sharing a primitive map both samples to one allele."""
+    from cactus_tpu.pangenome.vcf import VcfRecord, vcfwave
+    # both alts carry the same A>T SNP at pos 20; alt2 adds a C>G at 22
+    rec = VcfRecord("ref", 20, "AGCGG", ["TGCGG", "TGGGG"],
+                    {"s1": 1, "s2": 2})
+    out = vcfwave([rec])
+    snp_at_20 = [r for r in out if r.pos == 20]
+    assert len(snp_at_20) == 1
+    r = snp_at_20[0]
+    assert r.alts == ["T"] and r.genotypes == {"s1": 1, "s2": 1}
+    snp_at_22 = [r for r in out if r.pos == 22]
+    assert len(snp_at_22) == 1
+    assert snp_at_22[0].genotypes == {"s1": 0, "s2": 1}
+
+
+def test_vcfwave_leaves_primitives_and_left_shifts():
+    from cactus_tpu.pangenome.vcf import VcfRecord, vcfwave
+    snp = VcfRecord("ref", 5, "A", ["G"], {"s": 1})
+    ins = VcfRecord("ref", 9, "T", ["TAC"], {"s": 1})
+    out = vcfwave([snp, ins])
+    assert [(r.pos, r.ref, tuple(r.alts)) for r in out] == \
+        [(5, "A", ("G",)), (9, "T", ("TAC",))]
