@@ -31,6 +31,8 @@ def run_pangenome(genomes: dict[str, dict[str, Sequence]],
                   min_chain_override: int | None = 64,
                   normalize: bool = True,
                   clip: int | None = 10_000,
+                  filter_depth: int | None = 2,
+                  viz: bool = True,
                   log=lambda m: None) -> dict:
     """Align all haplotypes star-wise against each other and emit the
     graph artifacts.  Returns the stats dict."""
@@ -49,12 +51,16 @@ def run_pangenome(genomes: dict[str, dict[str, Sequence]],
     pg = graph_mod.build_graph(step.caf, seqs, chop=True)
     pg.validate(seqs)
     return _emit_graph_artifacts(pg, seqs, ref_event, outdir,
-                                 normalize=normalize, clip=clip, log=log)
+                                 normalize=normalize, clip=clip,
+                                 filter_depth=filter_depth, viz=viz,
+                                 log=log)
 
 
 def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
                           outdir: str, normalize: bool = True,
                           clip: int | None = 10_000,
+                          filter_depth: int | None = 2,
+                          viz: bool = True,
                           log=lambda m: None) -> dict:
     if normalize:
         rounds = collapse_shared_affixes(pg)
@@ -93,6 +99,7 @@ def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
     stats = graph_mod.graph_stats(pg)
     stats["odgi"] = degree_stats(pg)
     stats["n_snarls"] = len(sn)
+    tiers: dict = {}
     if clip is not None:
         clipped, bed = graph_mod.clip_graph(pg, max_unaligned=clip)
         graph_mod.write_gfa(os.path.join(outdir, "pangenome.clip.gfa"),
@@ -104,6 +111,37 @@ def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
         stats["clip"] = graph_mod.graph_stats(clipped)
         stats["clipped_bp"] = int(sum(b - a for ivs in bed.values()
                                       for a, b in ivs))
+        tiers["clip"] = (clipped, bed)
+        if filter_depth is not None and filter_depth > 0:
+            # graphmap-join `--filter 2` tier: allele-frequency filter
+            # of the clip graph (cactus_graphmap_join.py:157)
+            filt, fbed = graph_mod.filter_graph(
+                clipped, min_depth=filter_depth, ref_sample=ref_event)
+            graph_mod.write_gfa(
+                os.path.join(outdir, "pangenome.filter.gfa"), filt)
+            with open(os.path.join(outdir, "filtered.bed"), "w") as fh:
+                for name, ivs in fbed.items():
+                    for a, b in ivs:
+                        fh.write(f"{name}\t{a}\t{b}\n")
+            stats["filter"] = graph_mod.graph_stats(filt)
+            stats["filtered_bp"] = int(sum(b - a for ivs in fbed.values()
+                                           for a, b in ivs))
+            tiers["filter"] = (filt, fbed)
+
+    if tiers:
+        # standalone exclusions report with the closure invariant
+        from .exclusions import exclusions_report, write_exclusions
+        rep = exclusions_report(seqs, tiers)
+        write_exclusions(os.path.join(outdir, "exclusions.tsv"), rep)
+
+    if viz:
+        # graphmap-join --viz: odgi 1D raster per graph tier
+        from .viz import viz as render_viz
+        render_viz(pg, os.path.join(outdir, "pangenome.viz.png"),
+                   ref_name=ref_paths[0])
+        if "clip" in tiers:
+            render_viz(tiers["clip"][0],
+                       os.path.join(outdir, "pangenome.clip.viz.png"))
 
     stats["reference"] = ref_paths[0]
     with open(os.path.join(outdir, "graph_stats.json"), "w") as fh:
@@ -119,6 +157,7 @@ def run_pangenome_sv(genomes: dict[str, dict[str, Sequence]],
                      min_sv: int = 50,
                      min_chain_override: int | None = 64,
                      normalize: bool = True, clip: int | None = 10_000,
+                     filter_depth: int | None = 2, viz: bool = True,
                      log=lambda m: None) -> dict:
     """The full minigraph-cactus tier: iterative SV graph → graphmap →
     base-level alignment against the graph → normalize/clip/VCF.
@@ -160,7 +199,9 @@ def run_pangenome_sv(genomes: dict[str, dict[str, Sequence]],
     hap_seqs = {n: s for n, s in seqs.items() if n not in node_names}
     pg.validate(hap_seqs)
     stats = _emit_graph_artifacts(pg, hap_seqs, ref_event, outdir,
-                                  normalize=normalize, clip=clip, log=log)
+                                  normalize=normalize, clip=clip,
+                                  filter_depth=filter_depth, viz=viz,
+                                  log=log)
     stats["sv_graph"] = dict(n_nodes=svg.n_nodes,
                              n_edges=len(svg.edges),
                              order=order)
@@ -175,6 +216,8 @@ def run_pangenome_refmap(genomes: dict[str, dict[str, Sequence]],
                          min_chain_override: int | None = 64,
                          normalize: bool = True,
                          clip: int | None = 10_000,
+                         filter_depth: int | None = 2,
+                         viz: bool = True,
                          log=lambda m: None) -> dict:
     """cactus-refmap alternative (refmap/cactus_refmap.py): every
     assembly aligns ONLY against the reference genome (minimap2-to-
@@ -210,7 +253,9 @@ def run_pangenome_refmap(genomes: dict[str, dict[str, Sequence]],
     pg = graph_mod.build_graph(caf, seqs, chop=True)
     pg.validate(seqs)
     return _emit_graph_artifacts(pg, seqs, ref_event, outdir,
-                                 normalize=normalize, clip=clip, log=log)
+                                 normalize=normalize, clip=clip,
+                                 filter_depth=filter_depth, viz=viz,
+                                 log=log)
 
 
 def run_pangenome_split(genomes: dict[str, dict[str, Sequence]],

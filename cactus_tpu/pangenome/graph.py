@@ -223,6 +223,95 @@ def graph_stats(graph: PanGraph) -> dict:
     )
 
 
+_FRAG_RE = None
+
+
+def _frag_name(name: str, a: int, b: int) -> tuple[str, int, int]:
+    """Compose a subrange fragment name.  If `name` is already a
+    fragment `orig:x-y` (from an earlier clip tier), the new offsets
+    are made absolute in the ORIGINAL sequence so exclusion beds from
+    successive tiers share one coordinate system (the reference keeps
+    PanSN subrange offsets absolute the same way, vg clip / clip-vg)."""
+    global _FRAG_RE
+    if _FRAG_RE is None:
+        import re
+        _FRAG_RE = re.compile(r"^(.*):(\d+)-(\d+)$")
+    m = _FRAG_RE.match(name)
+    if m:
+        base = int(m.group(2))
+        return m.group(1), base + a, base + b
+    return name, a, b
+
+
+def _split_walks(graph: PanGraph, drop: set[int]):
+    """Split every walk at dropped nodes.  Returns (new_walks, bed)
+    where bed maps ORIGINAL sequence names to removed absolute
+    intervals (shared machinery for the clip and filter tiers)."""
+    new_walks: dict[str, list[tuple[int, int]]] = {}
+    bed: dict[str, list[tuple[int, int]]] = {}
+    for name, walk in graph.walks.items():
+        pos = 0
+        frags: list[tuple[int, int, list[tuple[int, int]]]] = []
+        cur: list[tuple[int, int]] = []
+        cur_start = 0
+        removed: list[tuple[int, int]] = []
+        for v, o in walk:
+            ln = graph.node_len(v)
+            if v in drop:
+                if cur:
+                    frags.append((cur_start, pos, cur))
+                removed.append((pos, pos + ln))
+                cur = []
+                cur_start = pos + ln
+            else:
+                cur.append((v, o))
+            pos += ln
+        if cur:
+            frags.append((cur_start, pos, cur))
+        if removed:
+            orig, _, _ = _frag_name(name, 0, 0)
+            lst = bed.setdefault(orig, [])
+            for a, b in removed:
+                _, aa, bb = _frag_name(name, a, b)
+                lst.append((aa, bb))
+            for a, b, steps in frags:
+                orig, aa, bb = _frag_name(name, a, b)
+                new_walks[f"{orig}:{aa}-{bb}"] = steps
+        else:
+            new_walks[name] = walk
+    return new_walks, bed
+
+
+def filter_graph(graph: PanGraph, min_depth: int = 2,
+                 ref_sample: str | None = None):
+    """The graphmap-join "filter" tier (`vg clip -d`,
+    cactus_graphmap_join.py:157 `--filter 2`): starting from the clip
+    graph, drop every node traversed by fewer than `min_depth` DISTINCT
+    samples, except nodes on the reference sample's paths (Giraffe
+    needs the reference backbone intact).  Walks split into subrange
+    fragments exactly like clip_graph.
+
+    Returns (filtered PanGraph, bed of removed absolute intervals)."""
+    from .normalize import compact
+    samples_of: list[set[str]] = [set() for _ in range(graph.n_nodes)]
+    for name, walk in graph.walks.items():
+        sample = name.split(".", 1)[0]
+        for v, _o in walk:
+            samples_of[v].add(sample)
+    keep_ref: set[int] = set()
+    if ref_sample is not None:
+        for name, walk in graph.walks.items():
+            if name.split(".", 1)[0] == ref_sample:
+                keep_ref.update(v for v, _o in walk)
+    drop = {v for v in range(graph.n_nodes)
+            if len(samples_of[v]) < min_depth and v not in keep_ref}
+    new_walks, bed = _split_walks(graph, drop)
+    out = PanGraph(node_seq=list(graph.node_seq), walks=new_walks,
+                   node_block=list(graph.node_block))
+    compact(out)
+    return out, bed
+
+
 def clip_graph(graph: PanGraph, max_unaligned: int = 10_000):
     """The graphmap-join "clip" tier: drop unaligned (haplotype-private)
     stretches longer than max_unaligned from the graph, splitting the
@@ -236,33 +325,10 @@ def clip_graph(graph: PanGraph, max_unaligned: int = 10_000):
     closure invariant, pangenome_exclusions.py).
     """
     from .normalize import compact
-    new_walks: dict[str, list[tuple[int, int]]] = {}
-    bed: dict[str, list[tuple[int, int]]] = {}
-    for name, walk in graph.walks.items():
-        pos = 0
-        frags: list[tuple[int, int, list[tuple[int, int]]]] = []
-        cur: list[tuple[int, int]] = []
-        cur_start = 0
-        removed: list[tuple[int, int]] = []
-        for v, o in walk:
-            ln = graph.node_len(v)
-            if graph.node_block[v] < 0 and ln > max_unaligned:
-                if cur:
-                    frags.append((cur_start, pos, cur))
-                removed.append((pos, pos + ln))
-                cur = []
-                cur_start = pos + ln
-            else:
-                cur.append((v, o))
-            pos += ln
-        if cur:
-            frags.append((cur_start, pos, cur))
-        if removed:
-            bed[name] = removed
-            for a, b, steps in frags:
-                new_walks[f"{name}:{a}-{b}"] = steps
-        else:
-            new_walks[name] = walk
+    drop = {v for v in range(graph.n_nodes)
+            if graph.node_block[v] < 0
+            and graph.node_len(v) > max_unaligned}
+    new_walks, bed = _split_walks(graph, drop)
     out = PanGraph(node_seq=list(graph.node_seq), walks=new_walks,
                    node_block=list(graph.node_block))
     compact(out)

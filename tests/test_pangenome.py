@@ -392,3 +392,89 @@ def test_vcfwave_leaves_primitives_and_left_shifts():
     out = vcfwave([snp, ins])
     assert [(r.pos, r.ref, tuple(r.alts)) for r in out] == \
         [(5, "A", ("G",)), (9, "T", ("TAC",))]
+
+
+def test_filter_tier():
+    """Allele-frequency filter (vg clip -d / --filter 2): nodes on <2
+    samples drop unless on the reference backbone; walks fragment with
+    absolute offsets; closure holds."""
+    from cactus_tpu.io.fasta import _CODE_OF
+    from cactus_tpu.pangenome.graph import PanGraph, filter_graph
+
+    def codes(s):
+        return np.array([_CODE_OF[ord(c)] for c in s], dtype=np.uint8)
+
+    # shared CC -- private-to-y GAT -- shared TT; ref has private AA
+    node_seq = [codes("CC"), codes("GAT"), codes("TT"), codes("AA")]
+    walks = {"ref.c": [(0, 1), (3, 1), (2, 1)],
+             "x.c":   [(0, 1), (2, 1)],
+             "y.c":   [(0, 1), (1, 1), (2, 1)]}
+    g = PanGraph(node_seq=node_seq, walks=walks,
+                 node_block=[0, -1, 0, -1])
+    filt, bed = filter_graph(g, min_depth=2, ref_sample="ref")
+    # y's private GAT dropped, ref's private AA kept (backbone)
+    assert bed == {"y.c": [(2, 5)]}
+    assert "ref.c" in filt.walks and len(filt.walks["ref.c"]) == 3
+    assert set(filt.walks) == {"ref.c", "x.c", "y.c:0-2", "y.c:5-7"}
+    total = {n: sum(filt.node_len(v) for v, _o in w)
+             for n, w in filt.walks.items()}
+    assert total["y.c:0-2"] == 2 and total["y.c:5-7"] == 2
+
+
+def test_clip_then_filter_absolute_offsets():
+    """Filtering an already-clipped fragment composes offsets back to
+    the ORIGINAL coordinate system."""
+    from cactus_tpu.io.fasta import _CODE_OF
+    from cactus_tpu.pangenome.graph import PanGraph, filter_graph
+
+    def codes(s):
+        return np.array([_CODE_OF[ord(c)] for c in s], dtype=np.uint8)
+
+    # a clip-tier fragment starting at original offset 100
+    node_seq = [codes("CC"), codes("GGG"), codes("TT")]
+    walks = {"s.c:100-107": [(0, 1), (1, 1), (2, 1)],
+             "t.c": [(0, 1), (2, 1)]}
+    g = PanGraph(node_seq=node_seq, walks=walks, node_block=[0, -1, 0])
+    filt, bed = filter_graph(g, min_depth=2)
+    assert bed == {"s.c": [(102, 105)]}
+    assert set(filt.walks) == {"s.c:100-102", "s.c:105-107", "t.c"}
+
+
+def test_exclusions_report(small_graph):
+    """Closure-checked per-sample exclusions table over clip+filter."""
+    from cactus_tpu.pangenome.exclusions import (exclusions_report,
+                                                 write_exclusions)
+    from cactus_tpu.pangenome.graph import clip_graph, filter_graph
+    import tempfile
+    _sim, seqs, g = small_graph
+    clipped, bed = clip_graph(g, max_unaligned=50)
+    filt, fbed = filter_graph(clipped, min_depth=2, ref_sample="a")
+    rep = exclusions_report(seqs, {"clip": (clipped, bed),
+                                   "filter": (filt, fbed)})
+    assert rep["totals"]["input_bp"] == sum(len(s) for s in seqs.values())
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ex.tsv")
+        write_exclusions(p, rep)
+        lines = open(p).read().splitlines()
+        assert lines[0].startswith("#sample")
+        assert len(lines) == 1 + len(seqs)
+
+
+def test_viz_png(small_graph, tmp_path):
+    """odgi-viz analog emits a structurally valid PNG."""
+    import struct
+    import zlib
+    from cactus_tpu.pangenome.viz import render_1d, write_png
+    _sim, _seqs, g = small_graph
+    img = render_1d(g, ref_name="a.c", width=256)
+    assert img.ndim == 3 and img.shape[2] == 3
+    p = str(tmp_path / "g.png")
+    write_png(p, img)
+    raw = open(p, "rb").read()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", raw[16:24])
+    assert (h, w) == img.shape[:2]
+    # IDAT decompresses to h*(1+3w) filtered bytes
+    i = raw.index(b"IDAT")
+    ln = struct.unpack(">I", raw[i - 4:i])[0]
+    assert len(zlib.decompress(raw[i + 4:i + 4 + ln])) == h * (1 + 3 * w)
