@@ -41,6 +41,10 @@ def _init_jax() -> None:
         _log(f"requested JAX platform unavailable ({e}); auto-selecting")
         jax.config.update("jax_platforms", "")
         jax.devices()
+    # join the pod's process group when launched multi-host (no-op
+    # unless JAX_COORDINATOR_ADDRESS is set by the pod launcher)
+    from .parallel import distributed
+    distributed.initialize(log=_log)
 
 
 def load_genomes_from_seqfile(sf: SeqFile,
@@ -250,7 +254,9 @@ def cmd_pangenome(args) -> int:
     genomes = load_genomes_from_seqfile(sf)
     ref = args.reference or sf.order[0]
     run_pangenome(genomes, ref, args.outdir,
-                  min_chain_override=args.min_chain, log=_log)
+                  min_chain_override=args.min_chain,
+                  filter_depth=args.filter or None,
+                  viz=not args.no_viz, log=_log)
     return 0
 
 
@@ -460,6 +466,11 @@ def main(argv=None) -> int:
     pg.add_argument("--reference", default=None,
                     help="reference genome (default: first in seqfile)")
     pg.add_argument("--min-chain", type=int, default=64)
+    pg.add_argument("--filter", type=int, default=2,
+                    help="allele-frequency filter tier depth (0 = off; "
+                    "graphmap-join --filter)")
+    pg.add_argument("--no-viz", action="store_true",
+                    help="skip the odgi-viz 1D PNG rasters")
     pg.set_defaults(fn=cmd_pangenome)
 
     args = p.parse_args(argv)
