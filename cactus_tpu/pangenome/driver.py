@@ -87,9 +87,14 @@ def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
                       ref_paths[0], merge_dups=True,
                       bub_max_ref_length=100_000, max_level=0, wave=True)
 
-    # index factory (graphmap-join emits GBZ/snarls/xg/odgi stats)
+    # index factory (graphmap-join emits GBZ/snarls/xg/odgi stats,
+    # plus the --giraffe pair: minimizer .min + distance .dist)
+    from .giraffe import DistanceIndex, MinimizerIndex
     from .indexes import degree_stats, save_gbz, snarls
     save_gbz(os.path.join(outdir, "pangenome.gbz"), pg)
+    MinimizerIndex.build(pg).save(os.path.join(outdir, "pangenome.min"))
+    DistanceIndex.build(pg, ref_paths[0]).save(
+        os.path.join(outdir, "pangenome.dist"))
     sn = snarls(pg, ref_paths[0])
     with open(os.path.join(outdir, "snarls.json"), "w") as fh:
         json.dump([dict(start=s.start, end=s.end, level=s.level,
