@@ -147,6 +147,11 @@ def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
         if "clip" in tiers:
             render_viz(tiers["clip"][0],
                        os.path.join(outdir, "pangenome.clip.viz.png"))
+        # graphmap-join --odgi pair: odgi layout (.lay) + odgi draw
+        from .layout2d import layout_2d, write_lay, draw
+        X = layout_2d(pg, ref_name=ref_paths[0])
+        write_lay(os.path.join(outdir, "pangenome.lay.tsv"), pg, X)
+        draw(pg, X, os.path.join(outdir, "pangenome.draw.png"))
 
     stats["reference"] = ref_paths[0]
     with open(os.path.join(outdir, "graph_stats.json"), "w") as fh:

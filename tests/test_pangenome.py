@@ -478,3 +478,27 @@ def test_viz_png(small_graph, tmp_path):
     i = raw.index(b"IDAT")
     ln = struct.unpack(">I", raw[i - 4:i])[0]
     assert len(zlib.decompress(raw[i + 4:i + 4 + ln])) == h * (1 + 3 * w)
+
+
+def test_layout2d_sgd(small_graph, tmp_path):
+    """odgi layout analog: SGD layout beats the jittered init on
+    sampled path-distance stress and roundtrips through .lay."""
+    import numpy as np
+    from cactus_tpu.pangenome.layout2d import (layout_2d, layout_stress,
+                                               write_lay, read_lay, draw)
+    _sim, _seqs, g = small_graph
+    X = layout_2d(g, ref_name="a.c", iters=200, batch=1024, seed=3)
+    assert X.shape == (2 * g.n_nodes, 2)
+    assert np.isfinite(X).all()
+    s = layout_stress(g, X, ref_name="a.c")
+    assert s < 0.5, s
+    # deterministic under a fixed seed
+    X2 = layout_2d(g, ref_name="a.c", iters=200, batch=1024, seed=3)
+    assert np.allclose(X, X2)
+    lay = str(tmp_path / "g.lay.tsv")
+    write_lay(lay, g, X)
+    R = read_lay(lay)
+    assert np.allclose(R, X, atol=5e-3)
+    png = str(tmp_path / "g.draw.png")
+    draw(g, X, png)
+    assert open(png, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
