@@ -224,3 +224,65 @@ def layout_stress(graph: PanGraph, X: np.ndarray,
     a, b, d = a[keep], b[keep], d[keep]
     dist = np.linalg.norm(X[ep[a]] - X[ep[b]], axis=1)
     return float(np.mean(((dist - d) / d) ** 2))
+
+
+def sgd_sort(graph: PanGraph, ref_name: str | None = None,
+             iters: int = 200, batch: int = 1024,
+             seed: int = 0) -> np.ndarray:
+    """`odgi sort -Y` analog: path-guided 1D SGD node order.
+
+    Same sampled-pair SGD as layout_2d but in one dimension with one
+    point per node (odgi's 1D sort), starting from the first-visit
+    order.  Returns the node permutation (new order, old ids).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = graph.n_nodes
+    if n == 0:
+        return np.zeros(0, np.int64)
+    ep, pos, pstart, plen = _step_termini(graph, ref_name)
+    if len(ep) < 2:
+        return np.arange(n, dtype=np.int64)
+    node_of = np.asarray(ep) // 2          # terminus → node id
+    x0 = layout_1d(graph, ref_name).astype(np.float32)
+
+    eta_max = max(float(pos.max()) ** 2, 1.0)
+    eta_min = 0.01
+    lam = np.log(eta_max / eta_min) / max(iters - 1, 1)
+    node_j = jnp.asarray(node_of)
+    pos_j = jnp.asarray(pos)
+    pstart_j = jnp.asarray(pstart)
+    plen_j = jnp.asarray(plen)
+    path_of_j = jnp.asarray(
+        np.repeat(np.arange(len(pstart), dtype=np.int32), plen))
+
+    def body(t, carry):
+        x, key = carry
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        a = jax.random.randint(k1, (batch,), 0, len(ep))
+        pid = path_of_j[a]
+        lo, ln = pstart_j[pid], plen_j[pid]
+        u = jax.random.uniform(k2, (batch,))
+        mag = jnp.exp(u * jnp.log(jnp.maximum(ln.astype(jnp.float32), 2.0)))
+        sgn = jnp.where(jax.random.uniform(k3, (batch,)) < 0.5, -1.0, 1.0)
+        b = jnp.clip(a + (sgn * mag).astype(jnp.int32), lo, lo + ln - 1)
+        d = jnp.maximum(jnp.abs(pos_j[a] - pos_j[b]), 1.0)
+        ia, ib = node_j[a], node_j[b]
+        eta = eta_max * jnp.exp(-lam * t)
+        mu = jnp.where(ia == ib, 0.0, jnp.minimum(eta / (d * d), 1.0))
+        diff = x[ia] - x[ib]
+        dist = jnp.abs(diff) + 1e-9
+        r = (dist - d) / (2.0 * dist) * mu * diff
+        acc = jnp.zeros_like(x).at[ia].add(-r).at[ib].add(r)
+        cnt = jnp.zeros_like(x).at[ia].add(1.0).at[ib].add(1.0)
+        return x + acc / jnp.maximum(cnt, 1.0), key
+
+    @jax.jit
+    def run(x0):
+        key = jax.random.PRNGKey(seed)
+        x, _ = jax.lax.fori_loop(0, iters, body, (x0, key))
+        return x
+
+    x = np.asarray(run(jnp.asarray(x0)))
+    return np.argsort(x, kind="stable").astype(np.int64)

@@ -502,3 +502,20 @@ def test_layout2d_sgd(small_graph, tmp_path):
     png = str(tmp_path / "g.draw.png")
     draw(g, X, png)
     assert open(png, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_sgd_sort(small_graph):
+    """odgi sort analog: SGD 1D order is a permutation tracking the
+    reference walk's visit order."""
+    import numpy as np
+    from cactus_tpu.pangenome.layout2d import sgd_sort
+    _sim, _seqs, g = small_graph
+    order = sgd_sort(g, ref_name="a.c", seed=0)
+    assert sorted(order.tolist()) == list(range(g.n_nodes))
+    rank = np.empty(g.n_nodes)
+    rank[order] = np.arange(g.n_nodes)
+    seen: set[int] = set()
+    visit = [v for v, _o in g.walks["a.c"]
+             if not (v in seen or seen.add(v))]
+    r = np.corrcoef(np.arange(len(visit)), rank[visit])[0, 1]
+    assert abs(r) > 0.8, r
