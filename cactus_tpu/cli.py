@@ -228,10 +228,18 @@ def cmd_update(args) -> int:
         seqs = read_fasta(args.fasta)
         from .preprocessor.headers import sanitize_genome
         genome = sanitize_genome(args.event, seqs)
-        result = update_mod.add_genome(
-            store, args.event, genome, args.parent,
-            branch_length=args.branch_length,
-            min_chain_override=args.min_chain, log=_log)
+        if getattr(args, "branch", None):
+            # halAddToBranch analog: new ancestor splits the branch
+            # above --branch, the new leaf attaches to it
+            result = update_mod.add_genome_to_branch(
+                store, args.event, genome, args.branch,
+                branch_length=args.branch_length,
+                min_chain_override=args.min_chain, log=_log)
+        else:
+            result = update_mod.add_genome(
+                store, args.event, genome, args.parent,
+                branch_length=args.branch_length,
+                min_chain_override=args.min_chain, log=_log)
     elif args.action == "replace":
         seqs = read_fasta(args.fasta)
         from .preprocessor.headers import sanitize_genome
@@ -419,7 +427,11 @@ def main(argv=None) -> int:
     pu.add_argument("store")
     pu.add_argument("event")
     pu.add_argument("--fasta", default=None)
-    pu.add_argument("--parent", default=None)
+    pu.add_argument("--parent", default=None,
+                    help="add-to-node: attach the new leaf under this event")
+    pu.add_argument("--branch", default=None,
+                    help="add-to-branch: split the branch above this event "
+                         "with a new ancestor (halAddToBranch)")
     pu.add_argument("--branch-length", type=float, default=0.1)
     pu.add_argument("--min-chain", type=int, default=None)
     pu.add_argument("--hal", default=None,

@@ -63,6 +63,44 @@ def add_genome(store: AlignmentStore, event: str,
     return _rerun(store, tree, config, min_chain_override, log)
 
 
+def add_genome_to_branch(store: AlignmentStore, event: str,
+                         genome: dict[str, Sequence], sibling_event: str,
+                         branch_length: float = 0.1,
+                         ancestor_name: str | None = None,
+                         split_frac: float = 0.5,
+                         config: Config | None = None,
+                         min_chain_override: int | None = None,
+                         log=lambda m: None) -> ProgressiveResult:
+    """Add a new leaf to the BRANCH above `sibling_event` (halAddToBranch
+    analog, update/cactus_update_prepare.py add --branch): a new ancestor
+    splits that branch at `split_frac` of its length, and the new leaf
+    attaches to it."""
+    tree = store.load_tree()
+    sib = tree.find(sibling_event)
+    if sib is None or sib.parent is None:
+        raise KeyError(f"{sibling_event} has no branch above it")
+    if tree.find(event) is not None:
+        raise ValueError(f"genome {event} already present")
+    anc_name = ancestor_name or f"anc_{event}"
+    if tree.find(anc_name) is not None:
+        raise ValueError(f"ancestor name {anc_name} already present")
+    parent = sib.parent
+    old_len = sib.length or 0.0
+    anc = Tree(anc_name, old_len * (1.0 - split_frac))
+    parent.children[parent.children.index(sib)] = anc
+    anc.parent = parent
+    sib.length = old_len * split_frac
+    anc.children = [sib]
+    sib.parent = anc
+    anc.add_child(Tree(event, branch_length))
+    store.save_tree(tree)
+    store.save_genome(event, genome)
+    dropped = _invalidate_to_root(store, tree, sibling_event)
+    log(f"add {event} to branch above {sibling_event} (new ancestor "
+        f"{anc_name}); recomputing {dropped}")
+    return _rerun(store, tree, config, min_chain_override, log)
+
+
 def replace_genome(store: AlignmentStore, event: str,
                    genome: dict[str, Sequence],
                    config: Config | None = None,

@@ -82,3 +82,11 @@ def test_cli_prepare_then_staged_align(sim_dir, tmp_path):
     truth = {(p, q, s) for p, q, s in sim.truth_pairs("a", "b")}
     s = score_pairs(truth, maf_pairs(list(read_maf(maf)), "a", "b"))
     assert s.recall > 0.85 and s.precision > 0.85, s
+    # the reference's step-decomposed == end-to-end oracle
+    # (evolverTest.py yeast step-by-step vs end-to-end): one-shot run in
+    # a fresh store must produce a BYTE-identical MAF
+    mono_out = str(tmp_path / "aln_mono")
+    mono_maf = str(tmp_path / "mono.maf")
+    assert cli.main(["align", seqfile, mono_out, "--maf", mono_maf,
+                     "--min-chain", "64"]) == 0
+    assert open(mono_maf).read() == open(maf).read()

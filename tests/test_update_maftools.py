@@ -46,6 +46,32 @@ def test_add_genome(aligned_store):
     assert s.recall > 0.9
 
 
+def test_add_genome_to_branch(aligned_store):
+    """halAddToBranch analog: a new ancestor splits the branch above c
+    and the new genome attaches there; topology and accuracy hold."""
+    sim, store = aligned_store
+    rng = np.random.default_rng(2)
+    codes = sim.genomes["c"].codes.copy()
+    idx = rng.random(len(codes)) < 0.02
+    codes[idx] = (codes[idx] + 1) % 4
+    res = update.add_genome_to_branch(
+        store, "cnew", {"cnew.c": Sequence("cnew.c", codes)},
+        sibling_event="c", branch_length=0.02, min_chain_override=64)
+    tree = res.tree
+    anc = tree.find("anc_cnew")
+    assert anc is not None and not anc.is_leaf()
+    assert {ch.name for ch in anc.children} == {"c", "cnew"}
+    assert anc.parent.name == "root"
+    # split preserves total path length root->c
+    c = tree.find("c")
+    assert abs((c.length or 0) + (anc.length or 0) - 0.08) < 1e-9
+    pairs = progressive.leaf_pairs(res, "c", "cnew")
+    assert len(pairs) > 4000
+    s = score_pairs({(p, q, s_) for p, q, s_ in sim.truth_pairs("a", "b")},
+                    progressive.leaf_pairs(res, "a", "b"))
+    assert s.recall > 0.9
+
+
 def test_replace_genome(aligned_store):
     sim, store = aligned_store
     rng = np.random.default_rng(1)
