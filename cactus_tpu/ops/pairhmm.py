@@ -265,6 +265,18 @@ def posterior_banded_batch(q, t_shift, m_len, n_len, lo, em,
     return jnp.clip(post, 0.0, 1.5)
 
 
+def posterior_default_backend():
+    """Fused Pallas kernel on TPU (opt-in via CACTUS_PAIRHMM_PALLAS=1
+    until hardware-validated), XLA scan elsewhere."""
+    import os
+
+    if (jax.devices()[0].platform == "tpu"
+            and os.environ.get("CACTUS_PAIRHMM_PALLAS", "") == "1"):
+        from .pairhmm_pallas import posterior_banded_batch_pallas
+        return posterior_banded_batch_pallas
+    return posterior_banded_batch
+
+
 def posterior_pairs_banded(pairs, params: HmmParams, band: int = 128,
                            gamma: float = 0.5):
     """Aligned (qpos, tpos, posterior) per pair via the batched kernel."""
@@ -274,7 +286,7 @@ def posterior_pairs_banded(pairs, params: HmmParams, band: int = 128,
         return []
     packed = pack_band_batch(pairs, band)
     put = smart_put(packed["q"].shape[0] * packed["q"].shape[1] * band)
-    post = posterior_banded_batch(
+    post = posterior_default_backend()(
         put(packed["q"]), put(packed["t_shift"]),
         put(packed["m_len"]), put(packed["n_len"]),
         put(packed["lo"]), put(params.emissions()),
