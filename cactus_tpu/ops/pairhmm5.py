@@ -369,6 +369,18 @@ def posterior_banded_batch5(q, t_shift, m_len, n_len, lo, em,
                             band=band)
 
 
+def posterior5_default_backend():
+    """Fused Pallas kernel on TPU (opt-in via CACTUS_PAIRHMM_PALLAS=1
+    until hardware-validated), XLA scan elsewhere."""
+    import os
+
+    if (jax.devices()[0].platform == "tpu"
+            and os.environ.get("CACTUS_PAIRHMM_PALLAS", "") == "1"):
+        from .pairhmm5_pallas import posterior_banded_batch5_pallas
+        return posterior_banded_batch5_pallas
+    return posterior_banded_batch5
+
+
 def posterior_pairs_banded5(pairs, params: Hmm5Params, band: int = 128,
                             gamma: float = 0.5):
     """Aligned (qpos, tpos, posterior) per pair via the 5-state kernel."""
@@ -378,7 +390,7 @@ def posterior_pairs_banded5(pairs, params: Hmm5Params, band: int = 128,
         return []
     packed = pack_band_batch(pairs, band)
     put = smart_put(packed["q"].shape[0] * packed["q"].shape[1] * band)
-    post = posterior_banded_batch5(
+    post = posterior5_default_backend()(
         put(packed["q"]), put(packed["t_shift"]),
         put(packed["m_len"]), put(packed["n_len"]),
         put(packed["lo"]), put(params.emissions()),
