@@ -206,20 +206,24 @@ def snarls(graph: PanGraph, ref_name: str) -> list[Snarl]:
     def decompose(walk_slices: dict[str, list[tuple[int, int]]],
                   level: int, out: list[Snarl]):
         ref_slice = walk_slices[ref_name]
+        # one pass per walk: per-walk multiplicity and position maps
+        # (anchor test and interval extraction are O(1) lookups after)
         counts: dict[int, int] = {}
-        for w in walk_slices.values():
+        walk_seen: list[dict[int, int]] = []
+        pos_maps: dict[str, dict[int, int]] = {}
+        for name, w in walk_slices.items():
             seen: dict[int, int] = {}
-            for v, _o in w:
+            pos: dict[int, int] = {}
+            for i, (v, _o) in enumerate(w):
                 seen[v] = seen.get(v, 0) + 1
+                pos[v] = i
+            walk_seen.append(seen)
+            pos_maps[name] = pos
             for v, c in seen.items():
                 counts[v] = max(counts.get(v, 0), c)
-        anchors = []
-        for k, (v, _o) in enumerate(ref_slice):
-            if counts.get(v) != 1:
-                continue
-            if all(any(x == v for x, _ in w)
-                   for w in walk_slices.values()):
-                anchors.append(k)
+        anchors = [k for k, (v, _o) in enumerate(ref_slice)
+                   if counts.get(v) == 1
+                   and all(v in seen for seen in walk_seen)]
         # positions on the ref walk for spans
         lens = np.array([graph.node_len(v) for v, _o in ref_slice],
                         np.int64)
@@ -230,8 +234,8 @@ def snarls(graph: PanGraph, ref_name: str) -> list[Snarl]:
                 va = ref_slice[ka][0]
                 vb = ref_slice[kb][0]
                 adjacent = True
-                for w in walk_slices.values():
-                    pos = {v: i for i, (v, _o) in enumerate(w)}
+                for name in walk_slices:
+                    pos = pos_maps[name]
                     if abs(pos[vb] - pos[va]) != 1:
                         adjacent = False
                         break
@@ -242,7 +246,7 @@ def snarls(graph: PanGraph, ref_name: str) -> list[Snarl]:
             interior: set[int] = set()
             sub: dict[str, list[tuple[int, int]]] = {}
             for name, w in walk_slices.items():
-                pos = {v: i for i, (v, _o) in enumerate(w)}
+                pos = pos_maps[name]
                 i0, i1 = pos[va], pos[vb]
                 if i0 > i1:
                     i0, i1 = i1, i0

@@ -531,20 +531,57 @@ def match_ends(live: list[int], weights: dict[tuple[int, int], float],
              if u // 2 != v // 2 and u // 2 in alive_set
              and v // 2 in alive_set and w > 0]
     matched: dict[int, int] = {}
-    if (algorithm in ("blossom5", "maxWeight", "maxCardinality")
-            and len(edges) > 50_000):
-        # networkx blossom is O(V^3); past this size the exact matching
-        # would dominate the phase, so degrade to greedy loudly
-        import warnings
-        warnings.warn(f"match_ends: {len(edges)} Z edges — falling back "
-                      f"from {algorithm} to greedy matching", RuntimeWarning)
-        algorithm = "greedy"
     if algorithm in ("blossom5", "maxWeight", "maxCardinality"):
+        # max-weight matching decomposes EXACTLY over connected
+        # components; networkx blossom is pure-Python superlinear, so
+        # run it per component (cheap on the local component sizes this
+        # graph produces) and only degrade a component to greedy past a
+        # size cap
         import networkx as nx
-        g = nx.Graph()
-        g.add_weighted_edges_from(edges)
-        mate = nx.max_weight_matching(
-            g, maxcardinality=(algorithm == "maxCardinality"))
+        # partition edges by connected component (union-find) and run
+        # blossom per REAL per-component Graph: matching decomposes
+        # exactly across components, and fragmented graphs avoid one
+        # big superlinear pure-Python blossom call
+        uf: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while uf.setdefault(r, r) != r:
+                r = uf[r]
+            while uf[x] != r:
+                uf[x], x = r, uf[x]
+            return r
+
+        for u, v, _w in edges:
+            uf[find(u)] = find(v)
+        comp_edges: dict[int, list] = {}
+        for u, v, w in edges:
+            comp_edges.setdefault(find(u), []).append((u, v, w))
+        mate = set()
+        greedy_comps = 0
+        for ce in comp_edges.values():
+            if len(ce) == 1:
+                u, v, _w = ce[0]
+                mate.add((min(u, v), max(u, v)))
+                continue
+            if len(ce) > 50_000:
+                # oversized component: degrade to greedy, loudly
+                greedy_comps += 1
+                used: set[int] = set()
+                for u, v, w in sorted(ce, key=lambda e: -e[2]):
+                    if u not in used and v not in used:
+                        used.update((u, v))
+                        mate.add((min(u, v), max(u, v)))
+                continue
+            sub = nx.Graph()
+            sub.add_weighted_edges_from(ce)
+            mate.update(nx.max_weight_matching(
+                sub, maxcardinality=(algorithm == "maxCardinality")))
+        if greedy_comps:
+            import warnings
+            warnings.warn(f"match_ends: {greedy_comps} oversized "
+                          f"component(s) matched greedily instead of "
+                          f"{algorithm}", RuntimeWarning)
         pairs = sorted((min(u, v), max(u, v)) for u, v in mate)
         # break cycles: add matched edges best-first, reject closures
         pairs.sort(key=lambda uv: -weights[uv])
