@@ -69,12 +69,14 @@ def bench_banded(jax, jnp, device=None) -> float:
 
 
 def bench_pairhmm(jax, jnp) -> float:
-    """Pair-HMM forward/backward posterior kernel (cPecan analog)."""
-    from cactus_tpu.ops.pairhmm import HmmParams, posterior_banded_batch
+    """Pair-HMM forward/backward posterior kernel (cPecan analog).
+    Uses the production router (Pallas on TPU once validated)."""
+    from cactus_tpu.ops.pairhmm import HmmParams, posterior_default_backend
 
     platform = jax.devices()[0].platform
     P, M, band = (32, 2048, 256) if platform == "tpu" else (8, 512, 128)
     p = HmmParams()
+    kernel = posterior_default_backend()
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.integers(0, 4, (P, M)).astype(np.uint8))
     t_shift = jnp.asarray(rng.integers(0, 4, (P, M + band)).astype(np.uint8))
@@ -84,12 +86,36 @@ def bench_pairhmm(jax, jnp) -> float:
 
     @jax.jit
     def run(i):
-        return posterior_banded_batch(jnp.roll(q, i, axis=0), t_shift,
-                                      m_len, m_len, lo, em, band=band,
-                                      delta=p.delta, epsilon=p.epsilon)
+        return kernel(jnp.roll(q, i, axis=0), t_shift,
+                      m_len, m_len, lo, em, band=band,
+                      delta=p.delta, epsilon=p.epsilon)
 
     dt = _bench(run, 5 if platform == "tpu" else 2)
     # forward + backward + posterior ≈ 3 passes over the band
+    return 3 * P * M * band / dt
+
+
+def bench_pairhmm5(jax, jnp) -> float:
+    """Five-state pair-HMM kernel (the BAR pecan production model)."""
+    from cactus_tpu.ops.pairhmm5 import Hmm5Params, posterior5_default_backend
+
+    platform = jax.devices()[0].platform
+    P, M, band = (32, 2048, 256) if platform == "tpu" else (8, 512, 128)
+    p = Hmm5Params()
+    kernel = posterior5_default_backend()
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.integers(0, 4, (P, M)).astype(np.uint8))
+    t_shift = jnp.asarray(rng.integers(0, 4, (P, M + band)).astype(np.uint8))
+    m_len = jnp.asarray(np.full(P, M, dtype=np.int32))
+    lo = jnp.asarray(np.zeros(P, dtype=np.int32))
+    em = jnp.asarray(p.emissions())
+
+    @jax.jit
+    def run(i):
+        return kernel(jnp.roll(q, i, axis=0), t_shift,
+                      m_len, m_len, lo, em, band=band, params=p)
+
+    dt = _bench(run, 5 if platform == "tpu" else 2)
     return 3 * P * M * band / dt
 
 
@@ -146,6 +172,7 @@ def main() -> None:
 
     extras = {
         "pairhmm_cell_updates_per_s": round(bench_pairhmm(jax, jnp), 1),
+        "pairhmm5_cell_updates_per_s": round(bench_pairhmm5(jax, jnp), 1),
         "poa_cell_updates_per_s": round(bench_poa(jax, jnp), 1),
     }
     # measured CPU anchor: the same banded kernel on the XLA CPU backend
