@@ -120,10 +120,13 @@ def bench_pairhmm5(jax, jnp) -> float:
 
 
 def bench_poa(jax, jnp) -> float:
-    """POA sequence-vs-DAG scan kernel (abPOA analog)."""
-    from cactus_tpu.ops.poa import MAX_PREDS, poa_align_scan
+    """POA sequence-vs-DAG scan kernel (abPOA analog), via the
+    production router (Pallas on TPU once validated)."""
+    from cactus_tpu.ops.poa import MAX_PREDS
+    from cactus_tpu.ops.poa_pallas import poa_default_backend
 
     N, L = 2048, 512   # graph nodes x query length
+    kernel = poa_default_backend()
     rng = np.random.default_rng(2)
     bases = jnp.asarray(rng.integers(0, 4, N).astype(np.uint8))
     preds = np.full((N, MAX_PREDS), -1, dtype=np.int32)
@@ -133,8 +136,8 @@ def bench_poa(jax, jnp) -> float:
 
     @jax.jit
     def run(i):
-        H, dirs, ends = poa_align_scan(bases, preds, jnp.roll(q, i),
-                                       gap=30, match=10, mismatch=-5)
+        H, dirs, ends = kernel(bases, preds, jnp.roll(q, i),
+                               gap=30, match=10, mismatch=-5)
         return ends
 
     dt = _bench(run, 3)

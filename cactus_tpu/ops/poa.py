@@ -279,10 +279,11 @@ def poa_align(graph: PoaGraph, seq: np.ndarray, gap: int = 30,
     q_p = np.full(Lb, 5, dtype=np.uint8)   # pad code never matches
     q_p[:len(seq)] = seq
     from . import smart_put
+    from .poa_pallas import poa_default_backend
     put = smart_put(Nb * Lb * MAX_PREDS)
-    H, dirs, _ends = poa_align_scan(put(bases_p), put(preds_p), put(q_p),
-                                    gap=gap, match=match,
-                                    mismatch=mismatch)
+    H, dirs, _ends = poa_default_backend()(put(bases_p), put(preds_p),
+                                           put(q_p), gap=gap, match=match,
+                                           mismatch=mismatch)
     L = len(seq)
     # pull only the final DP column (the end-cell argmax input) — the
     # full H is Nb×(Lb+1) int64 and only dirs is needed for traceback

@@ -1,0 +1,57 @@
+"""Pallas POA kernel vs the XLA scan backend (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cactus_tpu.ops.poa import MAX_PREDS, poa_align_scan
+from cactus_tpu.ops.poa_pallas import poa_align_scan_pallas
+
+
+def _random_dag(rng, n, branchy=0.3):
+    """Topologically ordered random DAG: mostly a chain with bubbles."""
+    bases = rng.integers(0, 4, n).astype(np.uint8)
+    preds = np.full((n, MAX_PREDS), -1, np.int32)
+    for v in range(1, n):
+        preds[v, 0] = v - 1
+        k = 1
+        while k < MAX_PREDS and v > 2 and rng.random() < branchy:
+            preds[v, k] = int(rng.integers(0, v - 1))
+            k += 1
+    return bases, preds
+
+
+def _run_both(bases, preds, q, gap=30, match=10, mismatch=-15):
+    a = (jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(q))
+    H1, d1, e1 = poa_align_scan(*a, gap=gap, match=match, mismatch=mismatch)
+    H2, d2, e2 = poa_align_scan_pallas(*a, gap=gap, match=match,
+                                       mismatch=mismatch,
+                                       interpret=True)
+    return (np.asarray(H1), np.asarray(d1), np.asarray(e1),
+            np.asarray(H2), np.asarray(d2), np.asarray(e2))
+
+
+@pytest.mark.parametrize("seed,n,l", [(0, 40, 33), (1, 96, 70),
+                                      (2, 64, 128)])
+def test_poa_pallas_matches_xla(seed, n, l):
+    rng = np.random.default_rng(seed)
+    bases, preds = _random_dag(rng, n)
+    q = rng.integers(0, 4, l).astype(np.uint8)
+    H1, d1, e1, H2, d2, e2 = _run_both(bases, preds, q)
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(H1, H2)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_poa_pallas_chain_identity():
+    """Linear chain graph == plain pairwise; diagonal must win."""
+    rng = np.random.default_rng(5)
+    n = 48
+    bases = rng.integers(0, 4, n).astype(np.uint8)
+    preds = np.full((n, MAX_PREDS), -1, np.int32)
+    preds[1:, 0] = np.arange(n - 1)
+    q = bases.copy()
+    H1, d1, e1, H2, d2, e2 = _run_both(bases, preds, q)
+    np.testing.assert_array_equal(H1, H2)
+    assert e2[-1] == n * 10   # full-match score
