@@ -298,12 +298,9 @@ def posterior_pairs_banded(pairs, params: HmmParams, band: int = 128,
         lo_p = int(packed["lo"][p])
         rows = post[p, :m]                      # (m, B)
         best_b = rows.argmax(axis=1)
-        res = []
-        for i in range(m):
-            pr = float(rows[i, best_b[i]])
-            if pr >= gamma:
-                j = (i + 1) + lo_p + int(best_b[i])   # 1-based j
-                if 1 <= j <= len(ts):
-                    res.append((i, j - 1, pr))
-        out.append(res)
+        pr = rows[np.arange(m), best_b]
+        j = np.arange(1, m + 1) + lo_p + best_b     # 1-based target pos
+        keep = (pr >= gamma) & (j >= 1) & (j <= len(ts))
+        idx = np.flatnonzero(keep)
+        out.append([(int(i), int(j[i] - 1), float(pr[i])) for i in idx])
     return out
