@@ -345,6 +345,33 @@ def cmd_hal(args) -> int:
         else:
             import json as _json
             print(_json.dumps(arc.get_metadata(), indent=1))
+    elif args.tool == "liftover":
+        # halLiftover: --genome src, --target dst, --bed in, --out bed
+        import sys
+        ivals = []
+        with open(args.bed) as fh:
+            for line in fh:
+                if line.strip() and not line.startswith(("#", "track")):
+                    f = line.split()
+                    ivals.append((f[0], int(f[1]), int(f[2])))
+        runs = arc.liftover(args.genome, ivals, args.target)
+        out = open(args.out, "w") if args.out else sys.stdout
+        for sname, s0, dname, d0, L, strand in runs:
+            out.write(f"{dname}\t{d0}\t{d0 + L}\t{sname}:{s0}-{s0 + L}\t0\t"
+                      f"{'+' if strand == 1 else '-'}\n")
+        if args.out:
+            out.close()
+            _log(f"wrote {args.out} ({len(runs)} runs)")
+    elif args.tool == "snps":
+        import sys
+        snp = arc.snps(args.genome, args.target)
+        out = open(args.out, "w") if args.out else sys.stdout
+        out.write("#srcSeq\tsrcPos\tsrcBase\tdstSeq\tdstPos\tdstBase\n")
+        for row in snp:
+            out.write("\t".join(str(x) for x in row) + "\n")
+        if args.out:
+            out.close()
+            _log(f"wrote {args.out} ({len(snp)} SNPs)")
     return 0
 
 
@@ -456,11 +483,16 @@ def main(argv=None) -> int:
     ph = sub.add_parser("hal", help="HAL archive tools (halStats/"
                         "hal2fasta/hal2maf/halValidate/halRemoveDupes)")
     ph.add_argument("tool", choices=["stats", "fasta", "maf", "validate",
-                                     "removeDupes", "metadata"])
+                                     "removeDupes", "metadata", "liftover",
+                                     "snps"])
     ph.add_argument("--set", default=None,
                     help="metadata key=value to store (halSetMetadata)")
     ph.add_argument("archive")
     ph.add_argument("--genome", default=None)
+    ph.add_argument("--target", default=None,
+                    help="destination genome for liftover/snps")
+    ph.add_argument("--bed", default=None,
+                    help="input BED of source intervals (liftover)")
     ph.add_argument("--out", default=None)
     ph.add_argument("--ref-seq", default=None)
     ph.add_argument("--start", type=int, default=0)

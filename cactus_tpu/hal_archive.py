@@ -389,6 +389,184 @@ class HalArchive:
     # hal2maf: true hierarchical segment walk
     # ------------------------------------------------------------------
 
+    # -- halLiftover / halSnps analogs ------------------------------------
+
+    def _top_index(self, event: str):
+        """Aligned top segments sorted by (seq, start)."""
+        g = self.toc["genomes"][event]
+        if "top_seq" not in g["arrays"]:
+            return None
+        si = np.asarray(self._load(event, "top_seq"))
+        st = np.asarray(self._load(event, "top_start"))
+        ln = np.asarray(self._load(event, "top_len"))
+        pn = np.asarray(self._load(event, "top_parent"))
+        orient = np.asarray(self._load(event, "top_orient"))
+        keep = pn >= 0
+        si, st, ln, pn, orient = (si[keep], st[keep], ln[keep], pn[keep],
+                                  orient[keep])
+        order = np.lexsort((st, si))
+        return si[order], st[order], ln[order], pn[order], orient[order]
+
+    def _bots_by_name(self, event: str):
+        """block name → (seq idx, start, len) of the bottom segment."""
+        g = self.toc["genomes"][event]
+        if "bot_seq" not in g["arrays"]:
+            return {}
+        si = np.asarray(self._load(event, "bot_seq"))
+        st = np.asarray(self._load(event, "bot_start"))
+        ln = np.asarray(self._load(event, "bot_len"))
+        nm = np.asarray(self._load(event, "bot_name"))
+        return {int(n): (int(s), int(a), int(l))
+                for n, s, a, l in zip(nm, si, st, ln) if n >= 0}
+
+    def _tree_path(self, src: str, dst: str):
+        """(ups, downs): events to climb from src to the MRCA, then the
+        child chain to descend to dst."""
+        anc_src = [src]
+        while self.parent(anc_src[-1]) is not None:
+            anc_src.append(self.parent(anc_src[-1]))
+        anc_dst = [dst]
+        while self.parent(anc_dst[-1]) is not None:
+            anc_dst.append(self.parent(anc_dst[-1]))
+        set_dst = {e: i for i, e in enumerate(anc_dst)}
+        for ui, ev in enumerate(anc_src):
+            if ev in set_dst:
+                return anc_src[:ui], list(reversed(anc_dst[:set_dst[ev]]))
+        raise ValueError(f"{src} and {dst} share no ancestor")
+
+    @staticmethod
+    def _sub_src(run, r0: int, ln: int):
+        """Source coordinates of an ln-long slice at offset r0 of run."""
+        s0, L, strand = run
+        return s0 + r0 if strand == 1 else s0 + L - r0 - ln
+
+    def liftover(self, src: str, intervals, dst: str):
+        """Map intervals of `src` onto `dst` through the alignment
+        (halLiftover): up the tree to the MRCA via top segments, down
+        via bottom→child-top blocks.  Duplications in the destination
+        emit one run per copy.
+
+        intervals: [(seq_name, start, end)] on src.
+        Returns [(src_seq, src_start, dst_seq, dst_start, length,
+        strand)] runs where src_start+k maps to dst_start+k (strand 1)
+        or dst_start+length-1-k (strand -1).
+
+        Reference: hal submodule halLiftover (SURVEY §2.2 hal row);
+        BED liftover via the same top/bottom segment composition.
+        """
+        ups, downs = self._tree_path(src, dst)
+        seq_idx_of = {ev: {n: i for i, (n, _l) in
+                           enumerate(self.toc["genomes"][ev]["sequences"])}
+                      for ev in self.genomes()}
+        seq_names = {ev: [n for n, _l in
+                          self.toc["genomes"][ev]["sequences"]]
+                     for ev in self.genomes()}
+        # runs: (seq_idx, start, length, strand, src_seq, src_start)
+        runs = []
+        for name, a, b in intervals:
+            if name not in seq_idx_of[src]:
+                raise KeyError(
+                    f"{name!r} is not a sequence of {src}; known: "
+                    f"{sorted(seq_idx_of[src])}")
+            if b > a:
+                runs.append((seq_idx_of[src][name], a, b - a, 1, name, a))
+
+        for ev in ups:                        # climb: ev → parent(ev)
+            tops = self._top_index(ev)
+            bots = self._bots_by_name(self.parent(ev))
+            nxt = []
+            if tops is None:
+                runs = []
+                break
+            tsi, tst, tln, tpn, tor = tops
+            for si, a, L, strand, sname, s0 in runs:
+                lo = np.searchsorted(tsi, si, side="left")
+                hi = np.searchsorted(tsi, si, side="right")
+                k0 = lo + np.searchsorted(tst[lo:hi], a, side="right") - 1
+                for k in range(max(k0, lo), hi):
+                    oa = max(a, int(tst[k]))
+                    ob = min(a + L, int(tst[k]) + int(tln[k]))
+                    if ob <= oa:
+                        if int(tst[k]) >= a + L:
+                            break
+                        continue
+                    blk = bots.get(int(tpn[k]))
+                    if blk is None:
+                        continue
+                    psi, pst, pln = blk
+                    d0 = oa - int(tst[k])
+                    ln = ob - oa
+                    o = int(tor[k])
+                    pa = pst + d0 if o == 1 else pst + pln - d0 - ln
+                    ns0 = self._sub_src((s0, L, strand), oa - a, ln)
+                    nxt.append((psi, pa, ln, strand * o, sname, ns0))
+            runs = nxt
+
+        for ev in downs:                      # descend: parent(ev) → ev
+            par = self.parent(ev)
+            bindex = self._bottom_index(par)
+            if bindex is None:
+                runs = []
+                break
+            b_si, b_st, b_ln, b_nm = bindex
+            # target child's top segments grouped by block name
+            ctops: dict[int, list] = {}
+            tops = self._top_index(ev)
+            if tops is None:
+                runs = []
+                break
+            for si, st, ln, pn, orient in zip(*tops):
+                ctops.setdefault(int(pn), []).append(
+                    (int(si), int(st), int(ln), int(orient)))
+            nxt = []
+            for si, a, L, strand, sname, s0 in runs:
+                lo = np.searchsorted(b_si, si, side="left")
+                hi = np.searchsorted(b_si, si, side="right")
+                k0 = lo + np.searchsorted(b_st[lo:hi], a, side="right") - 1
+                for k in range(max(k0, lo), hi):
+                    oa = max(a, int(b_st[k]))
+                    ob = min(a + L, int(b_st[k]) + int(b_ln[k]))
+                    if ob <= oa:
+                        if int(b_st[k]) >= a + L:
+                            break
+                        continue
+                    if int(b_nm[k]) < 0:
+                        continue
+                    ln = ob - oa
+                    d0 = oa - int(b_st[k])
+                    for csi, cst, cln, o in ctops.get(int(b_nm[k]), ()):
+                        ca = cst + d0 if o == 1 else cst + cln - d0 - ln
+                        ns0 = self._sub_src((s0, L, strand), oa - a, ln)
+                        nxt.append((csi, ca, ln, strand * o, sname, ns0))
+            runs = nxt
+
+        return [(sname, s0, seq_names[dst][si], int(a), int(L), strand)
+                for si, a, L, strand, sname, s0 in runs]
+
+    def snps(self, src: str, dst: str, intervals=None):
+        """Single-base differences between aligned src/dst positions
+        (halSnps analog).  Returns [(src_seq, src_pos, src_base,
+        dst_seq, dst_pos, dst_base)]."""
+        from .io.fasta import _BASE_OF, _COMP
+        if intervals is None:
+            intervals = [(n, 0, l) for n, l in
+                         self.toc["genomes"][src]["sequences"]]
+        runs = self.liftover(src, intervals, dst)
+        sdna = self.dna(src)
+        ddna = self.dna(dst)
+        out = []
+        for sname, s0, dname, d0, L, strand in runs:
+            sc = sdna[sname].codes[s0:s0 + L]
+            dc = ddna[dname].codes[d0:d0 + L]
+            if strand == -1:
+                dc = _COMP[dc[::-1]]
+            diff = np.flatnonzero((sc != dc) & (sc < 4) & (dc < 4))
+            for k in diff:
+                dpos = d0 + k if strand == 1 else d0 + L - 1 - k
+                out.append((sname, int(s0 + k), chr(_BASE_OF[sc[k]]),
+                            dname, int(dpos), chr(_BASE_OF[dc[k]])))
+        return out
+
     def _bottom_index(self, event: str):
         """Per-seq sorted bottoms + block-name → (row) lookup."""
         g = self.toc["genomes"][event]

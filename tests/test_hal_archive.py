@@ -170,3 +170,51 @@ def test_resource_model():
     # core scaling
     assert estimate_consolidated_memory(10_000_000, cores=2) > 16 * gb
     assert estimate_disk(100, 10) == 520
+
+
+def test_liftover_matches_truth(archive, aligned):
+    """halLiftover analog: a→b runs agree with the simulator's truth
+    base map on most mapped positions."""
+    sim, _result = aligned
+    arc, _ = archive
+    runs = arc.liftover("a", [("a.c", 1000, 3000)], "b")
+    assert runs, "no liftover runs produced"
+    truth = {(int(p), int(q)) for p, q, _s in sim.truth_pairs("a", "b")}
+    good = total = 0
+    for sname, s0, dname, d0, L, strand in runs:
+        assert sname == "a.c" and dname == "b.c"
+        for k in range(L):
+            dpos = d0 + k if strand == 1 else d0 + L - 1 - k
+            total += 1
+            good += (s0 + k, dpos) in truth
+    assert total > 1000
+    assert good / total > 0.9, (good, total)
+
+
+def test_liftover_roundtrip(archive):
+    """a→b→a maps back onto the original interval."""
+    arc, _ = archive
+    fwd = arc.liftover("a", [("a.c", 2000, 2500)], "b")
+    back_ivals = [(d, d0, d0 + L) for _s, _s0, d, d0, L, _o in fwd]
+    back = arc.liftover("b", back_ivals, "a")
+    covered = np.zeros(9000, bool)
+    for _sn, _s0, dn, d0, L, _o in back:
+        assert dn == "a.c"
+        covered[d0:d0 + L] = True
+    frac = covered[2000:2500].mean()
+    assert frac > 0.9, frac
+
+
+def test_liftover_to_ancestor_and_snps(archive, aligned):
+    """Liftover to the ancestor works (up-only path) and halSnps finds
+    the right order of magnitude of substitutions."""
+    sim, _result = aligned
+    arc, _ = archive
+    runs = arc.liftover("a", [("a.c", 0, 4000)], "ab")
+    assert sum(r[4] for r in runs) > 3000
+    snp = arc.snps("a", "b", intervals=[("a.c", 0, 8000)])
+    # ~2*0.03 divergence on ~8kb: expect hundreds, not zero / not all
+    assert 50 < len(snp) < 2000, len(snp)
+    # reported bases must really differ in the inputs
+    for sname, spos, sbase, dname, dpos, dbase in snp[:50]:
+        assert sbase != dbase
