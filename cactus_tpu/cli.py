@@ -288,7 +288,17 @@ def cmd_conservation(args) -> int:
     blocks = hal_phase.hal2maf(result, args.ref_genome,
                                include_ancestor=False)
     tree = result.tree
-    scale = phast.phylo_fit(blocks, tree)
+    sites = None
+    if getattr(args, "annotation", None):
+        # cactus-phast --mode phyloFit: neutral model from 4d sites of
+        # a gene annotation (GFF seqids = MAF src names)
+        ref = args.ref_genome or tree.name
+        ref_seqs = result.genomes[ref]
+        tx = phast.gff_cds_transcripts(args.annotation)
+        sites = phast.four_d_sites(ref_seqs, tx)
+        _log(f"4d sites: {sum(len(v) for v in sites.values())} positions "
+             f"from {len(tx)} transcripts")
+    scale = phast.phylo_fit(blocks, tree, sites=sites)
     scores, meta = phast.phylo_p(blocks, tree, neutral_scale=scale)
     phast.write_wig(args.out, scores, meta)
     with open(args.out + ".mod.json", "w") as fh:
@@ -478,6 +488,9 @@ def main(argv=None) -> int:
     pv.add_argument("store")
     pv.add_argument("out")
     pv.add_argument("--ref-genome", default=None)
+    pv.add_argument("--annotation", default=None,
+                    help="GFF with CDS rows: fit the neutral model on "
+                         "4d sites only (cactus-phast phyloFit mode)")
     pv.set_defaults(fn=cmd_conservation)
 
     ph = sub.add_parser("hal", help="HAL archive tools (halStats/"

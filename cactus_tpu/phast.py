@@ -93,11 +93,97 @@ def column_log_likelihoods(obs: np.ndarray, tree: Tree,
     return np.asarray(run(put(obs.astype(np.float32))))
 
 
+# --------------------------------------------------------------------------
+# 4d-site extraction (hal4dExtract / msa_view --4d analog)
+# --------------------------------------------------------------------------
+
+# codons whose third position is 4-fold degenerate: any NN in this set
+_4D_PREFIXES = {"CT", "GT", "TC", "CC", "AC", "GC", "CG", "GG"}
+
+
+def gff_cds_transcripts(path):
+    """Minimal GFF/GTF CDS reader: transcript → (seqid, strand, exons).
+
+    Groups CDS features by (attributes, seqid, strand) — the reference
+    feeds cactus-phast a GFF whose CDS rows share a transcript
+    attribute (maf/cactus_phast.py --annotation)."""
+    tx: dict[tuple, list[tuple[int, int, int]]] = {}
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip() or line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 8 or f[2] != "CDS":
+                continue
+            frame = int(f[7]) if f[7] in "012" else 0
+            attrs = f[8] if len(f) > 8 else ""
+            tx.setdefault((attrs, f[0], f[6]), []).append(
+                (int(f[3]) - 1, int(f[4]), frame))
+    out = []
+    for (attrs, seqid, strand), exons in tx.items():
+        out.append((seqid, strand, sorted(exons)))
+    return out
+
+
+def four_d_sites(seqs, transcripts) -> dict[str, np.ndarray]:
+    """Genome positions of 4-fold-degenerate third codon bases.
+
+    seqs: {seq_name: Sequence}; transcripts from gff_cds_transcripts.
+    Returns {seq_name: sorted unique positions} (0-based).
+    """
+    from .io.fasta import _BASE_OF, revcomp
+
+    found: dict[str, set[int]] = {}
+    for seqid, strand, exons in transcripts:
+        if seqid not in seqs:
+            continue
+        codes = seqs[seqid].codes
+        gpos = np.concatenate([np.arange(a, b) for a, b, _f in exons]) \
+            if exons else np.zeros(0, np.int64)
+        cseq = codes[gpos]
+        if strand == "-":
+            gpos = gpos[::-1]
+            cseq = revcomp(cseq)
+            frame = exons[-1][2]
+        else:
+            frame = exons[0][2]
+        cseq = cseq[frame:]
+        gpos = gpos[frame:]
+        n_codons = len(cseq) // 3
+        if not n_codons:
+            continue
+        tri = cseq[:3 * n_codons].reshape(n_codons, 3)
+        p3 = gpos[:3 * n_codons].reshape(n_codons, 3)[:, 2]
+        letters = _BASE_OF[np.minimum(tri[:, :2], 4)]
+        prefixes = [bytes(row).decode() for row in letters]
+        keep = np.fromiter((pre in _4D_PREFIXES for pre in prefixes),
+                           bool, n_codons)
+        keep &= (tri[:, 0] < 4) & (tri[:, 1] < 4)
+        found.setdefault(seqid, set()).update(int(x) for x in p3[keep])
+    return {s: np.asarray(sorted(v), np.int64) for s, v in found.items()}
+
+
+def filter_columns_to_sites(obs, meta, sites: dict[str, np.ndarray]):
+    """Keep only alignment columns whose reference (src, pos) is a 4d
+    site.  meta comes from columns_from_maf."""
+    site_sets = {s: set(v.tolist()) for s, v in sites.items()}
+    keep = np.fromiter(
+        (src is not None and pos in site_sets.get(src, ())
+         for src, pos in meta), bool, len(meta))
+    return obs[keep], [m for m, k in zip(meta, keep) if k]
+
+
 def phylo_fit(blocks: list[MafBlock], tree: Tree,
               lo: float = 0.05, hi: float = 8.0,
-              tol: float = 1e-3) -> float:
-    """ML rate scale by golden-section search (phyloFit-lite)."""
-    obs, _meta = columns_from_maf(blocks, tree)
+              tol: float = 1e-3,
+              sites: dict[str, np.ndarray] | None = None) -> float:
+    """ML rate scale by golden-section search (phyloFit-lite).
+
+    sites: optional 4d-site map (four_d_sites) restricting the fit to
+    neutral third-codon columns, as cactus-phast's phyloFit mode does."""
+    obs, meta = columns_from_maf(blocks, tree)
+    if sites is not None and len(obs):
+        obs, meta = filter_columns_to_sites(obs, meta, sites)
     if not len(obs):
         return 1.0
 

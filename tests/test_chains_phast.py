@@ -111,3 +111,59 @@ def test_phylo_p_scores_conserved_region():
     phast.write_wig(p, scores, meta)
     assert os.path.getsize(p) > 0
     os.remove(p)
+
+
+def test_four_d_sites_hand_case(tmp_path):
+    """4d extraction: GGx codons are 4-fold degenerate, ATG/TAx are not;
+    minus-strand genes read through revcomp."""
+    from cactus_tpu.io.fasta import Sequence, _CODE_OF
+    from cactus_tpu.phast import four_d_sites, gff_cds_transcripts
+
+    def codes(s):
+        return np.array([_CODE_OF[ord(c)] for c in s], dtype=np.uint8)
+
+    #            0123456789012345678
+    # + gene:    ATG GGA CTT TAA      codons: ATG GGA(4d@5) CTT(4d@8) TAA
+    seq = "ATGGGACTTTAA" + "CCC" + "TTACAGCCCCAT"
+    # - gene on the last 12 bases: revcomp = ATG GGG CTG TAA
+    #   genome coords of that CDS: [15, 27); third codon bases on the
+    #   coding strand map to genome positions 27-1-5=21 (GGG), 27-1-8=18
+    seqs = {"s": Sequence("s", codes(seq))}
+    gff = tmp_path / "g.gff"
+    gff.write_text(
+        "s\tx\tCDS\t1\t12\t.\t+\t0\ttranscript_id t1\n"
+        "s\tx\tCDS\t16\t27\t.\t-\t0\ttranscript_id t2\n")
+    tx = gff_cds_transcripts(str(gff))
+    sites = four_d_sites(seqs, tx)
+    assert set(sites["s"].tolist()) == {5, 8, 21, 18}
+
+
+def test_phylo_fit_on_4d_sites(tmp_path):
+    """phyloFit restricted to 4d sites still returns a sane scale."""
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu import progressive, phast
+    from cactus_tpu.phases import hal as hal_mod
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.utils.trees import parse_newick
+    tree = parse_newick("(a:0.05,b:0.05)root;")
+    sim = evolver.simulate(tree, root_len=6000, seed=9)
+    genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
+               for ev in ["a", "b"]}
+    result = progressive.ProgressiveAligner(
+        tree, genomes, min_chain_override=64).run()
+    blocks = hal_mod.hal2maf(result, "root", include_ancestor=False)
+    ref_seq_name = blocks[0].rows[0].src
+    # fake annotation: one long CDS across the first 3000 ref bases
+    # (frame 0, + strand) on the MAF reference genome
+    ref_ev = "a" if ref_seq_name.startswith("a.") else "root"
+    gff = tmp_path / "genes.gff"
+    gff.write_text(f"{ref_seq_name}\tx\tCDS\t1\t3000\t.\t+\t0\tt1\n")
+    tx = phast.gff_cds_transcripts(str(gff))
+    sites = phast.four_d_sites(
+        {n: s for n, s in result.genomes[ref_ev].items()}, tx)
+    n_sites = sum(len(v) for v in sites.values())
+    assert 200 < n_sites < 1001  # ~(8/16) of 1000 codons are 4d-prefixed
+    s_all = phast.phylo_fit(blocks, result.tree)
+    s_4d = phast.phylo_fit(blocks, result.tree, sites=sites)
+    assert 0.1 < s_4d < 8.0
+    assert abs(s_4d - s_all) < 2.0
