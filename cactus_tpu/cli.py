@@ -372,6 +372,13 @@ def cmd_hal(args) -> int:
         if args.out:
             out.close()
             _log(f"wrote {args.out} ({len(runs)} runs)")
+    elif args.tool == "mutations":
+        print("#genome\tparent\talignedBp\tsubs\tinsEvents\tinsBp\t"
+              "delBp\tdupParentBp")
+        for row in arc.summarize_mutations():
+            print("{genome}\t{parent}\t{aligned_bp}\t{subs}\t"
+                  "{ins_events}\t{ins_bp}\t{del_bp}\t"
+                  "{dup_parent_bp}".format(**row))
     elif args.tool == "snps":
         import sys
         snp = arc.snps(args.genome, args.target)
@@ -497,7 +504,7 @@ def main(argv=None) -> int:
                         "hal2fasta/hal2maf/halValidate/halRemoveDupes)")
     ph.add_argument("tool", choices=["stats", "fasta", "maf", "validate",
                                      "removeDupes", "metadata", "liftover",
-                                     "snps"])
+                                     "snps", "mutations"])
     ph.add_argument("--set", default=None,
                     help="metadata key=value to store (halSetMetadata)")
     ph.add_argument("archive")

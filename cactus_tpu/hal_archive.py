@@ -567,6 +567,47 @@ class HalArchive:
                             dname, int(dpos), chr(_BASE_OF[dc[k]])))
         return out
 
+    def summarize_mutations(self) -> list[dict]:
+        """Per-branch mutation summary (halSummarizeMutations /
+        halBranchMutations analog): substitutions over aligned bases,
+        insertion segments/bp (child bases with no parent), deletion bp
+        (parent bases with no homolog in the child), duplicated parent
+        bp (blocks with >1 child copy)."""
+        out = []
+        for ev in self.genomes():
+            par = self.parent(ev)
+            if par is None:
+                continue
+            g = self.toc["genomes"][ev]
+            if "top_seq" not in g["arrays"]:
+                continue
+            tp = np.asarray(self._load(ev, "top_parent"))
+            ln = np.asarray(self._load(ev, "top_len"))
+            ins_mask = tp < 0
+            ins_bp = int(ln[ins_mask].sum())
+            ins_ev = int(ins_mask.sum())
+            aligned_blocks, counts = np.unique(tp[~ins_mask],
+                                               return_counts=True)
+            dup_names = set(aligned_blocks[counts > 1].tolist())
+            bots = self._bots_by_name(par)
+            # deletions: parent blocks absent from this child + fillers
+            child_blocks = set(aligned_blocks.tolist())
+            del_bp = sum(l for n, (_s, _a, l) in bots.items()
+                         if n not in child_blocks)
+            gsz = self.toc["genomes"][par]
+            bln = np.asarray(self._load(par, "bot_len"))
+            bnm = np.asarray(self._load(par, "bot_name"))
+            del_bp += int(bln[bnm < 0].sum())      # unaligned ancestral
+            dup_bp = int(sum(bots[n][2] for n in dup_names if n in bots))
+            subs = len(self.snps(ev, par))
+            aligned_bp = int(ln[~ins_mask].sum())
+            out.append(dict(genome=ev, parent=par,
+                            aligned_bp=aligned_bp, subs=subs,
+                            ins_events=ins_ev, ins_bp=ins_bp,
+                            del_bp=int(del_bp), dup_parent_bp=dup_bp))
+            del gsz
+        return out
+
     def _bottom_index(self, event: str):
         """Per-seq sorted bottoms + block-name → (row) lookup."""
         g = self.toc["genomes"][event]

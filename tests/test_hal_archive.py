@@ -218,3 +218,21 @@ def test_liftover_to_ancestor_and_snps(archive, aligned):
     # reported bases must really differ in the inputs
     for sname, spos, sbase, dname, dpos, dbase in snp[:50]:
         assert sbase != dbase
+
+
+def test_summarize_mutations(archive, aligned):
+    """halSummarizeMutations analog: branch rows with plausible counts
+    (subs scale with branch length; indel bp nonzero on sim branches)."""
+    sim, _result = aligned
+    arc, _ = archive
+    rows = {r["genome"]: r for r in arc.summarize_mutations()}
+    assert set(rows) >= {"a", "b", "c", "ab"}
+    for ev in ("a", "b"):
+        r = rows[ev]
+        assert r["parent"] == "ab"
+        assert r["aligned_bp"] > 6000
+        # JC 0.03 on ~8kb: expect roughly 100-400 substitutions
+        assert 50 < r["subs"] < 700, r
+        assert r["ins_bp"] >= 0 and r["del_bp"] >= 0
+    # c is twice as divergent from root as a is from ab
+    assert rows["c"]["subs"] > rows["a"]["subs"]
