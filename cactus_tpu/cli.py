@@ -48,18 +48,22 @@ def _init_jax() -> None:
 
 
 def load_genomes_from_seqfile(sf: SeqFile,
-                              do_mask: bool = False
+                              do_mask: bool = False,
+                              only: set[str] | None = None
                               ) -> dict[str, dict[str, Sequence]]:
     """Load + sanitize (+ optionally repeat-mask) every genome.
 
     Mirrors the reference preprocessing chain: cutHeaders →
     checkUniqueHeaders → event prefixing → repeat masking
     (cactus_preprocessor.py; config XML <preprocessor> entries :20-43).
+    `only` restricts loading to the named events (--root subtrees).
     """
     from .preprocessor.headers import sanitize_genome
     from .preprocessor.masking import mask_genome
     genomes = {}
     for event, path in sf.paths.items():
+        if only is not None and event not in only:
+            continue
         seqs = read_fasta(path)
         genome = sanitize_genome(event, seqs)
         if do_mask:
@@ -108,7 +112,19 @@ def cmd_preprocess(args) -> int:
 def cmd_align(args) -> int:
     sf = SeqFile.parse(args.seqfile)
     tree = sf.tree if sf.tree is not None else sf.star_tree()
-    genomes = load_genomes_from_seqfile(sf, do_mask=args.mask)
+    if getattr(args, "root", None):
+        # reference `cactus --root`: align only the named subtree
+        # (progressive_decomposition.py get_subtree semantics)
+        node = tree.find(args.root)
+        if node is None:
+            raise SystemExit(f"--root {args.root!r} is not in the tree")
+        node.parent = None
+        node.length = None
+        tree = node
+        _log(f"restricted to subtree rooted at {args.root} "
+             f"({len(tree.leaf_names())} genomes)")
+    genomes = load_genomes_from_seqfile(
+        sf, do_mask=args.mask, only=set(tree.leaf_names()))
     store = AlignmentStore(args.outdir)
     config = Config.default()
     if args.config:
@@ -400,6 +416,9 @@ def main(argv=None) -> int:
     pa.add_argument("seqfile")
     pa.add_argument("outdir")
     pa.add_argument("--maf", help="also write a MAF referenced on the root")
+    pa.add_argument("--root", default=None,
+                    help="align only the subtree rooted at this event "
+                         "(reference `cactus --root`)")
     pa.add_argument("--hal", help="also write a durable .hal archive")
     pa.add_argument("--ref-genome", default=None)
     pa.add_argument("--min-chain", type=int, default=None,

@@ -112,3 +112,22 @@ def test_cli_hal_archive_tools(sim_dir, tmp_path, capsys):
     assert os.path.getsize(maf) > 0
     assert cli.main(["hal", "removeDupes", hal, "--genome", "a"]) == 0
     assert cli.main(["hal", "validate", hal]) == 0
+
+
+def test_align_root_subtree(tmp_path):
+    """`align --root ab` computes only the ab subtree (cactus --root)."""
+    import os
+    from cactus_tpu import cli
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.utils.trees import parse_newick
+    tree = parse_newick("((a:0.03,b:0.03)ab:0.03,c:0.06)root;")
+    sim = evolver.simulate(tree, root_len=3000, seed=13)
+    seqfile = evolver.write_seqfile(sim, str(tmp_path / "in"))
+    out = str(tmp_path / "sub")
+    maf = str(tmp_path / "sub.maf")
+    assert cli.main(["align", seqfile, out, "--root", "ab",
+                     "--maf", maf, "--min-chain", "64"]) == 0
+    assert os.path.exists(os.path.join(out, "steps", "ab.npz"))
+    assert not os.path.exists(os.path.join(out, "steps", "root.npz"))
+    text = open(maf).read()
+    assert "ab." in text and "c.c" not in text
