@@ -107,8 +107,8 @@ def _kernel(bases_ref, preds_ref,                 # scalar prefetch SMEM
         dirs = (move + 4 * slot).astype(jnp.uint8)
 
         H[pl.ds(v, 1), :] = y
-        H_out[r, :, :] = y
-        dirs_ref[r, :, :] = dirs
+        H_out[0, pl.ds(r, 1), :] = y
+        dirs_ref[0, pl.ds(r, 1), :] = dirs
 
 
 def _pad_pow2(n: int, minimum: int = 8) -> int:
@@ -144,9 +144,11 @@ def poa_align_scan_pallas(bases, preds, q, gap: int, match: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R, 1, Lp), lambda p, i, *_: (i, p, 0),
+            # (1, R, Lp) blocks: trailing dims (R, Lp) = (8, Lp) tile
+            # cleanly on the (8, 128) vreg grid
+            pl.BlockSpec((1, R, Lp), lambda p, i, *_: (p, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1, Lp), lambda p, i, *_: (i, p, 0),
+            pl.BlockSpec((1, R, Lp), lambda p, i, *_: (p, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((Np, Lp), jnp.int32)],
@@ -156,14 +158,14 @@ def poa_align_scan_pallas(bases, preds, q, gap: int, match: int,
                 match=match, mismatch=mismatch, nodes_per_step=R),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Np, 1, Lp), jnp.int32),
-            jax.ShapeDtypeStruct((Np, 1, Lp), jnp.uint8),
+            jax.ShapeDtypeStruct((1, Np, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Np, Lp), jnp.uint8),
         ],
         interpret=interpret,
     )(bases_p, preds_p.reshape(-1), q_p.reshape(1, Lp))
 
-    H = H_rows[:N, 0, :L + 1]
-    dirs = dirs_rows[:N, 0, :L + 1]
+    H = H_rows[0, :N, :L + 1]
+    dirs = dirs_rows[0, :N, :L + 1]
     return H, dirs, H[:, L]
 
 
