@@ -572,8 +572,9 @@ def poa_align_affine(graph: PoaGraph, seq: np.ndarray,
     q_ext = np.full(L + 1, 5, dtype=np.uint8)
     q_ext[1:] = seq
     from . import smart_put
+    from .poa_pallas import poa_affine_default_backend
     put = smart_put(Nb * B * MAX_PREDS)
-    H, dirs, ends = poa_align_scan_affine(
+    H, dirs, ends = poa_affine_default_backend()(
         put(bases_p), put(preds_p), put(off[:Nb].astype(np.int32)),
         put(q_ext), put(submat.astype(np.int32)),
         band=B, o1=o1, e1=e1, o2=o2, e2=e2)

@@ -189,3 +189,234 @@ def poa_default_backend():
         return route
     from .poa import poa_align_scan
     return poa_align_scan
+
+
+# --------------------------------------------------------------------------
+# convex (dual-affine) kernel — poa_align_scan_affine's fused backend
+# --------------------------------------------------------------------------
+
+def _affine_kernel(bases_ref, preds_ref, off_ref, submat_ref,  # SMEM
+                   q_ref,                                       # (1, Lq)
+                   H_out, dirs_ref,                             # outputs
+                   H, F1, F2,                                   # scratch
+                   *, n_nodes: int, band: int, b_pad: int, l_pad: int,
+                   l_query: int, o1: int, e1: int, o2: int, e2: int,
+                   nodes_per_step: int):
+    p = pl.program_id(0)
+    step = pl.program_id(1)
+    R = nodes_per_step
+    N = n_nodes
+    B = band
+    Bp = b_pad
+    Lq = l_pad
+    L = l_query
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
+    qrow = q_ref[0, :].reshape(1, Lq).astype(jnp.int32)
+
+    def row0_at(j):
+        c = jnp.minimum(o1 + j * e1, o2 + j * e2)
+        return jnp.where(j == 0, 0,
+                         jnp.where(j > 0, -c, NEG)).astype(jnp.int32)
+
+    for r in range(R):
+        v = step * R + r
+        off_v = off_ref[p * N + v]
+        j = off_v + b_idx
+        # query codes at columns j: cyclic left-roll by off, wrap lanes
+        # are masked by `valid` downstream
+        qv = pltpu.roll(qrow, jnp.remainder(-off_v, Lq), axis=1)[:, :Bp]
+        base = bases_ref[p * N + v]
+        s = jnp.zeros((1, Bp), jnp.int32)
+        for bcode in range(6):
+            row_s = jnp.zeros((1, Bp), jnp.int32)
+            for t in range(6):
+                row_s = jnp.where(qv == t, submat_ref[bcode, t], row_s)
+            s = jnp.where(base == bcode, row_s, s)
+
+        any_pred = None
+        Hp, F1p, F2p, Hd = [], [], [], []
+        for slot in range(MAX_PREDS):
+            pv = preds_ref[(p * N + v) * MAX_PREDS + slot]
+            has = pv >= 0
+            any_pred = has if any_pred is None else jnp.logical_or(
+                any_pred, has)
+            pidx = jnp.maximum(pv, 0)
+            d = off_v - off_ref[p * N + pidx]
+            gidx = d + b_idx
+            amt = jnp.remainder(-d, Bp)
+            hrow = pltpu.roll(H[pl.ds(pidx, 1), :], amt, axis=1)
+            f1row = pltpu.roll(F1[pl.ds(pidx, 1), :], amt, axis=1)
+            f2row = pltpu.roll(F2[pl.ds(pidx, 1), :], amt, axis=1)
+            ok_g = has & (gidx >= 0) & (gidx < B)
+            Hp.append(jnp.where(ok_g, hrow, NEG))
+            F1p.append(jnp.where(ok_g, f1row, NEG))
+            F2p.append(jnp.where(ok_g, f2row, NEG))
+            amt_d = jnp.remainder(-(d - 1), Bp)
+            hd = pltpu.roll(H[pl.ds(pidx, 1), :], amt_d, axis=1)
+            ok_d = has & (gidx >= 1) & (gidx <= B)
+            Hd.append(jnp.where(ok_d, hd, NEG))
+        vHp = row0_at(j)
+        vHd = row0_at(j - 1)
+        Hp[0] = jnp.where(any_pred, Hp[0], vHp)
+        Hd[0] = jnp.where(any_pred, Hd[0], vHd)
+
+        # F_k over open/extend candidates (argmax decode, first-max-wins
+        # with candidate order [opens slots 0..3, extends slots 0..3])
+        def maxdec(cands):
+            best = cands[0]
+            arg = jnp.zeros((1, Bp), jnp.int32)
+            for ci in range(1, len(cands)):
+                upd = cands[ci] > best
+                best = jnp.where(upd, cands[ci], best)
+                arg = jnp.where(upd, ci, arg)
+            return best, arg
+
+        F1n, a1 = maxdec([h - (o1 + e1) for h in Hp]
+                         + [f - e1 for f in F1p])
+        F2n, a2 = maxdec([h - (o2 + e2) for h in Hp]
+                         + [f - e2 for f in F2p])
+        f1_slot, f1_ext = a1 % MAX_PREDS, a1 // MAX_PREDS
+        f2_slot, f2_ext = a2 % MAX_PREDS, a2 // MAX_PREDS
+        diag, dslot = maxdec([h + s for h in Hd])
+        h0 = jnp.maximum(diag, jnp.maximum(F1n, F2n))
+
+        # in-row convex insertion chains: tropical 2x2 Kogge-Stone
+        neg1 = jnp.full((1, 1), NEG, jnp.int32)
+        def sr1(x):
+            return jnp.concatenate([neg1, x[:, :-1]], axis=1)
+        y1 = sr1(h0) - (o1 + e1)
+        y2 = sr1(h0) - (o2 + e2)
+        A11 = jnp.full((1, Bp), -e1, jnp.int32)
+        A12 = jnp.full((1, Bp), -(o1 + e1), jnp.int32)
+        A21 = jnp.full((1, Bp), -(o2 + e2), jnp.int32)
+        A22 = jnp.full((1, Bp), -e2, jnp.int32)
+        offk = 1
+        while offk < Bp:
+            def sh(x, o=offk):
+                return jnp.concatenate(
+                    [jnp.full((1, o), NEG, jnp.int32), x[:, :-o]], axis=1)
+            v1, v2 = sh(y1), sh(y2)
+            y1 = jnp.maximum(y1, jnp.maximum(A11 + v1, A12 + v2))
+            y2 = jnp.maximum(y2, jnp.maximum(A21 + v1, A22 + v2))
+            G11, G12 = sh(A11), sh(A12)
+            G21, G22 = sh(A21), sh(A22)
+            nA11 = jnp.maximum(jnp.maximum(A11 + G11, A12 + G21), NEG)
+            nA12 = jnp.maximum(jnp.maximum(A11 + G12, A12 + G22), NEG)
+            nA21 = jnp.maximum(jnp.maximum(A21 + G11, A22 + G21), NEG)
+            nA22 = jnp.maximum(jnp.maximum(A21 + G12, A22 + G22), NEG)
+            A11, A12, A21, A22 = nA11, nA12, nA21, nA22
+            y1 = jnp.maximum(y1, NEG)
+            y2 = jnp.maximum(y2, NEG)
+            offk *= 2
+        E1, E2 = y1, y2
+        Hn = jnp.maximum(h0, jnp.maximum(E1, E2))
+        valid = (j <= L) & (b_idx < B)
+        Hn = jnp.where(valid, Hn, NEG)
+        E1 = jnp.where(valid, E1, NEG)
+        E2 = jnp.where(valid, E2, NEG)
+        F1n = jnp.where(valid, F1n, NEG)
+        F2n = jnp.where(valid, F2n, NEG)
+
+        move = jnp.where(Hn == diag, 0,
+                jnp.where(Hn == F1n, 1,
+                 jnp.where(Hn == F2n, 2,
+                  jnp.where(Hn == E1, 3, 4))))
+        e1_ext = (E1 == sr1(E1) - e1).astype(jnp.int32)
+        e2_ext = (E2 == sr1(E2) - e2).astype(jnp.int32)
+        dirs = (move + 8 * dslot + 32 * f1_slot + 128 * f1_ext
+                + 256 * f2_slot + 1024 * f2_ext + 2048 * e1_ext
+                + 4096 * e2_ext)
+
+        H[pl.ds(v, 1), :] = Hn
+        F1[pl.ds(v, 1), :] = F1n
+        F2[pl.ds(v, 1), :] = F2n
+        H_out[0, pl.ds(r, 1), :] = Hn
+        dirs_ref[0, pl.ds(r, 1), :] = dirs
+
+
+@partial(jax.jit,
+         static_argnames=("band", "o1", "e1", "o2", "e2", "interpret"))
+def poa_align_scan_affine_pallas(bases, preds, off, q_ext, submat,
+                                 band: int, o1: int, e1: int, o2: int,
+                                 e2: int, interpret: bool = False):
+    """Drop-in Pallas backend for ops.poa.poa_align_scan_affine.
+
+    dirs are returned as int32 with the SAME bit layout; callers mask
+    to uint16 range implicitly via the layout (top bits unused)."""
+    N = bases.shape[0]
+    B = band
+    Lp1 = q_ext.shape[0]
+    L = Lp1 - 1
+    R = NODES_PER_STEP
+    Np = -(-N // R) * R
+    Bp = -(-B // 128) * 128
+    Lq = max(-(-Lp1 // 128) * 128, Bp)
+    bases_p = jnp.pad(bases.astype(jnp.int32), (0, Np - N),
+                      constant_values=255)
+    preds_p = jnp.pad(preds.astype(jnp.int32), ((0, Np - N), (0, 0)),
+                      constant_values=-1)
+    off_p = jnp.pad(off.astype(jnp.int32), (0, Np - N))
+    q_p = jnp.pad(q_ext.astype(jnp.uint8), (0, Lq - Lp1),
+                  constant_values=5)
+
+    grid = (1, Np // R)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Lq), lambda p, i, *_: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, Bp), lambda p, i, *_: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Bp), lambda p, i, *_: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((Np, Bp), jnp.int32)] * 3,
+    )
+    H_rows, dirs_rows = pl.pallas_call(
+        partial(_affine_kernel, n_nodes=Np, band=B, b_pad=Bp, l_pad=Lq,
+                l_query=L, o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Np, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Np, Bp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bases_p, preds_p.reshape(-1), off_p, submat.astype(jnp.int32),
+      q_p.reshape(1, Lq))
+
+    H_all = H_rows[0, :N, :B]
+    dirs = dirs_rows[0, :N, :B].astype(jnp.uint16)
+    b_idx = jnp.arange(N, dtype=jnp.int32)
+    bL = L - off.astype(jnp.int32)[:N]
+    ends = jnp.where((bL >= 0) & (bL < B),
+                     jnp.take_along_axis(
+                         H_all, jnp.clip(bL, 0, B - 1)[:, None], 1)[:, 0],
+                     NEG)
+    del b_idx
+    return H_all, dirs, ends
+
+
+def poa_affine_default_backend():
+    """Fused Pallas convex kernel on TPU (opt-in via CACTUS_POA_PALLAS=1
+    until hardware-validated, VMEM-guarded), XLA scan else."""
+    import os
+
+    from .poa import poa_align_scan_affine
+
+    if (jax.devices()[0].platform == "tpu"
+            and os.environ.get("CACTUS_POA_PALLAS", "") == "1"):
+        def route(bases, preds, off, q_ext, submat, band, o1, e1, o2, e2):
+            Bp = -(-band // 128) * 128
+            if 3 * int(bases.shape[0]) * Bp <= MAX_VMEM_CELLS:
+                return poa_align_scan_affine_pallas(
+                    bases, preds, off, q_ext, submat, band=band,
+                    o1=o1, e1=e1, o2=o2, e2=e2)
+            return poa_align_scan_affine(bases, preds, off, q_ext, submat,
+                                         band=band, o1=o1, e1=e1, o2=o2,
+                                         e2=e2)
+        return route
+    return poa_align_scan_affine

@@ -55,3 +55,39 @@ def test_poa_pallas_chain_identity():
     H1, d1, e1, H2, d2, e2 = _run_both(bases, preds, q)
     np.testing.assert_array_equal(H1, H2)
     assert e2[-1] == n * 10   # full-match score
+
+
+def _affine_inputs(rng, n, l, band):
+    from cactus_tpu.config import PoaParams
+    from cactus_tpu.ops.banded import score_matrix_6
+    bases, preds = _random_dag(rng, n)
+    q = rng.integers(0, 4, l).astype(np.uint8)
+    q_ext = np.full(l + 1, 5, np.uint8)
+    q_ext[1:] = q
+    # monotone band offsets like poa_align_affine builds them
+    if band >= l + 1:
+        off = np.zeros(n, np.int32)
+    else:
+        center = np.arange(n) * (l / max(n - 1, 1))
+        off = np.clip(center.astype(np.int32) - band // 2, 0,
+                      l + 1 - band)
+        off = np.maximum.accumulate(off).astype(np.int32)
+    submat = score_matrix_6(PoaParams().sub_matrix).astype(np.int32)
+    return bases, preds, off, q_ext, submat
+
+
+@pytest.mark.parametrize("seed,n,l,band", [
+    (0, 40, 33, 64), (1, 80, 200, 64), (2, 64, 100, 128)])
+def test_poa_affine_pallas_matches_xla(seed, n, l, band):
+    from cactus_tpu.ops.poa import poa_align_scan_affine
+    from cactus_tpu.ops.poa_pallas import poa_align_scan_affine_pallas
+    rng = np.random.default_rng(seed)
+    bases, preds, off, q_ext, submat = _affine_inputs(rng, n, l, band)
+    a = tuple(jnp.asarray(x) for x in (bases, preds, off, q_ext, submat))
+    kw = dict(band=band, o1=400, e1=30, o2=1200, e2=1)
+    H1, d1, e1_ = poa_align_scan_affine(*a, **kw)
+    H2, d2, e2_ = poa_align_scan_affine_pallas(*a, **kw, interpret=True)
+    np.testing.assert_array_equal(np.asarray(e1_), np.asarray(e2_))
+    np.testing.assert_array_equal(np.asarray(H1), np.asarray(H2))
+    np.testing.assert_array_equal(np.asarray(d1),
+                                  np.asarray(d2).astype(np.uint16))
