@@ -351,6 +351,16 @@ class ProgressiveAligner:
             return _resource.getrusage(
                 _resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
+        def _device_peak_mb() -> float:
+            """Accelerator peak bytes in use (0 when the backend has no
+            memory_stats, e.g. CPU)."""
+            try:
+                import jax
+                st = jax.local_devices()[0].memory_stats()
+                return (st or {}).get("peak_bytes_in_use", 0) / 1e6
+            except Exception:
+                return 0.0
+
         self.log(f"{node.name}: blast starting (preset {preset}, "
                  f"{len(seqs)} seqs, og={outgroups})")
         t0 = _time.time()
@@ -416,11 +426,15 @@ class ProgressiveAligner:
         # super-contigs, so fragmentation can't explode its pair grid
         self.genomes[node.name] = dict(ref.sequences)
         maps = seq_maps_from_step(caf, ref)
+        dev_mb = _device_peak_mb()
         self.log(f"{node.name} phases: " + " ".join(
             f"{k}={v:.1f}s" for k, v in timings.items())
                  + " | peak rss " + " ".join(
-            f"{k}={v:.0f}MB" for k, v in mem_mb.items()))
+            f"{k}={v:.0f}MB" for k, v in mem_mb.items())
+                 + (f" | device peak {dev_mb:.0f}MB" if dev_mb else ""))
         timings.update({f"{k}_peak_rss_mb": v for k, v in mem_mb.items()})
+        if dev_mb:
+            timings["device_peak_mb"] = dev_mb
         return AncestorStep(event=node.name, caf=caf, ref=ref,
                             anc_seq_names=list(ref.sequences),
                             maps=maps, ingroup_events=set(children),
