@@ -360,7 +360,8 @@ def _maxplus_chain(s1, s2, a11, a12, a21, a22, B):
 
 @partial(jax.jit, static_argnames=("band", "o1", "e1", "o2", "e2"))
 def poa_align_scan_affine(bases, preds, off, q_ext, submat,
-                          band: int, o1: int, e1: int, o2: int, e2: int):
+                          band: int, o1: int, e1: int, o2: int, e2: int,
+                          l_len=None):
     """Convex-gap sequence-vs-DAG DP with per-node band offsets.
 
     bases (N,) uint8; preds (N, MAX_PREDS) int32 (-1 pad); off (N,)
@@ -381,7 +382,9 @@ def poa_align_scan_affine(bases, preds, off, q_ext, submat,
     N = bases.shape[0]
     B = band
     Lp1 = q_ext.shape[0]
-    L = Lp1 - 1
+    # true query length: static by default; a traced scalar when the
+    # batch path pads q_ext to a shared length bin (poa_msa_batch)
+    L = (Lp1 - 1) if l_len is None else jnp.asarray(l_len, jnp.int32)
     b_idx = jnp.arange(B, dtype=jnp.int32)
 
     # virtual start row: j insertions at convex cost
@@ -582,6 +585,115 @@ def poa_align_affine(graph: PoaGraph, seq: np.ndarray,
     dirs = np.asarray(dirs)[:N]
     end_v = int(np.argmax(ends))
     return _traceback_affine(graph, dirs, off, end_v, L)
+
+
+def _affine_prepare(graph: PoaGraph, seq: np.ndarray,
+                    band_constant: int, band_fraction: float,
+                    l_bin: int | None = None):
+    """Padded device inputs for one graph-vs-sequence affine alignment
+    (the array-building half of poa_align_affine).  With l_bin, q_ext
+    pads to l_bin+1 so same-bin jobs stack (true L rides separately)."""
+    bases, preds = graph.tensors()
+    N = len(bases)
+    L = len(seq)
+    depth = np.asarray(graph.depth, dtype=np.int64)
+    max_depth = max(int(depth.max()), 1) if N else 1
+    want = int(band_constant + band_fraction * L
+               + abs(L - max_depth)) * 2
+    B = _bin_up(min(want, L + 1), minimum=64)
+    Nb = _bin_up(N)
+    if B >= L + 1:
+        B = _bin_up(L + 1, minimum=64)
+        off = np.zeros(Nb, dtype=np.int32)
+    else:
+        center = depth.astype(np.float64) * (L / max_depth)
+        off = np.clip(center.astype(np.int32) - B // 2, 0, L + 1 - B)
+        off = np.maximum.accumulate(off)
+        off = np.concatenate([off, np.full(Nb - N, off[-1] if N else 0,
+                                           dtype=np.int32)])
+    bases_p = np.zeros(Nb, dtype=np.uint8)
+    bases_p[:N] = bases
+    preds_p = np.full((Nb, MAX_PREDS), -1, dtype=np.int32)
+    preds_p[:N] = preds
+    lq = L if l_bin is None else l_bin
+    assert lq >= L
+    q_ext = np.full(lq + 1, 5, dtype=np.uint8)
+    q_ext[1:L + 1] = seq
+    return dict(bases=bases_p, preds=preds_p, off=off.astype(np.int32),
+                q_ext=q_ext, B=B, Nb=Nb, N=N, L=L)
+
+
+def poa_msa_batch(groups: list[list[np.ndarray]], params) -> list[PoaGraph]:
+    """Progressive POA over MANY independent groups with per-round
+    batched kernel launches.
+
+    Equivalent output to [poa_msa(g, params=params) for g in groups]
+    (same per-job DP inputs, same tracebacks), but each round stacks
+    every group's graph-vs-next-sequence alignment that falls in the
+    same (graph-bin, band, length-bin) shape onto one vmapped device
+    call — the reference's per-flower OpenMP abPOA loop becomes one
+    batched launch per shape bin (bar/impl/bar.c:52 OMP region).
+    """
+    from .banded import score_matrix_6
+    import jax
+    import jax.numpy as jnp
+
+    submat = np.asarray(score_matrix_6(params.sub_matrix), np.int32)
+    o1, e1 = params.gap_open1, params.gap_extend1
+    o2, e2 = params.gap_open2, params.gap_extend2
+
+    jobs = []
+    for g in groups:
+        order = sorted(range(len(g)), key=lambda i: -len(g[i]))
+        jobs.append(dict(seqs=g, order=order,
+                         graph=PoaGraph.from_sequence(g[order[0]]),
+                         walk_order=[order[0]], k=1))
+
+    round_no = 0
+    while True:
+        active = [j for j in jobs if j["k"] < len(j["order"])]
+        if not active:
+            break
+        round_no += 1
+        bins: dict[tuple, list] = {}
+        for job in active:
+            seq = job["seqs"][job["order"][job["k"]]]
+            l_bin = _bin_up(len(seq), minimum=64)
+            prep = _affine_prepare(job["graph"], seq,
+                                   params.band_constant,
+                                   params.band_fraction, l_bin=l_bin)
+            bins.setdefault((prep["Nb"], prep["B"], l_bin),
+                            []).append((job, seq, prep))
+        for (Nb, B, l_bin), items in bins.items():
+            stack = {k: jnp.asarray(np.stack([p[k] for _j, _s, p in items]))
+                     for k in ("bases", "preds", "off", "q_ext")}
+            l_arr = jnp.asarray([p["L"] for _j, _s, p in items],
+                                jnp.int32)
+            run = jax.vmap(
+                lambda b, pr, of, qe, ll: poa_align_scan_affine(
+                    b, pr, of, qe, jnp.asarray(submat), band=B,
+                    o1=o1, e1=e1, o2=o2, e2=e2, l_len=ll))
+            _H, dirs, ends = run(stack["bases"], stack["preds"],
+                                 stack["off"], stack["q_ext"], l_arr)
+            dirs = np.asarray(dirs)
+            ends = np.asarray(ends)
+            for bi, (job, seq, prep) in enumerate(items):
+                N = prep["N"]
+                end_v = int(np.argmax(ends[bi, :N]))
+                ops = _traceback_affine(job["graph"], dirs[bi, :N],
+                                        prep["off"], end_v, prep["L"])
+                job["graph"].add_alignment(seq, ops)
+                job["walk_order"].append(job["order"][job["k"]])
+        for job in active:
+            job["k"] += 1
+
+    out = []
+    for job in jobs:
+        remap = {wo: k for k, wo in enumerate(job["walk_order"])}
+        g = job["graph"]
+        g.walks = [g.walks[remap[i]] for i in range(len(job["seqs"]))]
+        out.append(g)
+    return out
 
 
 def poa_msa(seqs: list[np.ndarray], gap: int = 30, match: int = 10,

@@ -248,14 +248,18 @@ def star_align_ends(per_end: dict[int, list[EndString]],
         # pairs sharing a column emit matches, not just member↔backbone.
         # Members longer than the POA window go through the windowed
         # pairwise path (long_jobs) like the other engines.
-        from ..ops.poa import poa_msa
+        from ..ops.poa import poa_msa_batch
+        end_jobs = []
         for end, members in per_end.items():
             members = [m for m in members if m.length() <= poa.window]
             if len(members) < 2:
                 continue
             members = sorted(members, key=lambda e: -e.length())
-            seqs_o = [m.codes(gcodes) for m in members]
-            graph = poa_msa(seqs_o, params=poa)
+            end_jobs.append((members, [m.codes(gcodes) for m in members]))
+        # one batched launch per shape bin per progressive round (the
+        # per-flower OpenMP loop of bar.c:52 as vmapped device batches)
+        graphs = poa_msa_batch([sq for _m, sq in end_jobs], poa)
+        for (members, _sq), graph in zip(end_jobs, graphs):
             matched = graph.match_runs_between_walks()
             matched.sort()
             prev = None

@@ -100,3 +100,32 @@ def test_msa_with_indels():
                if (pi < 50 and pj == pi) or (pi >= 60 and pj == pi - 10)
                or (pj < 50 and pi == pj) or (pj >= 60 and pi == pj - 10))
     assert good / max(len(pairs), 1) > 0.9
+
+
+def test_poa_msa_batch_matches_sequential():
+    """Batched progressive POA == per-group poa_msa (same DP inputs per
+    round, same tracebacks), across mixed shapes."""
+    from cactus_tpu.config import PoaParams
+    from cactus_tpu.ops.poa import poa_msa, poa_msa_batch
+    rng = np.random.default_rng(11)
+    params = PoaParams()
+    groups = []
+    for g in range(5):
+        n = int(rng.integers(2, 5))
+        base = rng.integers(0, 4, int(rng.integers(40, 300))).astype(
+            np.uint8)
+        seqs = []
+        for _ in range(n):
+            s = base.copy()
+            idx = rng.random(len(s)) < 0.05
+            s[idx] = (s[idx] + 1) % 4
+            if rng.random() < 0.5 and len(s) > 30:
+                cut = int(rng.integers(5, 20))
+                s = np.concatenate([s[:10], s[10 + cut:]])
+            seqs.append(s)
+        groups.append(seqs)
+    seq_graphs = [poa_msa(g, params=params) for g in groups]
+    bat_graphs = poa_msa_batch(groups, params)
+    for gs, gb in zip(seq_graphs, bat_graphs):
+        assert sorted(gs.match_runs_between_walks()) == \
+            sorted(gb.match_runs_between_walks())
