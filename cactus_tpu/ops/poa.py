@@ -623,6 +623,21 @@ def _affine_prepare(graph: PoaGraph, seq: np.ndarray,
                 q_ext=q_ext, B=B, Nb=Nb, N=N, L=L)
 
 
+def _affine_pallas_batch_or_none(n_nodes_bin: int, band: int):
+    """The fused batched convex kernel when routed on (TPU + opt-in env
+    + VMEM fit), else None → vmapped XLA scan."""
+    import os
+
+    if (jax.devices()[0].platform == "tpu"
+            and os.environ.get("CACTUS_POA_PALLAS", "") == "1"):
+        from .poa_pallas import MAX_VMEM_CELLS, \
+            poa_align_scan_affine_pallas_batch
+        bp = -(-band // 128) * 128
+        if 3 * n_nodes_bin * bp <= MAX_VMEM_CELLS:
+            return poa_align_scan_affine_pallas_batch
+    return None
+
+
 def poa_msa_batch(groups: list[list[np.ndarray]], params) -> list[PoaGraph]:
     """Progressive POA over MANY independent groups with per-round
     batched kernel launches.
@@ -669,12 +684,19 @@ def poa_msa_batch(groups: list[list[np.ndarray]], params) -> list[PoaGraph]:
                      for k in ("bases", "preds", "off", "q_ext")}
             l_arr = jnp.asarray([p["L"] for _j, _s, p in items],
                                 jnp.int32)
-            run = jax.vmap(
-                lambda b, pr, of, qe, ll: poa_align_scan_affine(
-                    b, pr, of, qe, jnp.asarray(submat), band=B,
-                    o1=o1, e1=e1, o2=o2, e2=e2, l_len=ll))
-            _H, dirs, ends = run(stack["bases"], stack["preds"],
-                                 stack["off"], stack["q_ext"], l_arr)
+            pallas_batch = _affine_pallas_batch_or_none(Nb, B)
+            if pallas_batch is not None:
+                _H, dirs, ends = pallas_batch(
+                    stack["bases"], stack["preds"], stack["off"],
+                    stack["q_ext"], l_arr, jnp.asarray(submat),
+                    band=B, o1=o1, e1=e1, o2=o2, e2=e2)
+            else:
+                run = jax.vmap(
+                    lambda b, pr, of, qe, ll: poa_align_scan_affine(
+                        b, pr, of, qe, jnp.asarray(submat), band=B,
+                        o1=o1, e1=e1, o2=o2, e2=e2, l_len=ll))
+                _H, dirs, ends = run(stack["bases"], stack["preds"],
+                                     stack["off"], stack["q_ext"], l_arr)
             dirs = np.asarray(dirs)
             ends = np.asarray(ends)
             for bi, (job, seq, prep) in enumerate(items):

@@ -195,12 +195,12 @@ def poa_default_backend():
 # convex (dual-affine) kernel — poa_align_scan_affine's fused backend
 # --------------------------------------------------------------------------
 
-def _affine_kernel(bases_ref, preds_ref, off_ref, submat_ref,  # SMEM
+def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
                    q_ref,                                       # (1, Lq)
                    H_out, dirs_ref,                             # outputs
                    H, F1, F2,                                   # scratch
                    *, n_nodes: int, band: int, b_pad: int, l_pad: int,
-                   l_query: int, o1: int, e1: int, o2: int, e2: int,
+                   o1: int, e1: int, o2: int, e2: int,
                    nodes_per_step: int):
     p = pl.program_id(0)
     step = pl.program_id(1)
@@ -209,7 +209,7 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, submat_ref,  # SMEM
     B = band
     Bp = b_pad
     Lq = l_pad
-    L = l_query
+    L = llen_ref[p]          # true query length, per problem
 
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
     qrow = q_ref[0, :].reshape(1, Lq).astype(jnp.int32)
@@ -337,32 +337,34 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, submat_ref,  # SMEM
 
 @partial(jax.jit,
          static_argnames=("band", "o1", "e1", "o2", "e2", "interpret"))
-def poa_align_scan_affine_pallas(bases, preds, off, q_ext, submat,
-                                 band: int, o1: int, e1: int, o2: int,
-                                 e2: int, interpret: bool = False):
-    """Drop-in Pallas backend for ops.poa.poa_align_scan_affine.
+def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
+                                       submat, band: int, o1: int,
+                                       e1: int, o2: int, e2: int,
+                                       interpret: bool = False):
+    """Batched fused convex POA: P independent problems on grid axis 0.
 
-    dirs are returned as int32 with the SAME bit layout; callers mask
-    to uint16 range implicitly via the layout (top bits unused)."""
-    N = bases.shape[0]
+    bases (P, N) uint8; preds (P, N, MAX_PREDS); off (P, N); q_ext
+    (P, Lq) with q_ext[:, 0] = pad; l_len (P,) true query lengths.
+    Returns (H (P, N, B) int32, dirs (P, N, B) int32 with the
+    poa_align_scan_affine bit layout, ends (P, N))."""
+    P, N = bases.shape
     B = band
-    Lp1 = q_ext.shape[0]
-    L = Lp1 - 1
+    Lp1 = q_ext.shape[1]
     R = NODES_PER_STEP
     Np = -(-N // R) * R
     Bp = -(-B // 128) * 128
     Lq = max(-(-Lp1 // 128) * 128, Bp)
-    bases_p = jnp.pad(bases.astype(jnp.int32), (0, Np - N),
+    bases_p = jnp.pad(bases.astype(jnp.int32), ((0, 0), (0, Np - N)),
                       constant_values=255)
-    preds_p = jnp.pad(preds.astype(jnp.int32), ((0, Np - N), (0, 0)),
-                      constant_values=-1)
-    off_p = jnp.pad(off.astype(jnp.int32), (0, Np - N))
-    q_p = jnp.pad(q_ext.astype(jnp.uint8), (0, Lq - Lp1),
+    preds_p = jnp.pad(preds.astype(jnp.int32),
+                      ((0, 0), (0, Np - N), (0, 0)), constant_values=-1)
+    off_p = jnp.pad(off.astype(jnp.int32), ((0, 0), (0, Np - N)))
+    q_p = jnp.pad(q_ext.astype(jnp.uint8), ((0, 0), (0, Lq - Lp1)),
                   constant_values=5)
 
-    grid = (1, Np // R)
+    grid = (P, Np // R)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Lq), lambda p, i, *_: (p, 0),
@@ -378,26 +380,38 @@ def poa_align_scan_affine_pallas(bases, preds, off, q_ext, submat,
     )
     H_rows, dirs_rows = pl.pallas_call(
         partial(_affine_kernel, n_nodes=Np, band=B, b_pad=Bp, l_pad=Lq,
-                l_query=L, o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R),
+                o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, Np, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((1, Np, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
         ],
         interpret=interpret,
-    )(bases_p, preds_p.reshape(-1), off_p, submat.astype(jnp.int32),
-      q_p.reshape(1, Lq))
+    )(bases_p.reshape(-1), preds_p.reshape(-1), off_p.reshape(-1),
+      l_len.astype(jnp.int32), submat.astype(jnp.int32), q_p)
 
-    H_all = H_rows[0, :N, :B]
-    dirs = dirs_rows[0, :N, :B].astype(jnp.uint16)
-    b_idx = jnp.arange(N, dtype=jnp.int32)
-    bL = L - off.astype(jnp.int32)[:N]
+    H_all = H_rows[:, :N, :B]
+    dirs = dirs_rows[:, :N, :B]
+    bL = l_len.astype(jnp.int32)[:, None] - off.astype(jnp.int32)[:, :N]
     ends = jnp.where((bL >= 0) & (bL < B),
                      jnp.take_along_axis(
-                         H_all, jnp.clip(bL, 0, B - 1)[:, None], 1)[:, 0],
+                         H_all, jnp.clip(bL, 0, B - 1)[:, :, None],
+                         2)[:, :, 0],
                      NEG)
-    del b_idx
     return H_all, dirs, ends
+
+
+def poa_align_scan_affine_pallas(bases, preds, off, q_ext, submat,
+                                 band: int, o1: int, e1: int, o2: int,
+                                 e2: int, interpret: bool = False):
+    """Drop-in Pallas backend for ops.poa.poa_align_scan_affine (single
+    problem; see poa_align_scan_affine_pallas_batch)."""
+    L = q_ext.shape[0] - 1
+    H, dirs, ends = poa_align_scan_affine_pallas_batch(
+        bases[None], preds[None], off[None], q_ext[None],
+        jnp.asarray([L], jnp.int32), submat, band=band,
+        o1=o1, e1=e1, o2=o2, e2=e2, interpret=interpret)
+    return H[0], dirs[0].astype(jnp.uint16), ends[0]
 
 
 def poa_affine_default_backend():
