@@ -32,15 +32,24 @@ from jax.experimental.pallas import tpu as pltpu
 from .banded import NEG
 
 TILE_P = 64
+# DP rows per grid step (must divide 128): >1 amortizes the fixed
+# per-step cost (scalar reads, slab loads, grid latency) across rows.
+# R=1 reproduces the hardware-validated round-1 kernel exactly; the
+# faster setting flips on after real-TPU validation (env override).
+import os as _os
+ROWS_PER_STEP = int(_os.environ.get("CACTUS_BANDED_ROWS_PER_STEP", "1"))
+assert 128 % ROWS_PER_STEP == 0, ROWS_PER_STEP
 
 
 def _kernel(m_len_ref, n_len_ref, lo_ref, submat_ref,  # scalar prefetch SMEM
             q_ref, t_ref,                               # VMEM
             dirs_ref, end_ref,                          # outputs
             H, I, D, eH, eI, eD,                        # scratch
-            *, band: int, gap_open: int, gap_extend: int, m_max: int):
+            *, band: int, gap_open: int, gap_extend: int, m_max: int,
+            rows_per_step: int):
     p = pl.program_id(0)
-    i = pl.program_id(1)  # DP row index - 1  (row = i+1)
+    step = pl.program_id(1)   # each grid step runs rows_per_step DP rows
+    R = rows_per_step
     TP = H.shape[0]
     B = band
 
@@ -50,7 +59,7 @@ def _kernel(m_len_ref, n_len_ref, lo_ref, submat_ref,  # scalar prefetch SMEM
     m_len = jnp.stack(
         [m_len_ref[p * TP + k] for k in range(TP)]).reshape(TP, 1)
 
-    @pl.when(i == 0)
+    @pl.when(step == 0)
     def _init():
         j0 = lo_c + b_idx
         H[:] = jnp.where(j0 == 0, 0, NEG)
@@ -61,81 +70,88 @@ def _kernel(m_len_ref, n_len_ref, lo_ref, submat_ref,  # scalar prefetch SMEM
         eI[:] = jnp.where(zero_len, I[:], NEG)
         eD[:] = jnp.where(zero_len, D[:], NEG)
 
-    row = i + 1
     # lane-aligned slab loads + dynamic rotation (Mosaic requires dynamic
-    # lane offsets to be 128-aligned; the in-slab offset rotates instead)
-    slab = pl.multiple_of((i // 128) * 128, 128)
-    in_off = i % 128
+    # lane offsets to be 128-aligned; the in-slab offset rotates instead).
+    # R divides 128, so all R rows of this step share one 128 slab.
+    i0 = step * R
+    slab = pl.multiple_of((i0 // 128) * 128, 128)
+    base_off = i0 % 128
     qslab = q_ref[:, pl.ds(slab, 128)].astype(jnp.int32)     # (TP,128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TP, 128), 1)
-    qc = jnp.sum(jnp.where(lane == in_off, qslab, 0), axis=1,
-                 keepdims=True)                               # (TP,1)
     tslab = t_ref[:, pl.ds(slab, B + 128)].astype(jnp.int32)  # (TP,B+128)
-    # left-rotate by in_off expressed as a positive right-rotate
-    tc = pltpu.roll(tslab, (B + 128) - in_off, axis=1)[:, :B]  # (TP,B)
-
-    # substitution scores in two select stages: first the submat row for
-    # each pair's query code (6 selects on (TP,1)), then the column by
-    # target code (6 selects on (TP,B)) — 12 ops instead of 36
-    qrow = [jnp.zeros((TP, 1), jnp.int32) for _ in range(6)]
-    for tcode in range(6):
-        acc = qrow[tcode]
-        for code in range(6):
-            acc = jnp.where(qc == code, submat_ref[code, tcode], acc)
-        qrow[tcode] = acc
-    s = jnp.zeros((TP, B), jnp.int32)
-    for tcode in range(6):
-        s = jnp.where(tc == tcode, qrow[tcode], s)
+    neg_col = jnp.full((TP, 1), NEG, jnp.int32)
 
     Hp, Ip, Dp = H[:], I[:], D[:]
-    prev_best = jnp.maximum(jnp.maximum(Hp, Ip), Dp)
-    h_src = jnp.where(Hp >= Ip, 0, 1)
-    h_src = jnp.where(Dp > jnp.maximum(Hp, Ip), 2, h_src)
-    H_new = prev_best + s
+    for r in range(R):
+        i = i0 + r
+        row = i + 1
+        in_off = base_off + r
+        qc = jnp.sum(jnp.where(lane == in_off, qslab, 0), axis=1,
+                     keepdims=True)                           # (TP,1)
+        # left-rotate by in_off expressed as a positive right-rotate
+        tc = pltpu.roll(tslab, (B + 128) - in_off, axis=1)[:, :B]
 
-    neg_col = jnp.full((TP, 1), NEG, jnp.int32)
-    H_up = jnp.concatenate([Hp[:, 1:], neg_col], axis=1)
-    I_up = jnp.concatenate([Ip[:, 1:], neg_col], axis=1)
-    i_fresh = (H_up - gap_open) >= I_up
-    I_new = jnp.maximum(H_up - gap_open, I_up) - gap_extend
+        # substitution scores in two select stages: first the submat row
+        # for each pair's query code (6 selects on (TP,1)), then the
+        # column by target code (6 selects on (TP,B))
+        qrow = [jnp.zeros((TP, 1), jnp.int32) for _ in range(6)]
+        for tcode in range(6):
+            acc = qrow[tcode]
+            for code in range(6):
+                acc = jnp.where(qc == code, submat_ref[code, tcode], acc)
+            qrow[tcode] = acc
+        s = jnp.zeros((TP, B), jnp.int32)
+        for tcode in range(6):
+            s = jnp.where(tc == tcode, qrow[tcode], s)
 
-    j = row + lo_c + b_idx
-    I_new = jnp.where(j == 0, -(gap_open + row * gap_extend), I_new)
-    H_new = jnp.where(j <= 0, NEG, H_new)
-    I_new = jnp.where(j < 0, NEG, I_new)
+        prev_best = jnp.maximum(jnp.maximum(Hp, Ip), Dp)
+        h_src = jnp.where(Hp >= Ip, 0, 1)
+        h_src = jnp.where(Dp > jnp.maximum(Hp, Ip), 2, h_src)
+        H_new = prev_best + s
 
-    # D-chain: Kogge-Stone max-scan along the band (lane axis)
-    Hl = jnp.concatenate([neg_col, H_new[:, :-1]], axis=1)
-    ext_ramp = gap_extend * b_idx
-    Y = Hl + ext_ramp
-    off = 1
-    while off < B:
-        shifted = jnp.concatenate(
-            [jnp.full((TP, off), NEG, jnp.int32), Y[:, :-off]], axis=1)
-        Y = jnp.maximum(Y, shifted)
-        off *= 2
-    D_new = Y - gap_open - gap_extend * (b_idx + 1)
-    d_fresh = D_new == (Hl - gap_open - gap_extend)
-    D_new = jnp.where(j <= 0, NEG, D_new)
-    D_new = jnp.maximum(D_new, NEG)
-    H_new = jnp.maximum(H_new, NEG)
-    I_new = jnp.maximum(I_new, NEG)
+        H_up = jnp.concatenate([Hp[:, 1:], neg_col], axis=1)
+        I_up = jnp.concatenate([Ip[:, 1:], neg_col], axis=1)
+        i_fresh = (H_up - gap_open) >= I_up
+        I_new = jnp.maximum(H_up - gap_open, I_up) - gap_extend
 
-    # int8 shifts don't legalize on Mosaic: compose bits in int32
-    dirs = (h_src + 4 * i_fresh.astype(jnp.int32)
-            + 8 * d_fresh.astype(jnp.int32)).astype(jnp.uint8)
-    dirs_ref[0, :, :] = dirs
+        j = row + lo_c + b_idx
+        I_new = jnp.where(j == 0, -(gap_open + row * gap_extend), I_new)
+        H_new = jnp.where(j <= 0, NEG, H_new)
+        I_new = jnp.where(j < 0, NEG, I_new)
 
-    H[:] = H_new
-    I[:] = I_new
-    D[:] = D_new
+        # D-chain: Kogge-Stone max-scan along the band (lane axis)
+        Hl = jnp.concatenate([neg_col, H_new[:, :-1]], axis=1)
+        ext_ramp = gap_extend * b_idx
+        Y = Hl + ext_ramp
+        off = 1
+        while off < B:
+            shifted = jnp.concatenate(
+                [jnp.full((TP, off), NEG, jnp.int32), Y[:, :-off]], axis=1)
+            Y = jnp.maximum(Y, shifted)
+            off *= 2
+        D_new = Y - gap_open - gap_extend * (b_idx + 1)
+        d_fresh = D_new == (Hl - gap_open - gap_extend)
+        D_new = jnp.where(j <= 0, NEG, D_new)
+        D_new = jnp.maximum(D_new, NEG)
+        H_new = jnp.maximum(H_new, NEG)
+        I_new = jnp.maximum(I_new, NEG)
 
-    at_end = (row == m_len)
-    eH[:] = jnp.where(at_end, H_new, eH[:])
-    eI[:] = jnp.where(at_end, I_new, eI[:])
-    eD[:] = jnp.where(at_end, D_new, eD[:])
+        # int8 shifts don't legalize on Mosaic: compose bits in int32
+        dirs = (h_src + 4 * i_fresh.astype(jnp.int32)
+                + 8 * d_fresh.astype(jnp.int32)).astype(jnp.uint8)
+        dirs_ref[r, :, :] = dirs
 
-    @pl.when(i == m_max - 1)
+        at_end = (row == m_len)
+        eH[:] = jnp.where(at_end, H_new, eH[:])
+        eI[:] = jnp.where(at_end, I_new, eI[:])
+        eD[:] = jnp.where(at_end, D_new, eD[:])
+        Hp, Ip, Dp = H_new, I_new, D_new
+
+    H[:] = Hp
+    I[:] = Ip
+    D[:] = Dp
+
+    @pl.when(step == (m_max // R) - 1)
     def _flush():
         end_ref[0, :, :] = eH[:]
         end_ref[1, :, :] = eI[:]
@@ -168,7 +184,8 @@ def banded_align_batch_pallas(q, t_shift, m_len, n_len, lo, submat,
         t_shift = jnp.pad(t_shift, ((0, 0), (0, Mp - Mmax)),
                           constant_values=5)
         Mmax = Mp
-    grid = (P // TP, Mmax)
+    R = ROWS_PER_STEP
+    grid = (P // TP, Mmax // R)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -182,7 +199,7 @@ def banded_align_batch_pallas(q, t_shift, m_len, n_len, lo, submat,
         out_specs=[
             # dirs streams row-major: (rows, pairs, band) so the block's
             # trailing dims (TP, B) satisfy the (8,128) tiling rule
-            pl.BlockSpec((1, TP, B), lambda p, i, *_: (i, p, 0),
+            pl.BlockSpec((R, TP, B), lambda p, i, *_: (i, p, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TP, B), lambda p, i, *_: (0, p, 0),
                          memory_space=pltpu.VMEM),
@@ -198,7 +215,7 @@ def banded_align_batch_pallas(q, t_shift, m_len, n_len, lo, submat,
     )
     dirs, endflat = pl.pallas_call(
         partial(_kernel, band=B, gap_open=gap_open, gap_extend=gap_extend,
-                m_max=Mmax),
+                m_max=Mmax, rows_per_step=R),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Mmax, P, B), jnp.uint8),
