@@ -273,14 +273,28 @@ def cmd_update(args) -> int:
 
 
 def cmd_pangenome(args) -> int:
-    from .pangenome.driver import run_pangenome
+    from .pangenome import driver as pdrv
     sf = SeqFile.parse(args.seqfile)
     genomes = load_genomes_from_seqfile(sf)
     ref = args.reference or sf.order[0]
-    run_pangenome(genomes, ref, args.outdir,
-                  min_chain_override=args.min_chain,
-                  filter_depth=args.filter or None,
-                  viz=not args.no_viz, log=_log)
+    mode = getattr(args, "mode", "star")
+    if mode == "sv":
+        # the full minigraph-cactus tier: iterative SV graph → graphmap
+        # → base-level align-to-graph → join (cactus-pangenome)
+        pdrv.run_pangenome_sv(genomes, ref, args.outdir,
+                              min_chain_override=args.min_chain,
+                              filter_depth=args.filter or None,
+                              viz=not args.no_viz, log=_log)
+    elif mode == "refmap":
+        pdrv.run_pangenome_refmap(genomes, ref, args.outdir,
+                                  min_chain_override=args.min_chain,
+                                  filter_depth=args.filter or None,
+                                  viz=not args.no_viz, log=_log)
+    else:
+        pdrv.run_pangenome(genomes, ref, args.outdir,
+                           min_chain_override=args.min_chain,
+                           filter_depth=args.filter or None,
+                           viz=not args.no_viz, log=_log)
     return 0
 
 
@@ -549,6 +563,12 @@ def main(argv=None) -> int:
     pg.add_argument("--reference", default=None,
                     help="reference genome (default: first in seqfile)")
     pg.add_argument("--min-chain", type=int, default=64)
+    pg.add_argument("--mode", choices=["star", "sv", "refmap"],
+                    default="star",
+                    help="star: one star alignment (cactus-align "
+                         "--pangenome); sv: minigraph-cactus SV-graph "
+                         "pipeline (cactus-pangenome); refmap: "
+                         "star-to-reference (cactus-refmap)")
     pg.add_argument("--filter", type=int, default=2,
                     help="allele-frequency filter tier depth (0 = off; "
                     "graphmap-join --filter)")
