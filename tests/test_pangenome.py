@@ -130,6 +130,19 @@ def test_cli_pangenome(tmp_path):
     assert any(not l.startswith("#") for l in vcf_lines)
 
 
+def test_cli_pangenome_modes(tmp_path):
+    """--mode sv / refmap are CLI-reachable and emit the tier set."""
+    from cactus_tpu import cli
+    tree = parse_newick("(a:0.02,b:0.02,c:0.02)root;")
+    sim = evolver.simulate(tree, root_len=3000, seed=29)
+    seqfile = evolver.write_seqfile(sim, str(tmp_path / "in"))
+    out = str(tmp_path / "rm")
+    assert cli.main(["pangenome", seqfile, out, "--reference", "a",
+                     "--mode", "refmap", "--no-viz"]) == 0
+    assert os.path.getsize(out + "/pangenome.gfa") > 0
+    assert os.path.getsize(out + "/pangenome.gbz") > 0
+
+
 def test_normalize_collapses_shared_affixes(small_graph):
     """Shared-affix collapse shrinks total node bases and preserves every
     walk's spelling (GFAffix analog; vg validate invariant)."""
