@@ -73,3 +73,33 @@ def test_evolver_mammals_scale_gate():
         assert rows[anc]["n_bottom_segments"] > 0
     for lf in leaves:
         assert rows[lf]["n_top_segments"] > 100, lf
+
+
+EVOLVER_PRIMATES_NEWICK = (
+    "((simGorilla:0.008964,(simHuman:0.0067,simChimp:0.006667)"
+    "anc1:0.00225)anc2:0.009693,simOrang:0.01831)root;")
+
+
+def test_evolver_primates_scale_gate():
+    """The primates fixture analog: shallow divergence, near-perfect
+    accuracy expected (reference pins 0.998757 on evolverPrimates;
+    test/evolverPrimates-default.comp.xml:4)."""
+    tree = parse_newick(EVOLVER_PRIMATES_NEWICK)
+    sim = evolver.simulate(tree, root_len=600_000, seed=43)
+    leaves = tree.leaf_names()
+    genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c",
+                                        sim.genomes[ev].codes)}
+               for ev in leaves}
+    result = progressive.ProgressiveAligner(
+        tree, genomes, tree_workers=2).run()
+    recalls, precisions = [], []
+    for i in range(len(leaves)):
+        for j in range(i + 1, len(leaves)):
+            a, b = leaves[i], leaves[j]
+            truth = {(p, q, s) for p, q, s in sim.truth_pairs(a, b)}
+            s = score_pairs(truth, progressive.leaf_pairs(result, a, b))
+            recalls.append(s.recall)
+            precisions.append(s.precision)
+            assert s.recall > 0.95 and s.precision > 0.95, (a, b, s)
+    avg = (float(np.mean(recalls)) + float(np.mean(precisions))) / 2
+    assert avg >= 0.97, (avg, recalls, precisions)
