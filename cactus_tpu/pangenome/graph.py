@@ -202,6 +202,64 @@ def write_gfa(path_or_file, graph: PanGraph, ref_name: str | None = None,
             fh.close()
 
 
+def read_gfa(path) -> PanGraph:
+    """Load a GFA v1.x file into a PanGraph (vg-consumption analog):
+    S-lines become nodes, P-lines (or W-lines when no P) become walks.
+    Node ids may be arbitrary strings; they are densely renumbered.
+    Edges are implied by the walks (as everywhere in this module)."""
+    from ..io.fasta import _CODE_OF
+
+    node_seq: list[np.ndarray] = []
+    id_of: dict[str, int] = {}
+    p_walks: dict[str, list[tuple[int, int]]] = {}
+    w_walks: dict[str, list[tuple[int, int]]] = {}
+
+    def nid(name: str) -> int:
+        if name not in id_of:
+            raise ValueError(f"GFA path references unknown segment "
+                             f"{name!r}")
+        return id_of[name]
+
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            if f[0] == "S":
+                if len(f) < 3 or f[2] == "*":
+                    raise ValueError(f"S-line without sequence: {f[:2]}")
+                id_of[f[1]] = len(node_seq)
+                node_seq.append(np.frombuffer(
+                    f[2].upper().encode(), np.uint8))
+            elif f[0] == "P":
+                steps = []
+                for tok in f[2].split(","):
+                    steps.append((nid(tok[:-1]),
+                                  1 if tok[-1] == "+" else -1))
+                p_walks[f[1]] = steps
+            elif f[0] == "W" and len(f) >= 7:
+                steps = []
+                tok = ""
+                cur = 0
+                for ch in f[6]:
+                    if ch in "><":
+                        if tok:
+                            steps.append((nid(tok), cur))
+                        cur = 1 if ch == ">" else -1
+                        tok = ""
+                    else:
+                        tok += ch
+                if tok:
+                    steps.append((nid(tok), cur))
+                w_walks[f[3] if f[3] != "*" else f[1]] = steps
+    node_seq = [_CODE_OF[s] for s in node_seq]
+    walks = p_walks or w_walks
+    if not walks:
+        raise ValueError("GFA has no P- or W-lines (no paths)")
+    return PanGraph(node_seq=node_seq, walks=walks,
+                    node_block=[-1] * len(node_seq))
+
+
 def read_gfa_nodes(path) -> dict[int, str]:
     out = {}
     with open(path) as fh:

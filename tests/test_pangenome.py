@@ -532,3 +532,23 @@ def test_sgd_sort(small_graph):
              if not (v in seen or seen.add(v))]
     r = np.corrcoef(np.arange(len(visit)), rank[visit])[0, 1]
     assert abs(r) > 0.8, r
+
+
+def test_gfa_read_roundtrip(small_graph, tmp_path):
+    """write_gfa → read_gfa reproduces node seqs and walks exactly, and
+    the loaded graph spells the inputs (vg-consumption analog)."""
+    from cactus_tpu.pangenome.graph import read_gfa, write_gfa
+    _sim, seqs, g = small_graph
+    p = str(tmp_path / "g.gfa")
+    write_gfa(p, g, ref_name="a.c")
+    g2 = read_gfa(p)
+    assert g2.n_nodes == g.n_nodes
+    for v in range(g.n_nodes):
+        assert np.array_equal(g2.node_seq[v], g.node_seq[v])
+    assert set(g2.walks) == set(g.walks)
+    for name in g.walks:
+        assert g2.walks[name] == list(g.walks[name])
+    g2.validate(seqs)
+    # the loaded graph feeds the index/viz tooling
+    from cactus_tpu.pangenome.indexes import snarls
+    assert isinstance(snarls(g2, "a.c"), list)
