@@ -422,6 +422,55 @@ def cmd_hal(args) -> int:
     return 0
 
 
+
+def cmd_gfa(args) -> int:
+    """Consume an EXTERNAL GFA (vg-style): indexes, VCF, viz/layout.
+
+    The pangenome drivers emit these artifacts for graphs built here;
+    this verb runs the same tooling over any GFA v1.x with P/W paths
+    (vg index / vg deconstruct / odgi viz equivalents)."""
+    import json as _json
+    import os as _os
+    from .pangenome.graph import graph_stats, read_gfa
+    g = read_gfa(args.gfa)
+    ref = args.reference or sorted(g.walks)[0]
+    if ref not in g.walks:
+        raise SystemExit(f"--reference {ref!r} is not a path; known: "
+                         f"{sorted(g.walks)[:8]}...")
+    if args.tool == "index":
+        _os.makedirs(args.out, exist_ok=True)
+        from .pangenome.giraffe import DistanceIndex, MinimizerIndex
+        from .pangenome.indexes import degree_stats, save_gbz, snarls
+        save_gbz(_os.path.join(args.out, "graph.gbz"), g)
+        MinimizerIndex.build(g).save(_os.path.join(args.out, "graph.min"))
+        DistanceIndex.build(g, ref).save(
+            _os.path.join(args.out, "graph.dist"))
+        sn = snarls(g, ref)
+        with open(_os.path.join(args.out, "snarls.json"), "w") as fh:
+            _json.dump([dict(start=s.start, end=s.end, level=s.level,
+                             span=s.span, n_nodes=s.n_nodes)
+                        for s in sn], fh)
+        st = dict(graph_stats(g), **degree_stats(g))
+        with open(_os.path.join(args.out, "stats.json"), "w") as fh:
+            _json.dump(st, fh, indent=1, default=str)
+        _log(f"indexed {g.n_nodes} nodes / {len(g.walks)} paths "
+             f"-> {args.out}")
+    elif args.tool == "vcf":
+        from .pangenome import vcf as vcf_mod
+        vcf_mod.write_vcf(args.out, g, ref)
+        _log(f"wrote {args.out}")
+    elif args.tool == "viz":
+        from .pangenome.layout2d import draw, layout_2d, write_lay
+        from .pangenome.viz import viz as render_viz
+        render_viz(g, args.out, ref_name=ref)
+        base = args.out.rsplit(".", 1)[0]
+        X = layout_2d(g, ref_name=ref)
+        write_lay(base + ".lay.tsv", g, X)
+        draw(g, X, base + ".draw.png")
+        _log(f"wrote {args.out} (+.lay.tsv/.draw.png)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cactus-tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -551,6 +600,16 @@ def main(argv=None) -> int:
     ph.add_argument("--start", type=int, default=0)
     ph.add_argument("--end", type=int, default=None)
     ph.set_defaults(fn=cmd_hal)
+
+
+    pf = sub.add_parser("gfa", help="consume an external GFA: "
+                        "index/vcf/viz (vg/odgi-style tools)")
+    pf.add_argument("tool", choices=["index", "vcf", "viz"])
+    pf.add_argument("gfa")
+    pf.add_argument("out")
+    pf.add_argument("--reference", default=None,
+                    help="reference path name (default: first path)")
+    pf.set_defaults(fn=cmd_gfa)
 
     ps = sub.add_parser("stats", help="halStats-style genome table")
     ps.add_argument("store")
