@@ -129,13 +129,25 @@ def remove_genome(store: AlignmentStore, event: str,
     parent = node.parent
     dropped = _invalidate_to_root(store, tree, event)
     parent.children.remove(node)
-    if len(parent.children) == 1 and parent.parent is not None:
-        # collapse degree-2 ancestor: child inherits summed branch length
+    if len(parent.children) == 1:
         only = parent.children[0]
-        only.length = (only.length or 0.0) + (parent.length or 0.0)
-        gp = parent.parent
-        gp.children[gp.children.index(parent)] = only
-        only.parent = gp
+        if parent.parent is not None:
+            # collapse degree-2 ancestor: child inherits summed length
+            only.length = (only.length or 0.0) + (parent.length or 0.0)
+            gp = parent.parent
+            gp.children[gp.children.index(parent)] = only
+            only.parent = gp
+        else:
+            # the ROOT went degree-2: the surviving subtree becomes the
+            # whole alignment (halRemoveGenome semantics when a root
+            # child is dropped)
+            if only.is_leaf():
+                raise ValueError(
+                    f"removing {event} would leave a single genome "
+                    f"({only.name}); an alignment needs at least two")
+            only.parent = None
+            only.length = None
+            tree = only
     g = os.path.join(store.root, "genomes", event + ".npz")
     if os.path.exists(g):
         os.remove(g)

@@ -99,6 +99,23 @@ def _mk_block(rows):
     return MafBlock(rows=[MafRow(*r) for r in rows])
 
 
+def test_remove_root_child_collapses_root(aligned_store):
+    """Removing a direct child of the root promotes the surviving
+    subtree to be the whole alignment (halRemoveGenome semantics)."""
+    _sim, store = aligned_store
+    res = update.remove_genome(store, "c", min_chain_override=64)
+    assert res.tree.name == "ab"
+    assert set(res.tree.leaf_names()) == {"a", "b"}
+    assert res.tree.length is None
+    # further ops against the new root still work
+    pairs = progressive.leaf_pairs(res, "a", "b")
+    assert len(pairs) > 3000
+    # refusing to shrink below two genomes
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        update.remove_genome(store, "a", min_chain_override=64)
+
+
 def test_dup_filter_single():
     b = _mk_block([
         ("ref.c", 0, 4, "+", 10, "ACGT"),
