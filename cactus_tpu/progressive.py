@@ -221,8 +221,27 @@ class ProgressiveAligner:
                     self.store.save_genome(ev, genome)
         internal = [n for n in self.tree.postorder() if not n.is_leaf()]
         if targets is not None:
+            # a target pulls in its not-yet-checkpointed internal
+            # descendants (deps compute on demand; store-present steps
+            # are resume points and stop the closure)
+            by_name = {n.name: n for n in internal}
+            keep: set[str] = set()
+
+            def add_closure(name: str) -> None:
+                if name not in by_name or name in keep:
+                    return
+                keep.add(name)
+                if (self.store is not None and self.store.has_step(name)
+                        and self.store.has_genome(name)):
+                    return
+                for c in by_name[name].children:
+                    if not c.is_leaf():
+                        add_closure(c.name)
+
+            for t in targets:
+                add_closure(t)
             internal = [n for n in internal
-                        if n.name in targets
+                        if n.name in keep
                         or (self.store is not None
                             and self.store.has_step(n.name))]
         if self.tree_workers > 1:

@@ -90,3 +90,21 @@ def test_cli_prepare_then_staged_align(sim_dir, tmp_path):
     assert cli.main(["align", seqfile, mono_out, "--maf", mono_maf,
                      "--min-chain", "64"]) == 0
     assert open(mono_maf).read() == open(maf).read()
+
+
+def test_staged_target_pulls_dependencies(sim_dir, tmp_path):
+    """--target root on a fresh store computes its child ancestors on
+    demand (dependency closure), matching the one-shot MAF exactly."""
+    sim, seqfile, _d = sim_dir
+    mono = str(tmp_path / "mono")
+    mmaf = str(tmp_path / "mono.maf")
+    assert cli.main(["align", seqfile, mono, "--maf", mmaf,
+                     "--min-chain", "64"]) == 0
+    st = str(tmp_path / "staged")
+    assert cli.main(["align", seqfile, st, "--target", "root",
+                     "--min-chain", "64"]) == 0
+    assert os.path.exists(os.path.join(st, "steps", "ab.npz"))
+    smaf = str(tmp_path / "staged.maf")
+    assert cli.main(["align", seqfile, st, "--maf", smaf,
+                     "--min-chain", "64"]) == 0
+    assert open(mmaf).read() == open(smaf).read()
