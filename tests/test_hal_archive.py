@@ -236,3 +236,21 @@ def test_summarize_mutations(archive, aligned):
         assert r["ins_bp"] >= 0 and r["del_bp"] >= 0
     # c is twice as divergent from root as a is from ab
     assert rows["c"]["subs"] > rows["a"]["subs"]
+
+
+def test_liftover_agrees_with_maf_walk(archive):
+    """Every liftover pair appears in the hal2maf column pairing — the
+    two independent hierarchy walks must describe the same alignment."""
+    from cactus_tpu.testutil.comparator import maf_pairs
+    arc, _ = archive
+    blocks = arc.hal2maf(ref_genome="root")
+    maf_ab = {(p, q) for p, q, _s in maf_pairs(blocks, "a", "b")}
+    runs = arc.liftover("a", [("a.c", 500, 3500)], "b")
+    tot = good = 0
+    for _sn, s0, _dn, d0, L, strand in runs:
+        for k in range(L):
+            dp = d0 + k if strand == 1 else d0 + L - 1 - k
+            tot += 1
+            good += (s0 + k, dp) in maf_ab
+    assert tot > 1500
+    assert good / tot > 0.98, (good, tot)
