@@ -100,8 +100,16 @@ class ExtendParams:
 
 @dataclass
 class BlastParams:
-    """Blast (pairwise anchoring) phase — config XML <blast> (:90-123)."""
-    chunk_size: int = 30_000_000
+    """Blast (pairwise anchoring) phase — config XML <blast> (:90-123).
+
+    chunk_size: the reference's 30 Mb suits lastz's memory profile
+    (config XML :90); the TPU-first default is 4 Mb so one chunk pair's
+    seed anchors fit the fixed-capacity device table with headroom
+    (~1 anchor/bp unique + repeat occupancy vs the max_anchors buffer)
+    and the chunk-pair grid gives the mesh scheduler useful granularity.
+    Loading the reference XML restores 30 Mb; the per-task adaptive
+    anchor cap in phases/blast.py keeps that safe too."""
+    chunk_size: int = 4_000_000
     overlap_size: int = 10_000
     minimum_sequence_length: int = 30
     # chaining (paffy chain equivalents, config :106-113)

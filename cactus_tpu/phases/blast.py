@@ -343,11 +343,23 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
     # fastga mode: adaptamer-style target-unique seed hits
     max_occ = 1 if cfg.aligner == "fastga" else sp.max_occurrences
     out: list = [None] * len(tasks)
+
+    def eff_cap(qlen: int) -> int:
+        """Anchor-table capacity adapted to the chunk size: ~2 anchor
+        slots per query bp (pow2-binned so kernels reuse compiles),
+        never below the configured cap, hard-bounded at 16M slots
+        (128 MB of device table).  Oversized chunk pairs (e.g. the
+        reference XML's 30 Mb) would otherwise overflow the fixed
+        buffer and silently drop the genome tail's homology."""
+        want = max(sp.max_anchors, 2 * qlen)
+        want = 1 << (want - 1).bit_length()
+        return min(want, 1 << 24)
+
     if mesh is None or len(mesh.devices.flat) <= 1:
         for i, task in enumerate(tasks):
             qpos, tpos = find_anchors(
                 task.q, task.t, k=sp.k, step=sp.step_for(task.preset),
-                max_occ=max_occ, max_anchors=sp.max_anchors,
+                max_occ=max_occ, max_anchors=eff_cap(len(task.q)),
                 pattern=sp.pattern_for(task.preset),
                 q_seed_mask=task.q_mask, t_seed_mask=task.t_mask,
                 task=task, log=log)
@@ -363,6 +375,7 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
                sp.pattern_for(tasks[i].preset))
         bins.setdefault(key, []).append(i)
     for (lq, lt, step, pattern), idxs in bins.items():
+        cap = eff_cap(lq)
         for g0 in range(0, len(idxs), D):
             grp = idxs[g0:g0 + D]
             qc = np.zeros((D, lq), np.uint8)
@@ -374,14 +387,14 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
                 qc[row], qv[row], tc[row], tv[row] = a, b, c, d
             qpos, tpos, counts = sharded_pair_seed_join(
                 mesh, qc, qv, tc, tv, k=sp.k, step=step,
-                max_occ=max_occ, max_anchors=sp.max_anchors,
+                max_occ=max_occ, max_anchors=cap,
                 pattern=pattern)
             qpos = np.asarray(qpos)
             tpos = np.asarray(tpos)
             counts = np.asarray(counts)
             for row, i in enumerate(grp):
                 n = int(counts[row])
-                _warn_anchor_overflow(tasks[i], n, sp.max_anchors, log)
+                _warn_anchor_overflow(tasks[i], n, cap, log)
                 out[i] = (qpos[row, :n], tpos[row, :n])
     return out
 
