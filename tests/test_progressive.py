@@ -132,3 +132,25 @@ def test_step_retry_on_transient_failure(monkeypatch):
     result = aligner.run()
     assert calls["n"] == 2
     assert "root" in result.steps
+
+
+def test_tree_parallel_deterministic(tmp_path):
+    """tree_workers=2 produces a byte-identical MAF to the serial run
+    (the concurrent ancestor scheduler must not change outputs)."""
+    from cactus_tpu import cli
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.utils.trees import parse_newick
+    import os
+    tree = parse_newick(
+        "((a:0.03,b:0.03)ab:0.02,(c:0.03,d2:0.03)cd:0.02)root;")
+    sim = evolver.simulate(tree, root_len=3000, seed=81)
+    seqfile = evolver.write_seqfile(sim, str(tmp_path / "in"))
+    mafs = []
+    for tw in (1, 2):
+        out = str(tmp_path / f"o{tw}")
+        maf = str(tmp_path / f"m{tw}.maf")
+        assert cli.main(["align", seqfile, out, "--maf", maf,
+                         "--min-chain", "64",
+                         "--tree-workers", str(tw)]) == 0
+        mafs.append(open(maf).read())
+    assert mafs[0] == mafs[1]
