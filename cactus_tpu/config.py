@@ -95,6 +95,14 @@ class ExtendParams:
     ydrop: int = 3000      # gapped extension drop (config :131 ydrop values)
     hsp_threshold: int = 1500  # min ungapped HSP score to seed gapped ext
     gapped_threshold: int = 2400  # min gapped alignment score to report
+    # chains force-stitch their anchor gaps with banded DP; a filled
+    # gap whose DP score is negative means the chain bridged a
+    # NON-homologOUS interval (e.g. an inversion) — split the record
+    # there instead, so the true (reverse-strand) alignment can win the
+    # interval as primary.  lastz's ydrop terminates chains the same
+    # way; splits apply to gaps spanning >= min_gap_score_cols columns.
+    min_gap_score: int = 0
+    min_gap_score_cols: int = 48
     band: int = 128        # band half-width (diagonal units) for gapped DP
 
 

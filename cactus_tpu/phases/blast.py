@@ -112,8 +112,8 @@ def _fill_gaps_banded(gaps, qcodes, tcodes, submat, gap_params):
         else:
             pairs = [(qcodes[g.q0:g.q1], tcodes[g.t0:g.t1]) for g in group]
         out = align_pairs_banded(pairs, submat, gap_params, band=band)
-        for g, (_score, ops) in zip(group, out):
-            results[(g.task, g.chain_id, g.slot)] = ops
+        for g, (score, ops) in zip(group, out):
+            results[(g.task, g.chain_id, g.slot)] = (ops, int(score))
     return results
 
 
@@ -175,6 +175,25 @@ def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
     for cid, layout in enumerate(layouts):
         if not layout:
             continue
+        # a filled gap with a NEGATIVE DP score means the chain bridged
+        # a non-homologous interval (inversion / unrelated insertion):
+        # split the record there (lastz ydrop termination analog), so
+        # the true alignment of the interval can win primary status.
+        # Only sequence-vs-sequence gaps qualify: a pure indel (one side
+        # ~empty, e.g. a SV deletion) always scores negative yet is a
+        # legitimate bridge — gate on min(q-side, t-side) length.
+        lay2 = []
+        for item in layout:
+            if item[0] == "gap":
+                ops_g, score_g = filled[(task, cid, item[1])]
+                qside = sum(ln for o, ln in ops_g if o in ("M", "I"))
+                tside = sum(ln for o, ln in ops_g if o in ("M", "D"))
+                if (min(qside, tside) >= cfg.extend.min_gap_score_cols
+                        and score_g < cfg.extend.min_gap_score):
+                    lay2.append(("split",))
+                    continue
+            lay2.append(item)
+        layout = lay2
         # split layout into segments at "split" markers
         segs: list[list] = [[]]
         for item in layout:
@@ -196,7 +215,7 @@ def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
                 elif it[0] == "ops":
                     ops.extend(it[1])
                 else:  # gap
-                    ops.extend(filled[(task, cid, it[1])])
+                    ops.extend(filled[(task, cid, it[1])][0])
             ops = merge_cigar(ops)
             ci = len(cands)
             i, j = q0, t0

@@ -46,7 +46,7 @@ def test_xml_override_on_custom_file(tmp_path):
     assert cfg.caf.deannealing_rounds == (4, 64)
     assert cfg.bar.run_bar is False
     # untouched values keep defaults
-    assert cfg.blast.chunk_size == 30_000_000
+    assert cfg.blast.chunk_size == 4_000_000   # TPU-first default
 
 
 def test_greedy_outgroups_diversity():

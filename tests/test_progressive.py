@@ -154,3 +154,22 @@ def test_tree_parallel_deterministic(tmp_path):
                          "--tree-workers", str(tw)]) == 0
         mafs.append(open(maf).read())
     assert mafs[0] == mafs[1]
+
+
+def test_progressive_with_inversions():
+    """Chains that force-bridge an inverted interval are split at
+    negative-score gaps (lastz ydrop termination analog,
+    blast._emit_records), letting the reverse-strand alignment win the
+    interval as primary.  Without the split, a-c precision drops to
+    ~0.94 on this sim (forward chains steamroll the inversions)."""
+    tree = parse_newick("((a:0.03,b:0.03)ab:0.03,c:0.06)root;")
+    sim = evolver.simulate(tree, root_len=10_000, seed=7,
+                           inversion_rate=0.002)
+    genomes = _genomes_from_sim(sim, ["a", "b", "c"])
+    result = progressive.ProgressiveAligner(
+        tree, genomes, min_chain_override=64).run()
+    for x, y in [("a", "b"), ("a", "c")]:
+        s = score_pairs(_truth(sim, x, y),
+                        progressive.leaf_pairs(result, x, y))
+        assert s.precision > 0.97, (x, y, s)
+        assert s.recall > 0.97, (x, y, s)

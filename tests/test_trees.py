@@ -62,7 +62,7 @@ def test_divergence_preset():
 
 def test_config_defaults():
     cfg = Config.default()
-    assert cfg.blast.chunk_size == 30_000_000
+    assert cfg.blast.chunk_size == 4_000_000   # TPU-first default
     assert cfg.blast.chain_gap_open == 5000
     assert cfg.caf.annealing_for("one") == (2048,)
     assert cfg.caf.deannealing_rounds == (2, 32, 256)
