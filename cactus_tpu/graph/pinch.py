@@ -23,6 +23,8 @@ from ..io.paf import PafRecord
 from .columns import Blocks, SeqTable, paf_match_runs
 
 # Filter-policy names -> native FilterMode codes (pinchgraph.cpp).
+# "singleCopyEvent:<event>" and "hgvm:<event>" carry an event argument
+# (codes 7 / 11).
 FILTER_CODES = {
     "none": 0,
     "filterSecondariesByMultipleSequences": 1,
@@ -32,26 +34,56 @@ FILTER_CODES = {
     "singleCopy": 4,
     "relaxedSingleCopyOutgroup": 5,
     "relaxedSingleCopy": 6,
+    "singleCopyChr": 8,
+    "singleCopyIngroup": 9,
+    "relaxedSingleCopyIngroup": 10,
 }
 
-# Policies where the PRIMARY alignments are filtered (and score-sorted);
-# otherwise the policy applies to secondaries only (caf.c:238-284:
+# Policies where the PRIMARY alignments are filtered; otherwise the
+# policy applies to secondaries only (caf.c:238-284:
 # filterSecondariesBy* set secondaryFilterFn, the rest set filterFn and
 # default the secondary filter to the same function).
 PRIMARY_FILTERED = {"singleCopyOutgroup", "singleCopy",
-                    "relaxedSingleCopyOutgroup", "relaxedSingleCopy"}
-SORTED_FILTERS = PRIMARY_FILTERED
+                    "relaxedSingleCopyOutgroup", "relaxedSingleCopy",
+                    "singleCopyChr", "singleCopyIngroup",
+                    "relaxedSingleCopyIngroup",
+                    "singleCopyEvent:", "hgvm:"}
+# Policies with score-sorted application (sortAlignments=true in
+# caf.c:238-284; note singleCopyEvent: filters primaries UNSORTED).
+SORTED_FILTERS = {"singleCopyOutgroup", "singleCopy",
+                  "relaxedSingleCopyOutgroup", "relaxedSingleCopy",
+                  "singleCopyChr", "singleCopyIngroup",
+                  "relaxedSingleCopyIngroup", "hgvm:"}
+
+
+def _split_filter(name: str) -> tuple[str, str | None]:
+    """Split an argument-carrying policy name into (base, arg)."""
+    for prefix in ("singleCopyEvent:", "hgvm:"):
+        if name.startswith(prefix):
+            arg = name[len(prefix):]
+            if not arg:
+                raise ValueError(
+                    f"alignmentFilter {prefix!r} needs an event argument, "
+                    f"e.g. {prefix}human")
+            return prefix, arg
+    return name, None
 
 
 def filter_code(name: str) -> int:
     """Resolve an alignmentFilter policy name, loudly rejecting the
     (parsed-but-unimplemented) ones so config knobs can't silently
     no-op (reference list: caf/impl/caf.c:238-284)."""
-    if name in FILTER_CODES:
-        return FILTER_CODES[name]
+    base, arg = _split_filter(name)
+    if base == "singleCopyEvent:":
+        return 7
+    if base == "hgvm:":
+        return 11
+    if base in FILTER_CODES:
+        return FILTER_CODES[base]
     raise NotImplementedError(
         f"alignmentFilter policy {name!r} is not implemented; "
-        f"supported: {sorted(FILTER_CODES)}")
+        f"supported: {sorted(FILTER_CODES)} + singleCopyEvent:<ev>, "
+        f"hgvm:<ev>")
 
 
 def records_to_runs(records: list[PafRecord], table: SeqTable):
@@ -105,6 +137,7 @@ class NativePinchGraph:
             raise RuntimeError("native pinch graph requires g++ (build.py)")
         self.lib = lib
         self.table = table
+        self.events = list(events)        # per-sequence event names
         ev_names = sorted(set(events))
         self.event_index = {e: i for i, e in enumerate(ev_names)}
         ev_ids = np.array([self.event_index[e] for e in events], np.int32)
@@ -121,12 +154,37 @@ class NativePinchGraph:
             self.lib.pg_destroy(h)
             self._h = None
 
+    def _configure_filter(self, filter_name: str) -> None:
+        """Install per-event filter state for the argument-carrying
+        policies (singleCopyEvent:<ev> sets the target event id — absent
+        event leaves filtering off, the stCaf_setSingleCopyEvent
+        fallback; hgvm:<ev> initializes the thread-component union-find
+        with the event's non-"_alt" sequences as special threads,
+        filtering.c:259-290)."""
+        base, arg = _split_filter(filter_name)
+        if arg is None:
+            return
+        if base == "singleCopyEvent:":
+            self.lib.pg_set_filter_event(
+                self._h, self.event_index.get(arg, -1))
+        elif base == "hgvm:" and not getattr(self, "_hgvm_ready", False):
+            special = np.array(
+                [ev == arg and not name.endswith("_alt")
+                 for ev, name in zip(self.events, self.table.names)],
+                np.uint8)
+            self.lib.pg_setup_hgvm(
+                self._h,
+                np.ascontiguousarray(special).ctypes.data_as(
+                    ctypes.c_void_p))
+            self._hgvm_ready = True
+
     def pinch(self, runs: dict, filter_name: str = "none",
               trim: int = 0, order: np.ndarray | None = None) -> None:
         """Apply a batch of runs in the given order (default: as-is)."""
         n = len(runs["ln"])
         if n == 0:
             return
+        self._configure_filter(filter_name)
         idx = order if order is not None else np.arange(n)
         args = []
         for key, dt in (("t1", np.int32), ("p1", np.int64),
@@ -307,10 +365,11 @@ def pinch_blocks(table: SeqTable, events: list[str],
     secondary_filter = "none"
     sort_primaries = False
     if alignment_filter != "none":
-        if alignment_filter in PRIMARY_FILTERED:
+        base, _ = _split_filter(alignment_filter)
+        if base in PRIMARY_FILTERED:
             primary_filter = alignment_filter
             secondary_filter = alignment_filter
-            sort_primaries = True
+            sort_primaries = base in SORTED_FILTERS
         else:
             secondary_filter = alignment_filter
         filter_code(secondary_filter)  # validate loudly

@@ -64,6 +64,11 @@ def load():
                                       ctypes.c_void_p]
             lib.pg_destroy.restype = None
             lib.pg_destroy.argtypes = [ctypes.c_void_p]
+            lib.pg_set_filter_event.restype = None
+            lib.pg_set_filter_event.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int32]
+            lib.pg_setup_hgvm.restype = None
+            lib.pg_setup_hgvm.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
             lib.pg_pinch_batch.restype = None
             lib.pg_pinch_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                            ctypes.c_void_p, ctypes.c_void_p,

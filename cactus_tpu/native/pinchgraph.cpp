@@ -54,6 +54,11 @@ enum FilterMode {
     FILTER_REPEAT_SPECIES = 4,       // filtering.c:158 (singleCopy)
     FILTER_RELAXED_OUTGROUP = 5,     // filtering.c:62
     FILTER_RELAXED_REPEAT_SPECIES = 6,
+    FILTER_SINGLE_COPY_EVENT = 7,    // filtering.c:181 (singleCopyEvent:X)
+    FILTER_SINGLE_COPY_CHR = 8,      // filtering.c:214 (per-sequence copy)
+    FILTER_SINGLE_COPY_INGROUP = 9,  // filtering.c:239
+    FILTER_RELAXED_SINGLE_COPY_INGROUP = 10,  // filtering.c:244
+    FILTER_HGVM = 11,  // filtering.c:323 (cycle-free isolated components)
 };
 
 struct PinchGraph {
@@ -69,6 +74,26 @@ struct PinchGraph {
     // exactly the cases where this graph diverges from a naive per-base
     // CC (which would fold block columns onto their mirror).
     i64 n_conflicts = 0;
+    // singleCopyEvent:X target (filtering.c:170-178: missing event ->
+    // filtering disabled, matching stCaf_setSingleCopyEvent's critical-log
+    // fallback).
+    i32 filter_event = -1;
+    // hgvm:X state (filtering.c:255-306): per-thread union-find of
+    // applied pinches; "special" threads (the named event's non-_alt
+    // sequences) must stay in their own cycle-free components.
+    bool hgvm_on = false;
+    std::vector<i32> uf_parent;           // thread -> parent (UF)
+    std::vector<i32> uf_size;
+    std::vector<uint8_t> thread_special;  // per thread
+    std::vector<uint8_t> comp_special;    // valid at UF roots
+
+    i32 uf_find(i32 t) {
+        while (uf_parent[t] != t) {
+            uf_parent[t] = uf_parent[uf_parent[t]];
+            t = uf_parent[t];
+        }
+        return t;
+    }
 
     i32 seg_at(i32 thread, i64 pos) const {
         const auto &m = threads[thread];
@@ -182,7 +207,99 @@ struct PinchGraph {
         return false;
     }
 
-    bool filter_rejects(i32 mode, i32 sa, i32 sb) const {
+    // Event sets restricted to ingroup events (filtering.c:221-237).
+    void side_ingroup_events(i32 si, std::vector<i32> &out) const {
+        out.clear();
+        const Segment &s = segs[si];
+        if (s.block < 0) {
+            i32 e = thread_event[s.thread];
+            if (!event_outgroup[e]) out.push_back(e);
+            return;
+        }
+        for (i32 mi : blocks[s.block].members) {
+            i32 e = thread_event[segs[mi].thread];
+            if (!event_outgroup[e]
+                && std::find(out.begin(), out.end(), e) == out.end())
+                out.push_back(e);
+        }
+    }
+
+    bool ingroup_events_intersect(i32 sa, i32 sb) const {
+        std::vector<i32> ea, eb;
+        side_ingroup_events(sa, ea);
+        side_ingroup_events(sb, eb);
+        for (i32 e : ea)
+            if (std::find(eb.begin(), eb.end(), e) != eb.end()) return true;
+        return false;
+    }
+
+    // Thread (== sequence) sets intersect (filtering.c:197-218: the
+    // singleCopyChr policy compares sequence names; threads ARE the
+    // sequences in this model).
+    bool threads_intersect(i32 sa, i32 sb) const {
+        std::vector<i32> ta, tb;
+        side_threads(sa, ta);
+        side_threads(sb, tb);
+        for (i32 t : ta)
+            if (std::find(tb.begin(), tb.end(), t) != tb.end()) return true;
+        return false;
+    }
+
+    void side_threads(i32 si, std::vector<i32> &out) const {
+        out.clear();
+        const Segment &s = segs[si];
+        if (s.block < 0) {
+            out.push_back(s.thread);
+            return;
+        }
+        for (i32 mi : blocks[s.block].members) {
+            i32 t = segs[mi].thread;
+            if (std::find(out.begin(), out.end(), t) == out.end())
+                out.push_back(t);
+        }
+    }
+
+    bool side_contains_event(i32 si, i32 e) const {
+        const Segment &s = segs[si];
+        if (s.block < 0) return thread_event[s.thread] == e;
+        for (i32 mi : blocks[s.block].members)
+            if (thread_event[segs[mi].thread] == e) return true;
+        return false;
+    }
+
+    // Any member thread of si's side is an HGVM special thread
+    // (filtering.c:308-322).
+    bool side_has_special(i32 si) const {
+        const Segment &s = segs[si];
+        if (s.block < 0) return thread_special[s.thread] != 0;
+        for (i32 mi : blocks[s.block].members)
+            if (thread_special[segs[mi].thread]) return true;
+        return false;
+    }
+
+    // HGVM filter: reject pinches bridging two distinct special
+    // components or folding a cycle inside one; otherwise UNION the
+    // thread components (the applied-pinch component tracking of
+    // filtering.c:323-359 — reference updates state inside the filter
+    // because a false return always means the pinch is applied).
+    bool hgvm_rejects(i32 sa, i32 sb) {
+        i32 ca = uf_find(segs[sa].thread);
+        i32 cb = uf_find(segs[sb].thread);
+        bool spa = comp_special[ca] != 0, spb = comp_special[cb] != 0;
+        if (spa && spb && ca != cb) return true;  // bridges two specials
+        if (spa && spb && side_has_special(sa) && side_has_special(sb))
+            return true;  // cycle within one special component
+        // applied: merge components
+        if (ca != cb) {
+            if (uf_size[ca] < uf_size[cb]) std::swap(ca, cb);
+            uf_parent[cb] = ca;
+            uf_size[ca] += uf_size[cb];
+            comp_special[ca] = (uint8_t)(spa || spb);
+        }
+        return false;
+    }
+
+    bool filter_rejects(i32 mode, i32 sa, i32 sb) {
         switch (mode) {
         case FILTER_NONE:
             return false;
@@ -199,6 +316,19 @@ struct PinchGraph {
             return events_intersect(sa, sb);
         case FILTER_RELAXED_REPEAT_SPECIES:
             return in_block(sa) && in_block(sb) && events_intersect(sa, sb);
+        case FILTER_SINGLE_COPY_EVENT:
+            return filter_event >= 0
+                   && side_contains_event(sa, filter_event)
+                   && side_contains_event(sb, filter_event);
+        case FILTER_SINGLE_COPY_CHR:
+            return threads_intersect(sa, sb);
+        case FILTER_SINGLE_COPY_INGROUP:
+            return ingroup_events_intersect(sa, sb);
+        case FILTER_RELAXED_SINGLE_COPY_INGROUP:
+            return in_block(sa) && in_block(sb)
+                   && ingroup_events_intersect(sa, sb);
+        case FILTER_HGVM:
+            return hgvm_on && hgvm_rejects(sa, sb);
         }
         return false;
     }
@@ -369,6 +499,26 @@ void *pg_create(i64 n_threads, const i64 *lengths, const i32 *events,
 }
 
 void pg_destroy(void *h) { delete (PinchGraph *)h; }
+
+// singleCopyEvent:X — set the target event id (-1 = event absent from
+// this problem: filtering stays off, the stCaf_setSingleCopyEvent
+// critical-log fallback).
+void pg_set_filter_event(void *h, i32 event_id) {
+    ((PinchGraph *)h)->filter_event = event_id;
+}
+
+// hgvm:X — per-thread special flags (the named event's non-"_alt"
+// sequences); initializes the thread component union-find.
+void pg_setup_hgvm(void *h, const uint8_t *special) {
+    PinchGraph *g = (PinchGraph *)h;
+    i32 n = (i32)g->threads.size();
+    g->uf_parent.resize(n);
+    g->uf_size.assign(n, 1);
+    for (i32 t = 0; t < n; t++) g->uf_parent[t] = t;
+    g->thread_special.assign(special, special + n);
+    g->comp_special.assign(special, special + n);
+    g->hgvm_on = true;
+}
 
 // Batch pinch: arrays of (t1, p1, t2, p2, len, strand) applied in order,
 // each trimmed by `trim` bases on both sides (the per-annealing-round

@@ -172,7 +172,135 @@ def test_single_copy_outgroup_filter():
 def test_unknown_filter_raises():
     table = SeqTable.build({"a": 10})
     with pytest.raises(NotImplementedError):
-        pinch_blocks(table, ["a"], alignment_filter="hgvm:human")
+        pinch_blocks(table, ["a"], alignment_filter="bogusPolicy")
+    with pytest.raises(ValueError):
+        pinch_blocks(table, ["a"], alignment_filter="hgvm:")
+
+
+def test_single_copy_chr_filter():
+    # singleCopyChr (filtering.c:214): reject a pinch whose two sides
+    # share a SEQUENCE (thread) — per-chromosome single-copy.
+    table = SeqTable.build({"a": 40, "b": 40, "c": 40})
+    runs = global_runs_to_thread_runs(
+        [(0, 10, 10, 1),     # a[0:10]~a[10:20] self-dup -> rejected
+         (20, 60, 10, 1),    # a[20:30]~b[20:30] -> accepted
+         (60, 100, 10, 1),   # b block ~ c -> sides {a,b},{c} -> accepted
+         (30, 100, 10, 1)],  # a[30:40]~c[20:30]: c side block={a,b,c}
+                             #   shares thread a -> rejected
+        table)
+    blocks = pinch_blocks(table, ["A", "B", "C"], primary_runs=runs,
+                          alignment_filter="singleCopyChr")
+    cols = canon(blocks)
+    members = {frozenset(p for p, _s in c) for c in cols}
+    assert frozenset({20, 60, 100}) in members
+    assert not any({0, 10} <= m for m in members)
+    assert not any({30, 100} <= m for m in members)
+
+
+def test_single_copy_ingroup_filter():
+    # singleCopyIngroup (filtering.c:239): intersection over INGROUP
+    # events only — outgroup duplications are allowed.
+    table = SeqTable.build({"A.1": 30, "A.2": 30, "OG.1": 30, "OG.2": 30})
+    runs = global_runs_to_thread_runs(
+        [(0, 30, 10, 1),    # A.1~A.2: ingroup event A on both -> rejected
+         (60, 90, 10, 1),   # OG.1~OG.2: ingroup sets empty -> accepted
+         (10, 70, 10, 1)],  # A.1~OG.1 -> accepted
+        table)
+    blocks = pinch_blocks(table, ["A", "A", "OG", "OG"],
+                          outgroup_events={"OG"}, primary_runs=runs,
+                          alignment_filter="singleCopyIngroup")
+    members = {frozenset(p for p, _s in c) for c in canon(blocks)}
+    assert frozenset({60, 90}) in members      # og dup kept
+    assert frozenset({10, 70}) in members
+    assert not any({0, 30} <= m for m in members)
+
+
+def test_relaxed_single_copy_ingroup_filter():
+    # relaxed variant (filtering.c:244): only rejects when BOTH sides
+    # are already aligned.
+    table = SeqTable.build({"A.1": 30, "A.2": 30, "A.3": 30})
+    runs = global_runs_to_thread_runs(
+        [(0, 30, 10, 1),    # both unaligned -> accepted despite event dup
+         (10, 70, 10, 1),   # A.1[10:20]~A.3[10:20] one side fresh -> ok
+         (0, 70, 10, 1)],   # block{A.1,A.2} ~ block{A.1,A.3}: both
+                            #   aligned, share event A -> rejected
+        table)
+    blocks = pinch_blocks(table, ["A", "A", "A"], primary_runs=runs,
+                          alignment_filter="relaxedSingleCopyIngroup")
+    members = {frozenset(p for p, _s in c) for c in canon(blocks)}
+    assert frozenset({0, 30}) in members
+    assert frozenset({10, 70}) in members
+    assert not any({0, 30, 70} <= m for m in members)
+
+
+def test_single_copy_event_filter():
+    # singleCopyEvent:A (filtering.c:181): reject iff BOTH sides already
+    # carry event A; unknown event name leaves filtering off.
+    table = SeqTable.build({"A.1": 30, "A.2": 30, "B.1": 30, "C.1": 30})
+    runs = [(0, 60, 10, 1),    # A.1~B.1 -> accepted (B side has no A)
+            (30, 90, 10, 1),   # A.2~C.1 -> accepted
+            (60, 90, 10, 1)]   # block{A.1,B.1}~block{A.2,C.1}: both
+                               #   sides contain A -> rejected
+    blocks = pinch_blocks(table, ["A", "A", "B", "C"],
+                          primary_runs=global_runs_to_thread_runs(runs, table),
+                          alignment_filter="singleCopyEvent:A")
+    members = {frozenset(p for p, _s in c) for c in canon(blocks)}
+    assert frozenset({0, 60}) in members
+    assert frozenset({30, 90}) in members
+    assert not any({0, 90} <= m for m in members)
+    # absent event: stCaf_setSingleCopyEvent fallback -> no filtering
+    blocks = pinch_blocks(table, ["A", "A", "B", "C"],
+                          primary_runs=global_runs_to_thread_runs(runs, table),
+                          alignment_filter="singleCopyEvent:ZZZ")
+    members = {frozenset(p for p, _s in c) for c in canon(blocks)}
+    assert any({0, 60, 90} <= m for m in members)
+
+
+def test_hgvm_filter():
+    # hgvm:REF (filtering.c:255-359): the REF event's non-"_alt"
+    # sequences must stay in separate, cycle-free components.
+    table = SeqTable.build({"REF.chr1": 40, "REF.chr2": 40, "S.x": 40})
+    events = ["REF", "REF", "S"]
+    runs = global_runs_to_thread_runs(
+        [(0, 40, 10, 1),     # chr1~chr2: bridges two specials -> rejected
+         (10, 90, 10, 1),    # chr1~S.x: accepted (component now special)
+         (90, 50, 10, 1),    # S.x~chr2: component(S.x) is special and
+                             #   != component(chr2) -> rejected
+         (20, 100, 10, 1)],  # chr1[20:30]~S.x[20:30]: same component,
+                             #   sides are unaligned segs (S.x side not
+                             #   special) -> accepted
+        table)
+    blocks = pinch_blocks(table, events, primary_runs=runs,
+                          alignment_filter="hgvm:REF")
+    members = {frozenset(p for p, _s in c) for c in canon(blocks)}
+    assert frozenset({10, 90}) in members
+    assert frozenset({20, 100}) in members
+    assert not any({0, 40} <= m for m in members)
+    assert not any({90, 50} <= m for m in members)
+
+
+def test_hgvm_cycle_rejected():
+    # A pinch whose two sides both already contain special threads of
+    # the SAME component is a cycle -> rejected.
+    table = SeqTable.build({"REF.chr1": 40, "S.x": 40})
+    runs = global_runs_to_thread_runs(
+        [(0, 40, 10, 1),     # chr1[0:10]~S.x[0:10] -> accepted
+         (0, 20, 10, 1)],    # block{chr1,S.x} ~ chr1[20:30]: both sides
+                             #   contain special chr1, same component
+                             #   -> cycle, rejected
+        table)
+    blocks = pinch_blocks(table, ["REF", "S"], primary_runs=runs,
+                          alignment_filter="hgvm:REF")
+    members = {frozenset(p for p, _s in c) for c in canon(blocks)}
+    assert frozenset({0, 40}) in members
+    assert not any({0, 20} <= m or {40, 20} <= m for m in members)
+    # alt contigs of the REF event are NOT special
+    table2 = SeqTable.build({"REF.chr1": 40, "REF.chr1_alt": 40})
+    runs2 = global_runs_to_thread_runs([(0, 40, 10, 1)], table2)
+    blocks2 = pinch_blocks(table2, ["REF", "REF"], primary_runs=runs2,
+                           alignment_filter="hgvm:REF")
+    members2 = {frozenset(p for p, _s in c) for c in canon(blocks2)}
+    assert frozenset({0, 40}) in members2
 
 
 def test_segment_memory_scales_with_runs_not_bases():
