@@ -119,3 +119,20 @@ def test_two_process_distributed(tmp_path):
         res = json.loads(out.read_text())
         assert res["n_global_devices"] == 8
         np.testing.assert_array_equal(np.asarray(res["scores"]), want)
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="scaling bench: set RUN_SLOW=1")
+def test_scaling_efficiency_bench():
+    """bench_multihost.py emits the 2-process scaling-efficiency metric
+    (BASELINE north-star harness; the localhost number is a lower bound
+    — both configurations share this host's cores)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench_multihost.py")],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "multihost_scaling_efficiency_2proc"
+    assert 0.2 < rec["value"] <= 1.5
