@@ -178,7 +178,7 @@ def cmd_blast(args) -> int:
                 for tn, ts in genomes[b].items():
                     records.extend(blast_phase.align_contig_pair(
                         qs, ts, qn, tn, cfg, preset=args.preset))
-    records = blast_phase.mark_primaries(records)
+    records = blast_phase.finalize(records, cfg)
     with open(args.out, "w") as fh:
         write_paf(fh, records)
     _log(f"wrote {len(records)} PAF records to {args.out}")

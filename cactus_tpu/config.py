@@ -133,7 +133,18 @@ class BlastParams:
     trim_min_size: int = 100
     trim_flanking: int = 100
     trim_outgroup_flanking: int = 2000
-    output_secondary_alignments: bool = False
+    # keep tile-level>1 / demoted records as tp:A:S in the blast output
+    # (reference XML default 0 drops them before CAF, config :119; the
+    # TPU-first default keeps them — CAF's vectorized secondary-tier
+    # filter policies are cheap here and secondaries measurably help
+    # the symmetric-evidence anneal; loading a reference XML restores 0)
+    output_secondary_alignments: bool = True
+    # primary/secondary selection mode: "coverage" (query-coverage
+    # greedy, keeps overlapping evidence — measured best recall with
+    # duplications) or "tile-trim" (the reference paffy
+    # chain→tile→trim→filter pipeline, local_alignment.py:658-727 —
+    # fewer records, ~25% faster, small recall cost on duplications)
+    primary_selection: str = "coverage"
     # alternative whole-genome aligner mode (reference --fastga,
     # local_alignment.py:120-241): adaptamer-style seeding — only
     # target-unique seed hits, merged runs kept at ≥ fastga_min_match —

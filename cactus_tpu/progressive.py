@@ -401,8 +401,21 @@ class ProgressiveAligner:
         in_records = [r for r in records if not is_og(r)]
         in_seqs = {n: s for n, s in seqs.items()
                    if n.split(".", 1)[0] not in og_set}
-        og_codes = {n: s.codes for n, s in seqs.items()
-                    if n.split(".", 1)[0] in og_set}
+        og_full = {n: s for n, s in seqs.items()
+                   if n.split(".", 1)[0] in og_set}
+        if cfg.blast.trim_outgroups and og_full:
+            # keep only og sequence near an ingroup alignment (reference
+            # trimOutgroups, local_alignment.py:861-904)
+            total = sum(len(s) for s in og_full.values())
+            og_records, og_codes = blast_phase.trim_outgroup_sequences(
+                og_records, og_full,
+                flank=cfg.blast.trim_outgroup_flanking)
+            kept = sum(len(c) for c in og_codes.values())
+            if total:
+                self.log(f"{node.name}: og trim kept {kept}/{total} bp "
+                         f"({100.0 * kept / total:.0f}%)")
+        else:
+            og_codes = {n: s.codes for n, s in og_full.items()}
         self.log(f"{node.name}: caf starting ({len(in_records)} ingroup + "
                  f"{len(og_records)} og records)")
 
@@ -538,7 +551,7 @@ class ProgressiveAligner:
                    for ev in set(children) | set(outgroups)
                    for n, s in self.genomes[ev].items()}
         records = fix_lengths(records, lengths)
-        return blast_phase.mark_primaries(records)
+        return blast_phase.finalize(records, cfg)
 
     def _blast_outgroup_cascade(self, node: Tree, children: list[str],
                                 outgroups: list[str], packed, chunks,

@@ -142,7 +142,9 @@ def test_filter_primary_chains_demotes_orphans():
         r.set_tag("tp", "A", "P")
         return r
 
-    chain = [rec(0, 1000, 0, 1000, 6000), rec(1500, 2500, 1500, 2500, 6000)]
+    # chain sums 16000 minus the join gap cost (chainGapOpen 5000 +
+    # extend 1 * 500) = 10500 >= threshold
+    chain = [rec(0, 1000, 0, 1000, 8000), rec(1500, 2500, 1500, 2500, 8000)]
     # target coords jump BACKWARDS -> not colinear with the chain
     orphan = rec(90_000, 90_100, 500, 600, 900)
     out = blast.filter_primary_chains(chain + [orphan],
@@ -180,3 +182,65 @@ def test_fastga_mode_close_genomes():
     truth = {(p, q, s) for p, q, s in sim.truth_pairs("a", "b")}
     s = score_pairs(truth, pred)
     assert s.recall > 0.95 and s.precision > 0.95, s
+
+
+def test_trim_outgroup_sequences():
+    """Outgroup-side trimming (trimOutgroups): og records rebase onto
+    covered+flank fragments; og codes shrink to the covered slices."""
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu.io.paf import PafRecord
+    from cactus_tpu.phases.blast import trim_outgroup_sequences
+
+    rng = np.random.default_rng(3)
+    og = Sequence("OG.c", rng.integers(0, 4, 10_000).astype(np.uint8))
+    recs = [
+        PafRecord("A.c", 500, 10, 110, "+", "OG.c", 10_000, 1000, 1100,
+                  90, 100),
+        PafRecord("OG.c", 10_000, 1150, 1250, "-", "A.c", 500, 200, 300,
+                  90, 100),
+        PafRecord("A.c", 500, 300, 400, "+", "OG.c", 10_000, 8000, 8100,
+                  90, 100),
+    ]
+    out, og_codes = trim_outgroup_sequences(recs, {"OG.c": og}, flank=50)
+    # two fragments: [950, 1300) and [7950, 8150)
+    assert set(og_codes) == {"OG.c|og:950", "OG.c|og:7950"}
+    assert len(og_codes["OG.c|og:950"]) == 350
+    assert np.array_equal(og_codes["OG.c|og:950"], og.codes[950:1300])
+    r0, r1, r2 = out
+    assert r0.tname == "OG.c|og:950" and r0.tstart == 50 and r0.tend == 150
+    assert r0.tlen == 350
+    assert r1.qname == "OG.c|og:950" and r1.qstart == 200
+    assert r2.tname == "OG.c|og:7950" and r2.tstart == 50
+    # ingroup side untouched
+    assert r0.qname == "A.c" and r0.qstart == 10
+
+
+def test_primary_selection_tile_trim_mode():
+    """The reference paffy chain→tile→trim→filter pipeline
+    (primary_selection="tile-trim") holds accuracy end-to-end."""
+    import dataclasses
+    from cactus_tpu.config import Config
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu import progressive
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.testutil.comparator import score_pairs
+    from cactus_tpu.utils.trees import parse_newick
+
+    cfg = Config.default()
+    cfg.blast.primary_selection = "tile-trim"
+    tree = parse_newick("((a:0.03,b:0.03)ab:0.03,c:0.06)root;")
+    sim = evolver.simulate(tree, root_len=10_000, seed=21)
+    genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
+               for ev in ["a", "b", "c"]}
+    res = progressive.ProgressiveAligner(
+        tree, genomes, min_chain_override=64, config=cfg).run()
+    for x, y in [("a", "b"), ("a", "c")]:
+        truth = {(p, q, s) for p, q, s in sim.truth_pairs(x, y)}
+        s = score_pairs(truth, progressive.leaf_pairs(res, x, y))
+        assert s.precision > 0.97 and s.recall > 0.97, (x, y, s)
+    # chainTrimFraction != 1 fails loudly instead of silently no-opping
+    import pytest as _pytest
+    from cactus_tpu.phases.blast import finalize_records
+    bad = dataclasses.replace(cfg.blast, chain_trim_fraction=0.5)
+    with _pytest.raises(NotImplementedError):
+        finalize_records([], bad)

@@ -85,3 +85,37 @@ def test_split_file_groups():
     for g in groups:
         qs = {r.qname for r in g}
         assert sum(4000 for _ in qs) <= 8000
+
+
+def test_trim_record_fuzz_vs_pair_oracle():
+    """trim_record_to_query (O(#ops) interval arithmetic) must keep
+    exactly the aligned pairs whose query base lands in [q0, q1)."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    for trial in range(50):
+        # random cigar
+        ops = []
+        for _ in range(rng.integers(1, 8)):
+            op = rng.choice(["M", "I", "D"])
+            ops.append((op, int(rng.integers(1, 30))))
+        if not any(o == "M" for o, _ in ops):
+            ops.append(("M", 10))
+        qspan = sum(ln for o, ln in ops if o in "MI")
+        tspan = sum(ln for o, ln in ops if o in "MD")
+        qs = int(rng.integers(0, 50))
+        ts = int(rng.integers(0, 50))
+        strand = "+" if rng.random() < 0.5 else "-"
+        cg = "".join(f"{ln}{o}" for o, ln in ops)
+        r = PafRecord("q", 1000, qs, qs + qspan, strand, "t.c", 1000,
+                      ts, ts + tspan, 1, qspan + tspan,
+                      tags={"cg": ("Z", cg), "AS": ("i", 100)})
+        q0 = int(rng.integers(0, qs + qspan + 5))
+        q1 = q0 + int(rng.integers(1, 40))
+        want = {(q, t) for q, t in r.aligned_pairs()
+                if q0 <= q < q1}
+        piece = trim_record_to_query(r, q0, q1)
+        got = set()
+        if piece is not None:
+            got = {(q, t) for q, t in piece.aligned_pairs()}
+            assert piece.nmatch == len(got)
+        assert got == want, (trial, cg, strand, q0, q1)
