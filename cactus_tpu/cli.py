@@ -60,14 +60,17 @@ def load_genomes_from_seqfile(sf: SeqFile,
     """
     from .preprocessor.headers import sanitize_genome
     from .preprocessor.masking import mask_genome
+    pp = Config.default().preprocessor
     genomes = {}
     for event, path in sf.paths.items():
         if only is not None and event not in only:
             continue
         seqs = read_fasta(path)
-        genome = sanitize_genome(event, seqs)
-        if do_mask:
-            genome = mask_genome(genome)
+        genome = sanitize_genome(event, seqs, cut=pp.cut_headers)
+        if do_mask and pp.repeat_mask:
+            genome = mask_genome(genome, k=pp.mask_kmer,
+                                 min_length=pp.mask_min_contig,
+                                 gc_skew_limit=pp.mask_gc_skew_limit)
         genomes[event] = genome
     return genomes
 
@@ -87,8 +90,10 @@ def cmd_preprocess(args) -> int:
     if getattr(args, "lastz_mask", False):
         from .config import Config
         from .preprocessor.variants import lastz_repeat_mask
-        cfg = Config.default().blast
-        genomes = {ev: lastz_repeat_mask(g, cfg, log=_log)
+        cfg = Config.default()
+        genomes = {ev: lastz_repeat_mask(
+                       g, cfg.blast, period=cfg.preprocessor.min_period,
+                       log=_log)
                    for ev, g in genomes.items()}
     if getattr(args, "satellite", None):
         from .preprocessor.variants import satellite_bed, apply_bed

@@ -172,6 +172,11 @@ class CafParams:
     minimum_tree_coverage: float = 0.0
     alignment_filter: str = "filterSecondariesByMultipleSequences"
     max_adjacency_component_size_ratio: float = 50.0
+    # XML-compat: stCaf_finish uses these to decide which thread ends
+    # are "attached" (chromosome-level) when building the recursive
+    # flower hierarchy (caf.c:474, pinchToCactus.c:115-116); the flat
+    # block model here has no attachment notion — thread propagation is
+    # governed by ReferenceParams.min_thread_length instead
     min_length_for_chromosome: int = 1_000_000
     proportion_unaligned_bases_for_new_chromosome: float = 0.95
     max_median_sequence_length_between_linked_ends: int = 100_000
@@ -268,7 +273,13 @@ class BarParams:
 class ReferenceParams:
     """Reference phase — config XML <reference> (:345-361)."""
     matching_algorithm: str = "blossom5"  # blossom5|maxWeight|maxCardinality|greedy
+    # XML-compat: the consolidated binary takes the reference event name
+    # from this knob; this driver names every ancestor by its tree node
+    # (progressive.py), so the value is never consulted
     reference_event: str = "reference"
+    # XML-compat: the reference's own annealing-temperature hook is
+    # documented "currently unused" (buildReference.c:1050); the nudge
+    # pass here is the equivalent constant-temperature hill climb
     use_simulated_annealing: bool = True
     theta: float = 1e-6
     phi: float = 1.0

@@ -108,10 +108,15 @@ def split_points(q_len: int, t_len: int, anchors: np.ndarray,
 
 
 def split_pair_by_mums(q: np.ndarray, t: np.ndarray, max_span: int = 3000,
-                       k: int = 20, min_anchor_sep: int = 64):
+                       k: int = 20, min_anchor_sep: int = 64,
+                       recursive: bool = False):
     """[(q0, t0, qseg, tseg)] pieces covering q x t, split at MUM-chain
     anchor centers whenever a piece would exceed max_span.  Falls back
-    to a single piece when no anchors exist."""
+    to a single piece when no anchors exist.
+
+    recursive: pieces still exceeding max_span (no long-k MUMs inside)
+    re-split with a halved seed length, down to k=8 — the reference
+    recursiveMums option (config XML :285, bar.c:33)."""
     if max(len(q), len(t)) <= max_span:
         return [(0, 0, q, t)]
     anchors = chain_lis(unique_matches(q, t, k))
@@ -128,4 +133,18 @@ def split_pair_by_mums(q: np.ndarray, t: np.ndarray, max_span: int = 3000,
         if cq > q0 and ct > t0:
             pieces.append((q0, t0, q[q0:cq], t[t0:ct]))
         q0, t0 = cq, ct
-    return pieces or [(0, 0, q, t)]
+    pieces = pieces or [(0, 0, q, t)]
+    if recursive and k > 8:
+        out = []
+        for p0, s0, qs, ts in pieces:
+            if max(len(qs), len(ts)) > max_span:
+                # halve the seed length (strictly decreasing -> k=8 floor
+                # bounds the recursion depth)
+                for sq0, st0, sqs, sts in split_pair_by_mums(
+                        qs, ts, max_span=max_span, k=max(8, k // 2),
+                        min_anchor_sep=min_anchor_sep, recursive=True):
+                    out.append((p0 + sq0, s0 + st0, sqs, sts))
+            else:
+                out.append((p0, s0, qs, ts))
+        pieces = out
+    return pieces

@@ -45,6 +45,34 @@ from .caf import CafResult, blocks_to_match_edges, filter_blocks_by_events, even
 
 BOUNDARY = chain_graph.BOUNDARY
 
+_warned: set[str] = set()
+
+
+def _warn_once(msg: str) -> None:
+    if msg not in _warned:
+        _warned.add(msg)
+        import logging
+        logging.getLogger("cactus_tpu").warning(msg)
+
+
+def _check_pecan_knobs(pec) -> None:
+    """Loudly flag pecan knobs whose non-default values this engine
+    cannot honor (the star/backbone + anchor-split design has no poset
+    spanning-tree merge and its band geometry is the adaptive band, not
+    cPecan's anchor-diagonal expansion) — never a silent no-op."""
+    if pec.gap_gamma != 0.0:
+        _warn_once("pecan gapGamma != 0 has no indel-probability term "
+                   "in this engine; value ignored")
+    if pec.spanning_trees != 5:
+        _warn_once("pecan spanningTrees is n/a to the star/backbone MSA "
+                   "(no poset pair merge); value ignored")
+    if not pec.use_progressive_merging:
+        _warn_once("pecan useProgressiveMerging=0 is n/a to the "
+                   "star/backbone MSA; value ignored")
+    if pec.diagonal_expansion != 20 or pec.constraint_diagonal_trim != 14:
+        _warn_once("pecan diagonalExpansion/constraintDiagonalTrim are "
+                   "n/a to the adaptive-band design; values ignored")
+
 
 def global_codes(table: SeqTable, seqs: dict[str, Sequence]) -> np.ndarray:
     """Concatenate per-sequence codes into the table's global index space."""
@@ -304,31 +332,52 @@ def star_align_ends(per_end: dict[int, list[EndString]],
             # (useMumAnchors / splitMatrixBiggerThanThis semantics,
             # config:276-285) so each piece runs a narrow band.
             pec = cfg.pecan
+            _check_pecan_knobs(pec)
             if pec.use_mum_anchors:
                 from ..ops.anchors import split_pair_by_mums
                 pieces = []      # (group idx, q0, t0)
                 piece_pairs = []
                 for gi, (qc, tc) in enumerate(pairs):
+                    # matrices under anchorMatrixBiggerThanThis run
+                    # without anchoring (cPecan semantics, config :278)
+                    if (max(len(qc), len(tc))
+                            <= pec.anchor_matrix_bigger_than_this):
+                        pieces.append((gi, 0, 0))
+                        piece_pairs.append((qc, tc))
+                        continue
                     for q0, t0, qs, ts in split_pair_by_mums(
                             qc, tc,
-                            max_span=pec.split_matrix_bigger_than_this):
+                            max_span=pec.split_matrix_bigger_than_this,
+                            recursive=pec.recursive_mums):
                         pieces.append((gi, q0, t0))
                         piece_pairs.append((qs, ts))
             else:
                 pieces = [(gi, 0, 0) for gi in range(len(pairs))]
                 piece_pairs = pairs
+            pband = band
+            if not pec.use_banding and piece_pairs:
+                # full (unbanded) DP: the band must cover every column
+                full = max(max(len(a), len(b)) for a, b in piece_pairs) + 8
+                pband = 1 << (full - 1).bit_length()
             if pec.five_state:
                 from ..ops.pairhmm5 import (Hmm5Params,
                                             posterior_pairs_banded5)
                 piece_hits = posterior_pairs_banded5(
-                    piece_pairs, Hmm5Params(), band=band, gamma=0.5)
+                    piece_pairs, Hmm5Params(), band=pband,
+                    gamma=pec.match_gamma)
             else:
                 from ..ops.pairhmm import HmmParams, posterior_pairs_banded
                 piece_hits = posterior_pairs_banded(
-                    piece_pairs, HmmParams(), band=band, gamma=0.5)
+                    piece_pairs, HmmParams(), band=pband,
+                    gamma=pec.match_gamma)
             hits = [[] for _ in pairs]
             for (gi, q0, t0), ph in zip(pieces, piece_hits):
                 hits[gi].extend((i + q0, j + t0, p) for i, j, p in ph)
+            if not pec.align_ambiguity_characters:
+                # drop pairs touching an N (alignAmbiguityCharacters=0)
+                hits = [[(i, j, p) for i, j, p in h
+                         if pairs[gi][0][i] < 4 and pairs[gi][1][j] < 4]
+                        for gi, h in enumerate(hits)]
             for (m, b, t_len, _), matched in zip(group, hits):
                 # merge consecutive (i,j) hits into runs
                 start = None

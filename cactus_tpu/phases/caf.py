@@ -51,6 +51,7 @@ def run_caf(records, seq_lengths: dict[str, int], cfg: CafParams,
             ingroup_events: set[str] | None = None,
             outgroup_events: set[str] | None = None,
             min_chain_override: int | None = None,
+            event_tree=None,
             log=None) -> CafResult:
     """Build and melt the block graph from PAF records (caf.c:139-474)."""
     log = log or (lambda msg: None)
@@ -99,6 +100,13 @@ def run_caf(records, seq_lengths: dict[str, int], cfg: CafParams,
     # 0, 0, INT64_MAX))
     blocks, alive = block_trim(blocks, alive, cfg.block_trim)
     alive = filter_blocks_by_events(blocks, alive, cfg, ingroups, outgroups)
+    if cfg.minimum_tree_coverage > 0:
+        if event_tree is None:
+            raise ValueError(
+                "minimumTreeCoverage > 0 needs the event tree "
+                "(run_caf(event_tree=...)); refusing to no-op silently")
+        alive = tree_coverage_filter(blocks, alive, event_tree,
+                                     cfg.minimum_tree_coverage)
 
     # ---- recoverable chains (caf.c:456-458)
     if cfg.remove_recoverable_chains not in ("0", "", None, False):
@@ -204,6 +212,75 @@ def filter_blocks_by_events(blocks: Blocks, alive: np.ndarray,
     ok &= (n_in >= cfg.minimum_ingroup_degree)
     ok &= (n_out >= cfg.minimum_outgroup_degree)
     return alive & ok
+
+
+def tree_coverage_filter(blocks: Blocks, alive: np.ndarray,
+                         event_tree, min_coverage: float) -> np.ndarray:
+    """Melt blocks whose tree coverage falls below minimumTreeCoverage
+    (stCaf_treeCoverage, caf/impl/filtering.c:467-499): coverage is the
+    branch length of the Steiner subtree spanning the block's events
+    (rooted at their LCA) over the event tree's total branch length.
+
+    Vectorized by event-set bitmask: blocks with the same event subset
+    share one Steiner computation.
+    """
+    B = blocks.n_blocks
+    if B == 0 or min_coverage <= 0:
+        return alive
+    events = np.array([event_of(n) for n in blocks.table.names])
+    leaves = [l for l in event_tree.leaf_names()]
+    eidx = {e: i for i, e in enumerate(leaves)}
+    if len(leaves) > 63:
+        raise NotImplementedError("tree_coverage_filter: > 63 events")
+    seg_bit = np.array([1 << eidx.get(e, 0) if e in eidx else 0
+                        for e in events], np.int64)[blocks.seg_seq]
+    mask = np.zeros(B, np.int64)
+    np.bitwise_or.at(mask, blocks.seg_block, seg_bit)
+
+    # total branch length
+    def total_len(t):
+        return sum((c.length or 0.0) + total_len(c) for c in t.children)
+    whole = total_len(event_tree)
+    if whole <= 0:
+        return alive
+
+    # per-node leaf bitmask via postorder
+    node_mask: dict[int, int] = {}
+
+    def fill(t):
+        if not t.children:
+            node_mask[id(t)] = 1 << eidx[t.name]
+            return node_mask[id(t)]
+        m = 0
+        for c in t.children:
+            m |= fill(c)
+        node_mask[id(t)] = m
+        return m
+    fill(event_tree)
+
+    cov_of: dict[int, float] = {}
+
+    def steiner(mask_val: int) -> float:
+        # edge above node v counts iff subtree(v) contains >=1 of S and
+        # NOT all of S (edges above the LCA never qualify)
+        total = 0.0
+        stack = [event_tree]
+        while stack:
+            t = stack.pop()
+            for c in t.children:
+                cm = node_mask[id(c)] & mask_val
+                if cm and cm != mask_val:
+                    total += (c.length or 0.0)
+                if cm:
+                    stack.append(c)
+        return total
+
+    uniq = np.unique(mask)
+    cov = np.zeros(B)
+    for mv in uniq:
+        cov_of[int(mv)] = steiner(int(mv)) / whole if mv else 0.0
+    cov = np.array([cov_of[int(m)] for m in mask])
+    return alive & (cov >= min_coverage)
 
 
 def blocks_to_match_edges(blocks: Blocks, alive: np.ndarray):

@@ -35,16 +35,20 @@ def check_unique_headers(names, allow_pipes: bool = True) -> None:
 
 
 def sanitize_genome(event: str, genome: dict[str, Sequence],
-                    strip_hash_prefix: bool = False) -> dict[str, Sequence]:
+                    strip_hash_prefix: bool = False,
+                    cut: bool = True) -> dict[str, Sequence]:
     """Cut headers, enforce uniqueness, apply the `event.` prefix.
 
     strip_hash_prefix: pangenome mode strips `sample#hap#` prefixes
     (cactus_sanitizeFastaHeaders.c:25-27 behavior).
+    cut: run the cutHeaders pass (config XML :20; False keeps the raw
+    first-token-free header and relies on the uniqueness check).
     """
     out: dict[str, Sequence] = {}
     names = []
     for _name, s in genome.items():
-        h = cut_header(s.header or s.name)
+        h = (cut_header(s.header or s.name) if cut
+             else (s.header or s.name))
         if strip_hash_prefix and "#" in h:
             h = h.rsplit("#", 1)[-1]
         names.append(h)

@@ -58,13 +58,25 @@ def kmer_counts_mask(codes: np.ndarray, k: int = 13,
 
 def mask_genome(genome: dict[str, Sequence], k: int = 13,
                 max_count: int = 8, dilate: int = 10,
-                min_length: int = 0) -> dict[str, Sequence]:
-    """Soft-mask every sequence (mask is additive to existing masking)."""
+                min_length: int = 0,
+                gc_skew_limit: float = 1.0) -> dict[str, Sequence]:
+    """Soft-mask every sequence (mask is additive to existing masking).
+
+    min_length / gc_skew_limit are the redPrefilter options (config XML
+    :28 `-m 20000 -b 0.98`, cactus_redPrefilter.c:31-35): contigs
+    shorter than min_length, or where one base comprises more than
+    gc_skew_limit of the sequence, skip masking (the repeat statistics
+    of tiny / low-information contigs are garbage)."""
     out = {}
     for name, s in genome.items():
         if len(s) < max(min_length, k):
             out[name] = s
             continue
+        if gc_skew_limit < 1.0 and len(s):
+            top = np.bincount(s.codes % 6, minlength=6).max()
+            if top > gc_skew_limit * len(s):
+                out[name] = s
+                continue
         m = kmer_counts_mask(s.codes, k=k, max_count=max_count,
                              dilate=dilate)
         out[name] = Sequence(name=s.name, codes=s.codes,

@@ -355,6 +355,11 @@ class ProgressiveAligner:
         div_node = self.div_tree.find(node.name) or node
         max_path = max((c.length or 0.0) + c.max_leaf_depth()
                        for c in div_node.children)
+        if node is self.tree or node.name == self.tree.name:
+            # extra divergence allowance when aligning the root's
+            # children (distanceToAddToRootAlignment, config XML :2-3 —
+            # declared-but-unread in the reference code; honored here)
+            max_path += self.config.distance_to_add_to_root_alignment
         preset = divergence_preset(2.0 * max_path)
 
         # per-phase wall-clock + peak-RSS telemetry (the reference's
@@ -421,10 +426,12 @@ class ProgressiveAligner:
 
         t0 = _time.time()
         lengths = {n: len(s) for n, s in in_seqs.items()}
+        event_tree = self._event_tree(node, outgroups)
         caf = run_caf(in_records, lengths, cfg.caf, preset=preset,
                       ingroup_events=set(children),
                       outgroup_events=set(),
-                      min_chain_override=self.min_chain_override)
+                      min_chain_override=self.min_chain_override,
+                      event_tree=event_tree)
         timings["caf"] = _time.time() - t0
         mem_mb["caf"] = _rss_mb()
         self.log(f"{node.name}: bar starting "
@@ -446,7 +453,6 @@ class ProgressiveAligner:
 
         t0 = _time.time()
         gcodes = bar_phase.global_codes(caf.table, in_seqs)
-        event_tree = self._event_tree(node, outgroups)
         ref = ref_phase.run_reference(caf, gcodes, event_tree, node.name,
                                       cfg.reference,
                                       og_records=og_records,

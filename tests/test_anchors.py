@@ -71,3 +71,26 @@ def test_split_respects_indel_offset():
     # reconstruct: every cut (q0, t0) must satisfy t0 - q0 in {0, 500}
     for q0, t0, _qs, _ts in pieces:
         assert (t0 - q0) in (0, 500), (q0, t0)
+
+
+def test_split_pair_by_mums_recursive():
+    """recursiveMums: a piece with no long-k anchors re-splits with a
+    halved seed length (bar.c:33, config XML :285)."""
+    rng = np.random.default_rng(4)
+    # two related sequences with mutations dense enough that k=20 exact
+    # matches are rare but k=10 matches exist
+    q = rng.integers(0, 4, 4000).astype(np.uint8)
+    t = q.copy()
+    mut = rng.random(4000) < 0.06
+    t[mut] = (t[mut] + 1 + rng.integers(0, 3, int(mut.sum()))) % 4
+    flat = split_pair_by_mums(q, t, max_span=1000, k=20, recursive=False)
+    rec = split_pair_by_mums(q, t, max_span=1000, k=20, recursive=True)
+    big_flat = sum(1 for _q0, _t0, qs, ts in flat
+                   if max(len(qs), len(ts)) > 1000)
+    big_rec = sum(1 for _q0, _t0, qs, ts in rec
+                  if max(len(qs), len(ts)) > 1000)
+    assert big_rec <= big_flat
+    assert len(rec) >= len(flat)
+    # pieces still tile the pair monotonically
+    q0s = [p[0] for p in rec]
+    assert q0s == sorted(q0s)

