@@ -91,8 +91,13 @@ class ExtendParams:
     mismatch: int = -114
     gap_open: int = 400
     gap_extend: int = 30
-    xdrop: int = 910       # ungapped extension drop
-    ydrop: int = 3000      # gapped extension drop (config :131 ydrop values)
+    # xdrop/ydrop: lastz's incremental-extension termination thresholds
+    # (config :131).  XML-compat only: this design has no per-base
+    # extension loop — seeds merge into exact runs, chaining bridges
+    # them, and gapped termination is the banded gap fill plus the
+    # min_gap_score record split below (blast._emit_records)
+    xdrop: int = 910
+    ydrop: int = 3000
     hsp_threshold: int = 1500  # min ungapped HSP score to seed gapped ext
     gapped_threshold: int = 2400  # min gapped alignment score to report
     # chains force-stitch their anchor gaps with banded DP; a filled
@@ -175,8 +180,9 @@ class CafParams:
     # XML-compat: stCaf_finish uses these to decide which thread ends
     # are "attached" (chromosome-level) when building the recursive
     # flower hierarchy (caf.c:474, pinchToCactus.c:115-116); the flat
-    # block model here has no attachment notion — thread propagation is
-    # governed by ReferenceParams.min_thread_length instead
+    # block model here has no attachment notion — fragmented ancestors
+    # are instead packed into super-contigs by the parent's blast
+    # (phases/chunking.py pack_small_contigs), losing no homology
     min_length_for_chromosome: int = 1_000_000
     proportion_unaligned_bases_for_new_chromosome: float = 0.95
     max_median_sequence_length_between_linked_ends: int = 100_000
@@ -290,11 +296,6 @@ class ReferenceParams:
     number_of_ns: int = 10
     min_sequences_to_support_adjacency: int = 1
     make_scaffolds: bool = True
-    # ancestor threads shorter than this don't propagate upward as
-    # sequences (the minLengthForChromosome spirit: tiny fragments would
-    # explode the parent's all-pairs contig grid); their blocks still
-    # exist for MAF/homology at this level
-    min_thread_length: int = 200
 
 
 @dataclass

@@ -260,17 +260,6 @@ class ReferenceResult:
     def total_length(self) -> int:
         return sum(len(s) for s in self.sequences.values())
 
-    def propagated_sequences(self, min_len: int) -> dict[str, Sequence]:
-        """The ancestor genome handed to the PARENT's alignment step:
-        dust threads below min_len stay out (they would explode the
-        parent's contig grid — minLengthForChromosome spirit) but keep
-        their block coordinates for this level's homology/export."""
-        if not self.sequences:
-            return {}
-        longest = max(self.sequences, key=lambda n: len(self.sequences[n]))
-        return {n: s for n, s in self.sequences.items()
-                if len(s) >= min_len or n == longest}
-
 
 def _end_adjacency_weights(caf: CafResult):
     """Aggregate DIRECT thread adjacencies between live block ends.
