@@ -285,11 +285,17 @@ def cmd_pangenome(args) -> int:
     mode = getattr(args, "mode", "star")
     if mode == "sv":
         # the full minigraph-cactus tier: iterative SV graph → graphmap
-        # → base-level align-to-graph → join (cactus-pangenome)
+        # → base-level align-to-graph → join (cactus-pangenome); with
+        # --stage, run ONE stage against the outdir's artifacts (the
+        # cactus-minigraph/-graphmap/-align/-graphmap-join
+        # decomposition — staged == monolithic byte-for-byte)
+        stages = ((getattr(args, "stage", None),)
+                  if getattr(args, "stage", None) else pdrv.SV_STAGES)
         pdrv.run_pangenome_sv(genomes, ref, args.outdir,
                               min_chain_override=args.min_chain,
                               filter_depth=args.filter or None,
-                              viz=not args.no_viz, log=_log)
+                              viz=not args.no_viz, stages=stages,
+                              log=_log)
     elif mode == "refmap":
         pdrv.run_pangenome_refmap(genomes, ref, args.outdir,
                                   min_chain_override=args.min_chain,
@@ -300,6 +306,65 @@ def cmd_pangenome(args) -> int:
                            min_chain_override=args.min_chain,
                            filter_depth=args.filter or None,
                            viz=not args.no_viz, log=_log)
+    return 0
+
+
+def cmd_maf2bigmaf(args) -> int:
+    """MAF → bigMaf bed + autoSql (cactus-maf2bigmaf analog; the exact
+    inputs bedToBigBed consumes)."""
+    from .io.maf import read_maf
+    from .maf_tools import write_bigmaf
+    blocks = list(read_maf(args.maf))
+    n = write_bigmaf(args.out, blocks, args.ref_genome)
+    _log(f"wrote {n} bigMaf rows to {args.out} (+{args.out}.as schema)")
+    return 0
+
+
+def cmd_patch(args) -> int:
+    """Scaffold + gap-fill an assembly along donor walks of a pangenome
+    graph (cactus-panpatch analog)."""
+    import json as _json
+    import os
+    from .io.fasta import write_fasta
+    from .pangenome.graph import read_gfa
+    from .pangenome.patch import patch_assembly
+    g = read_gfa(args.gfa)
+    donors = args.donors.split(",")
+    patched, report = patch_assembly(
+        g, args.target, donors,
+        require_telomeres=getattr(args, "telomeres", False))
+    os.makedirs(args.outdir, exist_ok=True)
+    fa = os.path.join(args.outdir, f"{args.target}.patched.fa")
+    write_fasta(fa, patched)
+    with open(os.path.join(args.outdir, "patch_report.json"), "w") as fh:
+        _json.dump(report, fh, indent=1)
+    _log(f"patched {len(report['placed'])} contigs "
+         f"({len(report['unplaced'])} unplaced) → {fa}")
+    return 0
+
+
+def cmd_hal2seqfile(args) -> int:
+    """Write a seqfile + per-genome FASTAs from an alignment store
+    (cactus-hal2seqfile analog: the input plan for update workflows)."""
+    import os
+    from .io.fasta import write_fasta
+    store = AlignmentStore(args.store)
+    result = store.load_result()
+    os.makedirs(args.outdir, exist_ok=True)
+    lines = [result.tree.to_newick()]
+    events = ([e.strip() for e in args.events.split(",")]
+              if getattr(args, "events", None)
+              else [n for n in result.genomes
+                    if not getattr(args, "leaves_only", False)
+                    or not result.tree.find(n).children])
+    for ev in events:
+        fa = os.path.join(args.outdir, f"{ev}.fa")
+        write_fasta(fa, result.genomes[ev])
+        lines.append(f"{ev} {fa}")
+    out = args.out or os.path.join(args.outdir, "seqfile.txt")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    _log(f"wrote {out} ({len(events)} genomes)")
     return 0
 
 
@@ -390,6 +455,21 @@ def cmd_hal(args) -> int:
         else:
             import json as _json
             print(_json.dumps(arc.get_metadata(), indent=1))
+    elif args.tool == "append":
+        # halAppendCactusSubtree / cactus-halAppendSubtrees analog:
+        # import one computed ancestor step from a store into the
+        # growing archive (export_hal BFS order is the caller's job)
+        store = AlignmentStore(args.store)
+        result = store.load_result()
+        node = result.tree.find(args.genome)
+        if node is None or args.genome not in result.steps:
+            raise SystemExit(f"no computed step for {args.genome!r}")
+        children = {c.name: result.genomes[c.name] for c in node.children
+                    if c.name in result.genomes}
+        arc.append_subtree(result.steps[args.genome],
+                           result.genomes[args.genome], children)
+        _log(f"appended subtree {args.genome} "
+             f"({len(children)} children) to {args.archive}")
     elif args.tool == "liftover":
         # halLiftover: --genome src, --target dst, --bed in, --out bed
         import sys
@@ -591,10 +671,13 @@ def main(argv=None) -> int:
                         "hal2fasta/hal2maf/halValidate/halRemoveDupes)")
     ph.add_argument("tool", choices=["stats", "fasta", "maf", "validate",
                                      "removeDupes", "metadata", "liftover",
-                                     "snps", "mutations"])
+                                     "snps", "mutations", "append"])
     ph.add_argument("--set", default=None,
                     help="metadata key=value to store (halSetMetadata)")
     ph.add_argument("archive")
+    ph.add_argument("--store", default=None,
+                    help="alignment store to append a subtree from "
+                         "(hal append)")
     ph.add_argument("--genome", default=None)
     ph.add_argument("--target", default=None,
                     help="destination genome for liftover/snps")
@@ -620,6 +703,37 @@ def main(argv=None) -> int:
     ps.add_argument("store")
     ps.set_defaults(fn=cmd_stats)
 
+    pbm = sub.add_parser("maf2bigmaf",
+                         help="MAF → bigMaf bed + autoSql "
+                              "(cactus-maf2bigmaf)")
+    pbm.add_argument("maf")
+    pbm.add_argument("out")
+    pbm.add_argument("--ref-genome", required=True)
+    pbm.set_defaults(fn=cmd_maf2bigmaf)
+
+    ppt = sub.add_parser("patch",
+                         help="scaffold + gap-fill an assembly along "
+                              "pangenome donor walks (cactus-panpatch)")
+    ppt.add_argument("gfa")
+    ppt.add_argument("target", help="event name of the assembly to patch")
+    ppt.add_argument("outdir")
+    ppt.add_argument("--donors", required=True,
+                     help="comma-separated donor events, best first")
+    ppt.add_argument("--telomeres", action="store_true",
+                     help="require telomeric anchors at contig ends")
+    ppt.set_defaults(fn=cmd_patch)
+
+    psf = sub.add_parser("hal2seqfile",
+                         help="store → seqfile + per-genome FASTAs "
+                              "(cactus-hal2seqfile)")
+    psf.add_argument("store")
+    psf.add_argument("outdir")
+    psf.add_argument("--out", default=None, help="seqfile path")
+    psf.add_argument("--events", default=None,
+                     help="comma-separated genome subset")
+    psf.add_argument("--leaves-only", action="store_true")
+    psf.set_defaults(fn=cmd_hal2seqfile)
+
     pg = sub.add_parser("pangenome",
                         help="star pangenome build → GFA + VCF")
     pg.add_argument("seqfile")
@@ -627,6 +741,11 @@ def main(argv=None) -> int:
     pg.add_argument("--reference", default=None,
                     help="reference genome (default: first in seqfile)")
     pg.add_argument("--min-chain", type=int, default=64)
+    pg.add_argument("--stage",
+                    choices=["minigraph", "graphmap", "align", "join"],
+                    default=None,
+                    help="run ONE sv-mode stage against the outdir's "
+                         "artifacts (stage-decomposed cactus-pangenome)")
     pg.add_argument("--mode", choices=["star", "sv", "refmap"],
                     default="star",
                     help="star: one star alignment (cactus-align "

@@ -161,37 +161,51 @@ def _emit_graph_artifacts(pg, seqs: dict[str, Sequence], ref_event: str,
     return stats
 
 
-def run_pangenome_sv(genomes: dict[str, dict[str, Sequence]],
-                     ref_event: str, outdir: str,
-                     config: Config | None = None,
-                     min_sv: int = 50,
-                     min_chain_override: int | None = 64,
-                     normalize: bool = True, clip: int | None = 10_000,
-                     filter_depth: int | None = 2, viz: bool = True,
-                     log=lambda m: None) -> dict:
-    """The full minigraph-cactus tier: iterative SV graph → graphmap →
-    base-level alignment against the graph → normalize/clip/VCF.
-
-    Mirrors cactus-pangenome's stage chain (refmap/cactus_pangenome.py:
-    3-13): instead of the all-pairs star alignment, every haplotype is
-    aligned only to the SV graph's node sequences (the `_MINIGRAPH_`
-    event), and base-level homology between haplotypes arises
-    transitively through the shared node columns in CAF — the reference
-    architecture, and O(haplotypes), not O(haplotypes²).
-    """
-    from ..io.paf import write_paf
-    from ..phases.caf import run_caf
-    from .minigraph import build_sv_graph, graphmap
-
+def sv_stage_minigraph(genomes: dict[str, dict[str, Sequence]],
+                       ref_event: str, outdir: str,
+                       config: Config | None = None, min_sv: int = 50,
+                       log=lambda m: None) -> None:
+    """cactus-minigraph stage: mash-ordered iterative SV graph →
+    `sv_graph.rgfa` + `minigraph_order.json` (the artifact the
+    reference exports between Toil workflows, cactus_pangenome.py:10-12)."""
+    from .minigraph import build_sv_graph
     os.makedirs(outdir, exist_ok=True)
     cfg = config or Config.default()
     svg, order = build_sv_graph(genomes, ref_event, config=cfg,
                                 min_sv=min_sv, log=log)
     svg.write_rgfa(os.path.join(outdir, "sv_graph.rgfa"))
+    with open(os.path.join(outdir, "minigraph_order.json"), "w") as fh:
+        json.dump(dict(order=order, n_nodes=svg.n_nodes,
+                       n_edges=len(svg.edges)), fh)
+
+
+def sv_stage_graphmap(genomes: dict[str, dict[str, Sequence]],
+                      outdir: str, config: Config | None = None,
+                      log=lambda m: None) -> None:
+    """cactus-graphmap stage: map every assembly onto the SV graph
+    (read from `sv_graph.rgfa`) → `graphmap.paf`."""
+    from ..io.paf import write_paf
+    from .minigraph import graphmap, read_rgfa
+    cfg = config or Config.default()
+    svg = read_rgfa(os.path.join(outdir, "sv_graph.rgfa"))
     records = graphmap(svg, genomes, config=cfg, log=log)
     with open(os.path.join(outdir, "graphmap.paf"), "w") as fh:
         write_paf(fh, records)
 
+
+def sv_stage_align(genomes: dict[str, dict[str, Sequence]],
+                   outdir: str, config: Config | None = None,
+                   min_chain_override: int | None = 64,
+                   log=lambda m: None) -> None:
+    """cactus-align stage: CAF over `graphmap.paf` + the graph's node
+    sequences → base-level graph → `pangenome.raw.gfa` (pre-join)."""
+    from ..io.paf import read_paf
+    from ..phases.caf import run_caf
+    from .minigraph import read_rgfa
+    from .normalize import compact
+    cfg = config or Config.default()
+    svg = read_rgfa(os.path.join(outdir, "sv_graph.rgfa"))
+    records = read_paf(os.path.join(outdir, "graphmap.paf"))
     seqs: dict[str, Sequence] = dict(svg.node_fasta())
     node_names = set(seqs)
     for ev in genomes:
@@ -202,21 +216,79 @@ def run_pangenome_sv(genomes: dict[str, dict[str, Sequence]],
     pg = graph_mod.build_graph(caf, seqs, chop=True)
     pg.validate(seqs)
     # drop the graph pseudo-event's walks (join drops _MINIGRAPH_)
-    from .normalize import compact
     for n in node_names:
         pg.walks.pop(n, None)
     compact(pg)
     hap_seqs = {n: s for n, s in seqs.items() if n not in node_names}
     pg.validate(hap_seqs)
+    graph_mod.write_gfa(os.path.join(outdir, "pangenome.raw.gfa"), pg)
+
+
+def sv_stage_join(genomes: dict[str, dict[str, Sequence]],
+                  ref_event: str, outdir: str,
+                  normalize: bool = True, clip: int | None = 10_000,
+                  filter_depth: int | None = 2, viz: bool = True,
+                  log=lambda m: None) -> dict:
+    """cactus-graphmap-join stage: normalize/clip/filter tiers, VCFs,
+    and the index factory over `pangenome.raw.gfa`."""
+    pg = graph_mod.read_gfa(os.path.join(outdir, "pangenome.raw.gfa"))
+    hap_seqs: dict[str, Sequence] = {}
+    for ev in genomes:
+        hap_seqs.update(genomes[ev])
+    pg.validate(hap_seqs)
     stats = _emit_graph_artifacts(pg, hap_seqs, ref_event, outdir,
                                   normalize=normalize, clip=clip,
                                   filter_depth=filter_depth, viz=viz,
                                   log=log)
-    stats["sv_graph"] = dict(n_nodes=svg.n_nodes,
-                             n_edges=len(svg.edges),
-                             order=order)
     with open(os.path.join(outdir, "graph_stats.json"), "w") as fh:
         json.dump(stats, fh, indent=1)
+    return stats
+
+
+SV_STAGES = ("minigraph", "graphmap", "align", "join")
+
+
+def run_pangenome_sv(genomes: dict[str, dict[str, Sequence]],
+                     ref_event: str, outdir: str,
+                     config: Config | None = None,
+                     min_sv: int = 50,
+                     min_chain_override: int | None = 64,
+                     normalize: bool = True, clip: int | None = 10_000,
+                     filter_depth: int | None = 2, viz: bool = True,
+                     stages: tuple = SV_STAGES,
+                     log=lambda m: None) -> dict:
+    """The full minigraph-cactus tier: iterative SV graph → graphmap →
+    base-level alignment against the graph → normalize/clip/VCF.
+
+    Mirrors cactus-pangenome's stage chain (refmap/cactus_pangenome.py:
+    3-13): instead of the all-pairs star alignment, every haplotype is
+    aligned only to the SV graph's node sequences (the `_MINIGRAPH_`
+    event), and base-level homology between haplotypes arises
+    transitively through the shared node columns in CAF — the reference
+    architecture, and O(haplotypes), not O(haplotypes²).
+
+    Every stage hands its artifact to the next THROUGH DISK (rgfa, paf,
+    raw gfa), so a staged run (one stage per invocation, the reference's
+    cactus-minigraph/-graphmap/-align/-graphmap-join decomposition) is
+    byte-identical to this monolithic run.
+    """
+    stats: dict = {}
+    if "minigraph" in stages:
+        sv_stage_minigraph(genomes, ref_event, outdir, config=config,
+                           min_sv=min_sv, log=log)
+    if "graphmap" in stages:
+        sv_stage_graphmap(genomes, outdir, config=config, log=log)
+    if "align" in stages:
+        sv_stage_align(genomes, outdir, config=config,
+                       min_chain_override=min_chain_override, log=log)
+    if "join" in stages:
+        stats = sv_stage_join(genomes, ref_event, outdir,
+                              normalize=normalize, clip=clip,
+                              filter_depth=filter_depth, viz=viz, log=log)
+        with open(os.path.join(outdir, "minigraph_order.json")) as fh:
+            stats["sv_graph"] = json.load(fh)
+        with open(os.path.join(outdir, "graph_stats.json"), "w") as fh:
+            json.dump(stats, fh, indent=1)
     return stats
 
 

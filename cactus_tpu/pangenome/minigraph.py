@@ -149,6 +149,34 @@ class SVGraph:
                 fh.close()
 
 
+def read_rgfa(path) -> SVGraph:
+    """Load an rGFA written by SVGraph.write_rgfa (node ids s1..sN with
+    SN/SO/SR stable tags) — the artifact boundary between the
+    cactus-minigraph and cactus-graphmap stages."""
+    from ..io.fasta import _CODE_OF
+    g = SVGraph()
+    names: dict[str, int] = {}
+    edges = []
+    with open(path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if f[0] == "S":
+                tags = {t.split(":", 1)[0]: t.split(":", 2)[2]
+                        for t in f[3:]}
+                codes = _CODE_OF[np.frombuffer(
+                    f[2].encode(), np.uint8)].astype(np.uint8)
+                v = g.add_node(codes, tags.get("SN", f[1]),
+                               int(tags.get("SO", 0)),
+                               int(tags.get("SR", 0)))
+                names[f[1]] = v
+            elif f[0] == "L":
+                edges.append((f[1], 1 if f[2] == "+" else -1,
+                              f[3], 1 if f[4] == "+" else -1))
+    for un, ou, vn, ov in edges:
+        g.add_edge(names[un], ou, names[vn], ov)
+    return g
+
+
 def _map_contig(qname: str, qseq: Sequence, graph: SVGraph,
                 cfg: BlastParams, preset: str = "one"
                 ) -> list[PafRecord]:

@@ -131,3 +131,64 @@ def test_align_root_subtree(tmp_path):
     assert not os.path.exists(os.path.join(out, "steps", "root.npz"))
     text = open(maf).read()
     assert "ab." in text and "c.c" not in text
+
+
+def test_cli_new_entrypoint_verbs(sim_dir, tmp_path):
+    """maf2bigmaf / hal2seqfile / hal append / patch — the remaining
+    reference console entry points (setup.py:41-65) as CLI verbs."""
+    sim, seqfile, _d = sim_dir
+    out = str(tmp_path / "aln")
+    maf = str(tmp_path / "o.maf")
+    assert cli.main(["align", seqfile, out, "--maf", maf,
+                     "--min-chain", "64"]) == 0
+
+    # maf2bigmaf
+    big = str(tmp_path / "o.bigmaf.txt")
+    assert cli.main(["maf2bigmaf", maf, big, "--ref-genome", "root"]) == 0
+    assert os.path.getsize(big) > 0 and os.path.exists(big + ".as")
+
+    # hal2seqfile
+    sfdir = str(tmp_path / "sf")
+    assert cli.main(["hal2seqfile", out, sfdir, "--leaves-only"]) == 0
+    lines = open(os.path.join(sfdir, "seqfile.txt")).read().splitlines()
+    assert lines[0].endswith(";")                     # newick
+    names = {l.split()[0] for l in lines[1:]}
+    assert names == {"a", "b", "c"}
+    for l in lines[1:]:
+        assert os.path.exists(l.split()[1])
+
+    # hal append: start an empty archive, append the root subtree
+    from cactus_tpu.hal_archive import HalArchive
+    store = AlignmentStore(out)
+    result = store.load_result()
+    arc_path = str(tmp_path / "t.hal")
+    HalArchive.create(arc_path, newick=result.tree.to_newick())
+    assert cli.main(["hal", "append", arc_path, "--store", out,
+                     "--genome", "root"]) == 0
+    arc = HalArchive.open(arc_path)
+    assert "root" in arc.genomes()
+
+    # patch: pangenome graph, then patch one haplotype along another
+    pan = str(tmp_path / "pan")
+    assert cli.main(["pangenome", seqfile, pan, "--min-chain", "64"]) == 0
+    pdir = str(tmp_path / "patched")
+    assert cli.main(["patch", os.path.join(pan, "pangenome.gfa"),
+                     "a", pdir, "--donors", "b"]) == 0
+    assert os.path.exists(os.path.join(pdir, "a.patched.fa"))
+    assert os.path.exists(os.path.join(pdir, "patch_report.json"))
+
+
+def test_cli_pangenome_staged(sim_dir, tmp_path):
+    """--mode sv --stage X runs one stage per invocation; final
+    artifacts match the monolithic sv run byte-for-byte."""
+    _sim, seqfile, _d = sim_dir
+    mono = str(tmp_path / "mono")
+    assert cli.main(["pangenome", seqfile, mono, "--mode", "sv",
+                     "--min-chain", "64"]) == 0
+    staged = str(tmp_path / "staged")
+    for st in ["minigraph", "graphmap", "align", "join"]:
+        assert cli.main(["pangenome", seqfile, staged, "--mode", "sv",
+                         "--min-chain", "64", "--stage", st]) == 0
+    for f in ["pangenome.gfa", "pangenome.vcf"]:
+        assert (open(os.path.join(mono, f), "rb").read()
+                == open(os.path.join(staged, f), "rb").read()), f

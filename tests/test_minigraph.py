@@ -126,3 +126,26 @@ def test_run_pangenome_sv_end_to_end(sv_genomes, tmp_path):
     # the final base graph has bubbles (SNPs) and paths for haplotypes
     assert stats["n_paths"] == 3
     assert stats["n_nodes"] > 3
+
+
+def test_sv_staged_equals_monolithic(sv_genomes, tmp_path):
+    """Stage-decomposed sv runs (minigraph → graphmap → align → join as
+    separate invocations over disk artifacts) are byte-identical to the
+    monolithic run — the reference's step-by-step-vs-end-to-end
+    yeastPangenome oracle (evolverTest.py:1404-1850)."""
+    from cactus_tpu.pangenome.driver import (sv_stage_align,
+                                             sv_stage_graphmap,
+                                             sv_stage_join,
+                                             sv_stage_minigraph)
+    mono = str(tmp_path / "mono")
+    run_pangenome_sv(sv_genomes, "ref", mono)
+    staged = str(tmp_path / "staged")
+    sv_stage_minigraph(sv_genomes, "ref", staged)
+    sv_stage_graphmap(sv_genomes, staged)
+    sv_stage_align(sv_genomes, staged)
+    sv_stage_join(sv_genomes, "ref", staged)
+    for f in ["sv_graph.rgfa", "graphmap.paf", "pangenome.raw.gfa",
+              "pangenome.gfa", "pangenome.vcf", "pangenome.bub.vcf"]:
+        a = open(os.path.join(mono, f), "rb").read()
+        b = open(os.path.join(staged, f), "rb").read()
+        assert a == b, f"{f} differs between staged and monolithic"
