@@ -6,8 +6,10 @@ within a host-memory budget and an accuracy floor — the criteria from
 the round-1 verdict ("a >=100 Mb two-genome alignment completes on one
 chip within memory with accuracy held").
 
-Measured anchors (one v5e chip + 4-core host, this repo):
-  5 Mb pair: 292 s, 5.1 GB peak RSS, ~17 k cols/s
+Measured anchors (this repo):
+  5 Mb pair:  292 s, 5.1 GB peak RSS, ~17 k cols/s (one v5e chip)
+  20 Mb pair: 2183 s, 21.3 GB peak RSS, 19.88 M cols = 99.4% coverage
+              (2026-08-18, CPU-only under load — TPU tunnel down)
 (See PROGRESS notes / README for the current large-run numbers.)
 """
 
