@@ -12,13 +12,18 @@ mesh in two configurations:
      DCN/ICI hop between two pod hosts.
 
 Scaling efficiency = throughput(B) / throughput(A): the fraction of
-single-host throughput that survives process-boundary collectives.  On
-real pod hardware the same script (JAX_PLATFORMS unset, processes on
-separate hosts via --coordinator) measures the true 2-host number; the
+single-host throughput that survives process-boundary collectives.  The
 reference's equivalent axis is Toil jobs over a cluster (SURVEY §2.4).
 
-Usage:  python bench_multihost.py            # orchestrates A then B
-        prints ONE JSON line like bench.py.
+Usage:  python bench_multihost.py            # orchestrates A then B on
+        localhost CPU devices; prints ONE JSON line like bench.py.
+
+On real pod hardware, run the worker entry directly on each host with
+JAX_PLATFORMS set for the accelerator (the orchestrator here pins CPU
+because it forces xla_force_host_platform_device_count):
+
+    host0$ python bench_multihost.py --worker 2 0 host0:port /tmp/out.json
+    host1$ python bench_multihost.py --worker 2 1 host0:port /dev/null
 """
 
 from __future__ import annotations

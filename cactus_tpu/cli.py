@@ -49,7 +49,8 @@ def _init_jax() -> None:
 
 def load_genomes_from_seqfile(sf: SeqFile,
                               do_mask: bool = False,
-                              only: set[str] | None = None
+                              only: set[str] | None = None,
+                              pp=None
                               ) -> dict[str, dict[str, Sequence]]:
     """Load + sanitize (+ optionally repeat-mask) every genome.
 
@@ -60,7 +61,8 @@ def load_genomes_from_seqfile(sf: SeqFile,
     """
     from .preprocessor.headers import sanitize_genome
     from .preprocessor.masking import mask_genome
-    pp = Config.default().preprocessor
+    if pp is None:
+        pp = Config.default().preprocessor
     genomes = {}
     for event, path in sf.paths.items():
         if only is not None and event not in only:
@@ -128,14 +130,15 @@ def cmd_align(args) -> int:
         tree = node
         _log(f"restricted to subtree rooted at {args.root} "
              f"({len(tree.leaf_names())} genomes)")
-    genomes = load_genomes_from_seqfile(
-        sf, do_mask=args.mask, only=set(tree.leaf_names()))
-    store = AlignmentStore(args.outdir)
     config = Config.default()
     if args.config:
         from .config_xml import load_config_xml
         config = load_config_xml(args.config, base=config)
         _log(f"loaded config overrides from {args.config}")
+    genomes = load_genomes_from_seqfile(
+        sf, do_mask=args.mask, only=set(tree.leaf_names()),
+        pp=config.preprocessor)
+    store = AlignmentStore(args.outdir)
     aligner = ProgressiveAligner(
         tree, genomes, config=config,
         min_chain_override=args.min_chain, store=store, log=_log,

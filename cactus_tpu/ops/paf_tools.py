@@ -97,7 +97,7 @@ def trim_record_to_query(r: PafRecord, q0: int,
     if not kept:
         return None
     new_ops: list[tuple[str, int]] = []
-    nmatch = 0
+    m_cols = 0
     nq0 = nq1 = None
     nt0 = nt1 = None
     for op, ln, qlo, qhi, tlo, thi in kept:
@@ -106,7 +106,7 @@ def trim_record_to_query(r: PafRecord, q0: int,
         else:
             new_ops.append((op, ln))
         if op == "M":
-            nmatch += ln
+            m_cols += ln
         if qlo is not None:
             nq0 = qlo if nq0 is None else min(nq0, qlo)
             nq1 = qhi if nq1 is None else max(nq1, qhi)
@@ -118,8 +118,17 @@ def trim_record_to_query(r: PafRecord, q0: int,
     out.qstart, out.qend = nq0, nq1
     out.tstart, out.tend = nt0, nt1
     out.cigar = new_ops
-    out.nmatch = nmatch
     out.alnlen = sum(ln for _op, ln in new_ops)
+    # nmatch/AS scale proportionally to the kept fraction — the cigar
+    # alone can't distinguish matches from mismatches within M columns,
+    # and a trimmed sliver must not keep its full-record identity and
+    # chain score (that would let slivers clear minPrimaryChainScore
+    # and outrank genuinely stronger records downstream)
+    orig_m = sum(ln for op, ln in r.cigar if op in "M=X")
+    frac = m_cols / orig_m if orig_m else 0.0
+    out.nmatch = min(m_cols, int(round(r.nmatch * frac)))
+    if "AS" in out.tags:
+        out.set_tag("AS", "i", int(round(r.score * frac)))
     return out
 
 

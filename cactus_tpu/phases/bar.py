@@ -59,17 +59,22 @@ def _check_pecan_knobs(pec) -> None:
     """Loudly flag pecan knobs whose non-default values this engine
     cannot honor (the star/backbone + anchor-split design has no poset
     spanning-tree merge and its band geometry is the adaptive band, not
-    cPecan's anchor-diagonal expansion) — never a silent no-op."""
-    if pec.gap_gamma != 0.0:
+    cPecan's anchor-diagonal expansion) — never a silent no-op.
+    Defaults come from PecanParams itself so they cannot drift."""
+    from ..config import PecanParams
+    ref = PecanParams()
+    if pec.gap_gamma != ref.gap_gamma:
         _warn_once("pecan gapGamma != 0 has no indel-probability term "
                    "in this engine; value ignored")
-    if pec.spanning_trees != 5:
+    if pec.spanning_trees != ref.spanning_trees:
         _warn_once("pecan spanningTrees is n/a to the star/backbone MSA "
                    "(no poset pair merge); value ignored")
-    if not pec.use_progressive_merging:
+    if pec.use_progressive_merging != ref.use_progressive_merging:
         _warn_once("pecan useProgressiveMerging=0 is n/a to the "
                    "star/backbone MSA; value ignored")
-    if pec.diagonal_expansion != 20 or pec.constraint_diagonal_trim != 14:
+    if (pec.diagonal_expansion != ref.diagonal_expansion
+            or pec.constraint_diagonal_trim
+            != ref.constraint_diagonal_trim):
         _warn_once("pecan diagonalExpansion/constraintDiagonalTrim are "
                    "n/a to the adaptive-band design; values ignored")
 

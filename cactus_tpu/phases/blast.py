@@ -659,6 +659,11 @@ def finalize(records: list[PafRecord], cfg: BlastParams
     if cfg.primary_selection == "tile-trim":
         return finalize_records(records, cfg)
     records = mark_primaries(records, min_primary_score=0)
+    if not cfg.output_secondary_alignments:
+        # outputSecondaryAlignments=0 drops coverage-demoted records
+        # too, not only chain-score demotions (local_alignment.py:
+        # 679-688 filters maxTileLevel>1 out entirely)
+        records = [r for r in records if r.is_primary]
     return filter_primary_chains(
         records, cfg.min_primary_chain_score, cfg.chain_max_gap_length,
         gap_open=cfg.chain_gap_open, gap_extend=cfg.chain_gap_extend,

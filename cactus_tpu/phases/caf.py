@@ -228,28 +228,32 @@ def tree_coverage_filter(blocks: Blocks, alive: np.ndarray,
     if B == 0 or min_coverage <= 0:
         return alive
     events = np.array([event_of(n) for n in blocks.table.names])
-    leaves = [l for l in event_tree.leaf_names()]
+    # normalize over the events PRESENT in this CAF problem: outgroups
+    # are overlay-only here (never pinched into blocks), so an event
+    # tree carrying og branches would deflate every block's coverage
+    # and over-melt (reference blocks can contain og segments, so its
+    # whole-tree denominator is attainable; ours must be too)
+    present = set(events.tolist())
+    leaves = [l for l in event_tree.leaf_names() if l in present]
+    if not leaves:
+        return alive
     eidx = {e: i for i, e in enumerate(leaves)}
     if len(leaves) > 63:
         raise NotImplementedError("tree_coverage_filter: > 63 events")
-    seg_bit = np.array([1 << eidx.get(e, 0) if e in eidx else 0
+    seg_bit = np.array([1 << eidx[e] if e in eidx else 0
                         for e in events], np.int64)[blocks.seg_seq]
     mask = np.zeros(B, np.int64)
     np.bitwise_or.at(mask, blocks.seg_block, seg_bit)
-
-    # total branch length
-    def total_len(t):
-        return sum((c.length or 0.0) + total_len(c) for c in t.children)
-    whole = total_len(event_tree)
-    if whole <= 0:
-        return alive
 
     # per-node leaf bitmask via postorder
     node_mask: dict[int, int] = {}
 
     def fill(t):
         if not t.children:
-            node_mask[id(t)] = 1 << eidx[t.name]
+            # leaves absent from this CAF problem (overlay-only
+            # outgroups) carry no bit
+            node_mask[id(t)] = (1 << eidx[t.name]
+                                if t.name in eidx else 0)
             return node_mask[id(t)]
         m = 0
         for c in t.children:
@@ -257,8 +261,6 @@ def tree_coverage_filter(blocks: Blocks, alive: np.ndarray,
         node_mask[id(t)] = m
         return m
     fill(event_tree)
-
-    cov_of: dict[int, float] = {}
 
     def steiner(mask_val: int) -> float:
         # edge above node v counts iff subtree(v) contains >=1 of S and
@@ -275,10 +277,13 @@ def tree_coverage_filter(blocks: Blocks, alive: np.ndarray,
                     stack.append(c)
         return total
 
-    uniq = np.unique(mask)
-    cov = np.zeros(B)
-    for mv in uniq:
-        cov_of[int(mv)] = steiner(int(mv)) / whole if mv else 0.0
+    # denominator: the Steiner span of ALL present events — a block
+    # containing every event scores exactly 1.0
+    whole = steiner((1 << len(leaves)) - 1)
+    if whole <= 0:
+        return alive
+    cov_of = {int(mv): steiner(int(mv)) / whole if mv else 0.0
+              for mv in np.unique(mask)}
     cov = np.array([cov_of[int(m)] for m in mask])
     return alive & (cov >= min_coverage)
 

@@ -244,3 +244,34 @@ def test_primary_selection_tile_trim_mode():
     bad = dataclasses.replace(cfg.blast, chain_trim_fraction=0.5)
     with _pytest.raises(NotImplementedError):
         finalize_records([], bad)
+
+
+def test_finalize_drops_secondaries_when_configured():
+    """outputSecondaryAlignments=0 drops coverage-demoted records in
+    BOTH selection modes (reference: filter --maxTileLevel 1 discards
+    them entirely, local_alignment.py:679-688)."""
+    import dataclasses
+    from cactus_tpu.config import Config
+    from cactus_tpu.io.paf import PafRecord
+
+    def rec(qs, qe, score):
+        r = PafRecord("A.q", 100_000, qs, qe, "+", "B.t", 100_000,
+                      qs, qe, qe - qs, qe - qs,
+                      tags={"cg": ("Z", f"{qe-qs}M")})
+        r.set_tag("AS", "i", score)
+        return r
+
+    best = rec(0, 1000, 50_000)
+    shadowed = rec(100, 900, 40_000)
+    for mode in ("coverage", "tile-trim"):
+        cfg = dataclasses.replace(Config.default().blast,
+                                  primary_selection=mode,
+                                  output_secondary_alignments=False)
+        out = blast.finalize([rec(0, 1000, 50_000), rec(100, 900, 40_000)],
+                             cfg)
+        assert all(r.is_primary for r in out), mode
+        assert len(out) == 1, (mode, [str(r)[:60] for r in out])
+        cfg2 = dataclasses.replace(cfg, output_secondary_alignments=True)
+        out2 = blast.finalize([rec(0, 1000, 50_000), rec(100, 900, 40_000)],
+                              cfg2)
+        assert sum(not r.is_primary for r in out2) == 1, mode

@@ -232,3 +232,25 @@ def test_tree_coverage_filter():
     cfg = CafParams(minimum_tree_coverage=0.5)
     with pytest.raises(ValueError):
         run_caf([], {"a.s": 30}, cfg)
+
+
+def test_tree_coverage_normalizes_over_present_events():
+    """The coverage denominator spans only the events present in the
+    CAF problem: an event tree carrying outgroup branches (og records
+    are overlay-only here, never pinched) must not deflate coverage."""
+    import numpy as np
+    from cactus_tpu.graph.columns import SeqTable
+    from cactus_tpu.graph.pinch import pinch_blocks, global_runs_to_thread_runs
+    from cactus_tpu.phases.caf import tree_coverage_filter
+    from cactus_tpu.utils.trees import parse_newick
+
+    # og attached at distance 5.0 dominates total branch length
+    tree = parse_newick("((a:0.05,b:0.05)ab:0.0,og:5.0)root;")
+    table = SeqTable.build({"a.s": 30, "b.s": 30})
+    runs = global_runs_to_thread_runs([(0, 30, 10, 1)], table)
+    blocks = pinch_blocks(table, ["a", "b"], primary_runs=runs)
+    alive = np.ones(blocks.n_blocks, bool)
+    # the a~b block spans ALL present events -> coverage 1.0, survives
+    # any threshold (with the og branch in the denominator it would be
+    # 0.1/5.1 and melt)
+    assert tree_coverage_filter(blocks, alive, tree, 0.9).all()

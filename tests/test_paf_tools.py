@@ -117,5 +117,8 @@ def test_trim_record_fuzz_vs_pair_oracle():
         got = set()
         if piece is not None:
             got = {(q, t) for q, t in piece.aligned_pairs()}
-            assert piece.nmatch == len(got)
+            # nmatch scales proportionally to the kept M fraction (a
+            # sliver must not keep full-record identity/score)
+            assert piece.nmatch <= len(got)
+            assert piece.score <= r.score
         assert got == want, (trial, cg, strand, q0, q1)
