@@ -17,7 +17,7 @@ import subprocess
 import numpy as np
 
 _SRCS = [os.path.join(os.path.dirname(__file__), f)
-         for f in ("graphops.cpp", "pinchgraph.cpp")]
+         for f in ("graphops.cpp", "pinchgraph.cpp", "dp.cpp")]
 _LIB = None
 _TRIED = False
 
@@ -31,8 +31,8 @@ def _compile() -> str | None:
     if os.path.exists(so):
         return so
     tmp = so + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS,
-           "-o", tmp]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           *_SRCS, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
@@ -83,8 +83,90 @@ def load():
             lib.pg_n_conflicts.argtypes = [ctypes.c_void_p]
             lib.pg_export.restype = None
             lib.pg_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+            lib.dp_banded_batch.restype = None
+            lib.dp_banded_batch.argtypes = [
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32]
+            lib.dp_chain_batch.restype = None
+            lib.dp_chain_batch.argtypes = [
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
             _LIB = lib
     return _LIB
+
+
+def dp_banded_batch(pairs, submat: np.ndarray, gap_open: int,
+                    gap_extend: int, bands: np.ndarray,
+                    n_threads: int = 4):
+    """Native banded affine alignment of [(q_codes, t_codes), ...].
+
+    Returns (scores (P,) int32, moves uint8 buffer, moves_off (P+1,),
+    n_moves (P,)) or None when the native library is unavailable.
+    Bit-identical to ops/banded.py banded_align_batch + traceback_band.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    P = len(pairs)
+    q_off = np.zeros(P + 1, np.int64)
+    t_off = np.zeros(P + 1, np.int64)
+    for i, (q, t) in enumerate(pairs):
+        q_off[i + 1] = q_off[i] + len(q)
+        t_off[i + 1] = t_off[i] + len(t)
+    qcat = np.concatenate([np.ascontiguousarray(q, np.uint8)
+                           for q, _ in pairs]) if P else np.zeros(0, np.uint8)
+    tcat = np.concatenate([np.ascontiguousarray(t, np.uint8)
+                           for _, t in pairs]) if P else np.zeros(0, np.uint8)
+    caps = (q_off[1:] - q_off[:-1]) + (t_off[1:] - t_off[:-1])
+    moves_off = np.zeros(P + 1, np.int64)
+    np.cumsum(caps, out=moves_off[1:])
+    moves = np.empty(int(moves_off[-1]), np.uint8)
+    scores = np.empty(P, np.int32)
+    n_moves = np.empty(P, np.int64)
+    bands = np.ascontiguousarray(bands, np.int32)
+    sm = np.ascontiguousarray(submat, np.int32)
+    lib.dp_banded_batch(P, _ptr(qcat), _ptr(q_off), _ptr(tcat), _ptr(t_off),
+                        _ptr(bands), _ptr(sm), gap_open, gap_extend,
+                        _ptr(scores), _ptr(moves), _ptr(moves_off),
+                        _ptr(n_moves), n_threads)
+    return scores, moves, moves_off, n_moves
+
+
+def dp_chain_batch(runs_list, gap_open: int, gap_extend: int, max_gap: int,
+                   lookback: int, n_threads: int = 4):
+    """Native chain scan over pre-sorted (qstart, tstart, len) run sets.
+
+    Returns (scores, preds) per set (int32 arrays) or None when the
+    native library is unavailable.  Bit-identical to _chain_scan.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    S = len(runs_list)
+    off = np.zeros(S + 1, np.int64)
+    for i, r in enumerate(runs_list):
+        off[i + 1] = off[i] + len(r)
+    n = int(off[-1])
+    if n == 0:
+        return [np.zeros(0, np.int32) for _ in runs_list], \
+            [np.zeros(0, np.int32) for _ in runs_list]
+    cat = np.concatenate([np.ascontiguousarray(r, np.int32).reshape(-1, 3)
+                          for r in runs_list if len(r)])
+    qs = np.ascontiguousarray(cat[:, 0])
+    ts = np.ascontiguousarray(cat[:, 1])
+    ln = np.ascontiguousarray(cat[:, 2])
+    scores = np.empty(n, np.int32)
+    preds = np.empty(n, np.int32)
+    lib.dp_chain_batch(S, _ptr(off), _ptr(qs), _ptr(ts), _ptr(ln),
+                       gap_open, gap_extend, max_gap, lookback,
+                       _ptr(scores), _ptr(preds), n_threads)
+    return ([scores[off[i]:off[i + 1]] for i in range(S)],
+            [preds[off[i]:off[i + 1]] for i in range(S)])
 
 
 def _ptr(a: np.ndarray):

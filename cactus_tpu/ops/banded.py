@@ -368,6 +368,45 @@ def moves_to_ops(moves: np.ndarray, count: int) -> list[tuple[str, int]]:
 # accelerator outweighs the compute: route the batch to host CPU.
 SMALL_BATCH_CELLS = 32_000_000
 
+# Below this many cells the native C++ kernel (threaded, zero dispatch
+# latency, no XLA-CPU compile diversity) beats the TPU round trip; the
+# Pallas kernel owns everything larger.  Measured on the loopback-relay
+# link: ~54 ms/dispatch, ~80 MB/s — native does ~50M cells in that time.
+NATIVE_MAX_CELLS = 256_000_000
+
+
+def moves_to_ops_fwd(moves: np.ndarray) -> list[tuple[str, int]]:
+    """Forward-order move codes → cigar ops (host run-length encode)."""
+    if not len(moves):
+        return []
+    brk = np.flatnonzero(np.diff(moves)) + 1
+    starts = np.concatenate([[0], brk])
+    ends = np.concatenate([brk, [len(moves)]])
+    return [(str(_OP_CHARS[moves[s]]), int(e - s))
+            for s, e in zip(starts, ends)]
+
+
+def align_pairs_native(pairs, submat, gap: GapParams, band: int):
+    """Native C++ banded batch (bit-identical to the JAX kernels).
+
+    Returns list of (score, cigar_ops) or None if unavailable."""
+    from ..native import build as native
+    res = native.dp_banded_batch(
+        pairs, submat, gap.gap_open, gap.gap_extend,
+        np.full(len(pairs), band, np.int32))
+    if res is None:
+        return None
+    scores, moves, moves_off, n_moves = res
+    out = []
+    for p in range(len(pairs)):
+        n = int(n_moves[p])
+        if n < 0:
+            raise RuntimeError("native traceback left the band "
+                               f"(pair {p}, band {band})")
+        o = int(moves_off[p])
+        out.append((int(scores[p]), moves_to_ops_fwd(moves[o:o + n])))
+    return out
+
 
 def default_backend(cells: int | None = None):
     """Pallas kernel on TPU for large batches; XLA scan on CPU for small
@@ -390,6 +429,15 @@ def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
     """
     if not pairs:
         return []
+    if backend is None:
+        # native C++ first for modest batches: zero dispatch latency,
+        # no XLA-CPU compile diversity, threads over pairs; Pallas/TPU
+        # owns large batches (see NATIVE_MAX_CELLS)
+        true_cells = sum(len(q) for q, _t in pairs) * band
+        if true_cells < NATIVE_MAX_CELLS:
+            out = align_pairs_native(pairs, submat, gap, band)
+            if out is not None:
+                return out
     # split oversized batches: the dirs tensor is P×Mmax×band bytes and a
     # single bin of long, wide-band pairs can otherwise demand >100 GB
     max_m = max(len(q) for q, _t in pairs)

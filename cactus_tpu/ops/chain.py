@@ -90,6 +90,11 @@ def chain_anchors(runs: np.ndarray, gap_open: int = 20, gap_extend: int = 1,
     if len(runs) == 0:
         return (np.zeros(0, np.int64),) * 3
     order = np.lexsort((runs[:, 1], runs[:, 0]))
+    from ..native import build as native
+    nat = native.dp_chain_batch([runs[order].astype(np.int32)],
+                                gap_open, gap_extend, max_gap, lookback)
+    if nat is not None:
+        return order, nat[0][0], nat[1][0]
     r = _pad_sorted_runs(runs[order].astype(np.int32))
     from . import smart_put
     put = smart_put(len(r) * lookback)
@@ -123,13 +128,24 @@ def chain_anchors_batch(runs_list: list[np.ndarray], gap_open: int = 20,
     bins: dict[int, list[int]] = {}
     padded: list = [None] * len(runs_list)
     orders: list = [None] * len(runs_list)
+    nonempty: list[int] = []
     for i, runs in enumerate(runs_list):
         if len(runs) == 0:
             out[i] = (np.zeros(0, np.int64),) * 3
             continue
-        order = np.lexsort((runs[:, 1], runs[:, 0]))
-        r = _pad_sorted_runs(runs[order].astype(np.int32))
-        orders[i] = order
+        orders[i] = np.lexsort((runs[:, 1], runs[:, 0]))
+        nonempty.append(i)
+    # native C++ scan: threaded, zero dispatch latency, bit-identical
+    from ..native import build as native
+    nat = native.dp_chain_batch(
+        [runs_list[i][orders[i]].astype(np.int32) for i in nonempty],
+        gap_open, gap_extend, max_gap, lookback)
+    if nat is not None:
+        for row, i in enumerate(nonempty):
+            out[i] = (orders[i], nat[0][row], nat[1][row])
+        return out
+    for i in nonempty:
+        r = _pad_sorted_runs(runs_list[i][orders[i]].astype(np.int32))
         padded[i] = r
         bins.setdefault(len(r), []).append(i)
     from . import smart_put

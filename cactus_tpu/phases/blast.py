@@ -375,14 +375,48 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
         return min(want, 1 << 24)
 
     if mesh is None or len(mesh.devices.flat) <= 1:
+        # single-device path: exact host-numpy join with the target side
+        # hashed+sorted once per chunk and shared across every task that
+        # aligns to it (strands, cascade tiers, sibling queries).  Zero
+        # device round-trips; threads overlap the numpy sorts.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops import seeds_host
+
+        def t_valid(task):
+            if task.t_mask is None:
+                return None
+            return ~task.t_mask
+
+        # phase 1: build each unique target table once (dedup by identity)
+        tgt_keys = {}
         for i, task in enumerate(tasks):
-            qpos, tpos = find_anchors(
-                task.q, task.t, k=sp.k, step=sp.step_for(task.preset),
-                max_occ=max_occ, max_anchors=eff_cap(len(task.q)),
-                pattern=sp.pattern_for(task.preset),
-                q_seed_mask=task.q_mask, t_seed_mask=task.t_mask,
-                task=task, log=log)
-            out[i] = (qpos, tpos)
+            pattern = sp.pattern_for(task.preset)
+            key = (id(task.t), None if task.t_mask is None
+                   else id(task.t_mask), sp.k, pattern)
+            tgt_keys.setdefault(key, (task.t, t_valid(task), pattern))
+        tables: dict[tuple, seeds_host.HashedTarget] = {}
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = {key: pool.submit(seeds_host.hash_target, codes, valid,
+                                     sp.k, pattern)
+                    for key, (codes, valid, pattern) in tgt_keys.items()}
+            for key, f in futs.items():
+                tables[key] = f.result()
+
+            # phase 2: per-task query hash + join, threaded
+            def join_one(i):
+                task = tasks[i]
+                pattern = sp.pattern_for(task.preset)
+                key = (id(task.t), None if task.t_mask is None
+                       else id(task.t_mask), sp.k, pattern)
+                qv = None if task.q_mask is None else ~task.q_mask
+                return seeds_host.seed_join_host(
+                    task.q, qv, tables[key], k=sp.k,
+                    step=sp.step_for(task.preset), max_occ=max_occ,
+                    pattern=pattern)
+
+            for i, res in enumerate(pool.map(join_one, range(len(tasks)))):
+                out[i] = res
         return out
 
     from ..parallel.mesh import sharded_pair_seed_join
@@ -465,11 +499,23 @@ def run_tasks(tasks: list[StrandTask], cfg: BlastParams,
     assembly.  Output is identical to per-task processing; device
     round-trips drop from O(tasks) to O(shape bins).
     """
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("CACTUS_BLAST_PROF")
+    _t = _time.time()
     submat = score_matrix_6(PoaParams().sub_matrix)
     anchors = anchors_for_tasks(tasks, cfg, mesh=mesh, log=log)
+    if _prof:
+        print(f"[blast-prof] anchors({len(tasks)} tasks): "
+              f"{_time.time() - _t:.2f}s", flush=True)
+        _t = _time.time()
     runs_list = [_task_runs(t, qp, tp, cfg)
                  for t, (qp, tp) in zip(tasks, anchors)]
     chained = chain_ops.chain_anchors_batch(runs_list, max_gap=8192)
+    if _prof:
+        print(f"[blast-prof] chain({sum(len(r) for r in runs_list)} runs): "
+              f"{_time.time() - _t:.2f}s", flush=True)
+        _t = _time.time()
 
     sp = cfg.seed
     gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
@@ -488,15 +534,26 @@ def run_tasks(tasks: list[StrandTask], cfg: BlastParams,
         all_layouts.append(layouts)
         all_pending.extend(pending)
 
+    if _prof:
+        print(f"[blast-prof] layouts: {_time.time() - _t:.2f}s", flush=True)
+        _t = _time.time()
     filled = _fill_gaps_banded(all_pending,
                                [t.q for t in tasks], [t.t for t in tasks],
                                submat, gap_params)
+    if _prof:
+        _cells = sum((g.q1 - g.q0) for g in all_pending)
+        print(f"[blast-prof] fill({len(all_pending)} gaps, {_cells} qbp): "
+              f"{_time.time() - _t:.2f}s", flush=True)
+        _t = _time.time()
 
     records: list[PafRecord] = []
     for i, (task, layouts) in enumerate(zip(tasks, all_layouts)):
         records.extend(_emit_records(
             layouts, filled, task.q, task.t, task.qname, task.tname,
             task.qlen_full, task.tlen, task.strand, cfg, submat, task=i))
+    if _prof:
+        print(f"[blast-prof] emit({len(records)} records): "
+              f"{_time.time() - _t:.2f}s", flush=True)
     return records
 
 
