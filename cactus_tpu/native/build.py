@@ -90,6 +90,12 @@ def load():
                 ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int32]
+            lib.dp_chain_extract.restype = ctypes.c_int64
+            lib.dp_chain_extract.argtypes = [
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p]
             lib.dp_chain_batch.restype = None
             lib.dp_chain_batch.argtypes = [
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -167,6 +173,40 @@ def dp_chain_batch(runs_list, gap_open: int, gap_extend: int, max_gap: int,
                        _ptr(scores), _ptr(preds), n_threads)
     return ([scores[off[i]:off[i + 1]] for i in range(S)],
             [preds[off[i]:off[i + 1]] for i in range(S)])
+
+
+def dp_chain_extract(sorted_runs: np.ndarray, scores: np.ndarray,
+                     preds: np.ndarray, min_score: int):
+    """Native fused extract_chains + trim_chain_overlaps.
+
+    sorted_runs: (n,3) runs in (qstart,tstart) sort order; scores/preds
+    from the chain scan over that order.  Returns (runs_flat (R,3) int64,
+    chain_off (C+1,) int64, chain_scores (C,) int32) with chains in
+    descending-score order, or None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(sorted_runs)
+    if n == 0:
+        return (np.zeros((0, 3), np.int64), np.zeros(1, np.int64),
+                np.zeros(0, np.int32))
+    r = np.ascontiguousarray(sorted_runs, np.int32)
+    qs = np.ascontiguousarray(r[:, 0])
+    ts = np.ascontiguousarray(r[:, 1])
+    ln = np.ascontiguousarray(r[:, 2])
+    scores = np.ascontiguousarray(scores, np.int32)
+    preds = np.ascontiguousarray(preds, np.int32)
+    order_desc = np.ascontiguousarray(np.argsort(-scores, kind="stable"),
+                                      np.int64)
+    out_runs = np.empty((n, 3), np.int64)
+    chain_off = np.empty(n + 1, np.int64)
+    chain_score = np.empty(n, np.int32)
+    c = lib.dp_chain_extract(n, _ptr(qs), _ptr(ts), _ptr(ln), _ptr(scores),
+                             _ptr(preds), _ptr(order_desc), min_score,
+                             _ptr(out_runs), _ptr(chain_off),
+                             _ptr(chain_score))
+    return (out_runs[:int(chain_off[c])], chain_off[:c + 1],
+            chain_score[:c])
 
 
 def _ptr(a: np.ndarray):

@@ -248,4 +248,60 @@ void dp_chain_batch(int64_t n_sets, const int64_t* set_off,
     for (auto& th : threads) th.join();
 }
 
+// Greedy best-first chain extraction + overlap trimming (mirrors
+// ops/chain.py extract_chains followed by trim_chain_overlaps, fused).
+// Inputs are the sorted runs + the chain scan's scores/preds and a
+// descending-score visit order (np.argsort(-scores), passed in so the
+// stable tie-break matches numpy exactly).  Emits, per surviving
+// chain, its trimmed (qstart, tstart, len) runs; chains whose runs are
+// entirely consumed by overlap trimming are dropped (the Python path
+// drops them at layout time — same effect).  Returns n_chains.
+int64_t dp_chain_extract(int64_t n,
+                         const int32_t* qs, const int32_t* ts,
+                         const int32_t* ln,
+                         const int32_t* scores, const int32_t* preds,
+                         const int64_t* order_desc, int32_t min_score,
+                         int64_t* out_runs,        // (n*3) capacity
+                         int64_t* chain_off,       // (n+1) capacity
+                         int32_t* chain_score) {   // (n) capacity
+    std::vector<uint8_t> used(n, 0);
+    std::vector<int32_t> idxs;
+    int64_t n_chains = 0;
+    int64_t n_out = 0;
+    chain_off[0] = 0;
+    for (int64_t oi = 0; oi < n; ++oi) {
+        int64_t i = order_desc[oi];
+        if (used[i] || scores[i] < min_score) continue;
+        idxs.clear();
+        int64_t j = i;
+        while (j >= 0 && !used[j]) {
+            idxs.push_back(static_cast<int32_t>(j));
+            used[j] = 1;
+            j = preds[j];
+        }
+        // walk collected back-to-front = forward chain order
+        int64_t prev_qe = INT64_MIN / 2, prev_te = INT64_MIN / 2;
+        int64_t emitted = 0;
+        for (auto it = idxs.rbegin(); it != idxs.rend(); ++it) {
+            int64_t rq = qs[*it], rt = ts[*it], rl = ln[*it];
+            int64_t cut = std::max<int64_t>(
+                std::max(prev_qe - rq, prev_te - rt), 0);
+            if (cut >= rl) continue;
+            rq += cut; rt += cut; rl -= cut;
+            out_runs[3 * n_out] = rq;
+            out_runs[3 * n_out + 1] = rt;
+            out_runs[3 * n_out + 2] = rl;
+            ++n_out;
+            ++emitted;
+            prev_qe = rq + rl;
+            prev_te = rt + rl;
+        }
+        if (emitted) {
+            chain_score[n_chains] = scores[i];
+            chain_off[++n_chains] = n_out;
+        }
+    }
+    return n_chains;
+}
+
 }  // extern "C"

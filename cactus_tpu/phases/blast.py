@@ -117,6 +117,64 @@ def _fill_gaps_banded(gaps, qcodes, tcodes, submat, gap_params):
     return results
 
 
+def _extract_trimmed(runs, order, scores, preds, min_score: int):
+    """Chains (descending score) with overlap-trimmed runs, as flat
+    arrays: (runs_flat (R,3) int64, chain_off (C+1,), chain_scores (C,)).
+    Native C++ fused extract+trim; python fallback."""
+    from ..native import build as native
+    res = native.dp_chain_extract(runs[order], scores, preds, min_score)
+    if res is not None:
+        return res
+    chains = chain_ops.extract_chains(runs, order, scores, preds,
+                                      min_score=min_score)
+    flat, off, cs = [], [0], []
+    for ch in chains:
+        t = chain_ops.trim_chain_overlaps(ch["runs"])
+        if len(t) == 0:
+            continue
+        flat.append(t)
+        off.append(off[-1] + len(t))
+        cs.append(ch["score"])
+    runs_flat = (np.concatenate(flat) if flat
+                 else np.zeros((0, 3), np.int64))
+    return runs_flat, np.asarray(off, np.int64), np.asarray(cs, np.int32)
+
+
+def _layout_one(runs, cid: int, task: int, max_fill: int,
+                pending: list[_PendingGap]):
+    """Layout for one chain's (already overlap-trimmed) runs."""
+    layout = []       # ("run", qs, ts, ln) | ("gap", slot) | ("split",)
+    slot = 0
+    prev = None
+    for qs, ts, ln in runs:
+        if prev is not None:
+            pqe, pte = prev
+            qg, tg = qs - pqe, ts - pte
+            if qg > max_fill or tg > max_fill:
+                layout.append(("split",))
+            elif qg == 0 and tg == 0:
+                pass
+            elif qg == 0:
+                layout.append(("ops", [("D", int(tg))]))
+            elif tg == 0:
+                layout.append(("ops", [("I", int(qg))]))
+            elif min(qg, tg) * 16 < max(qg, tg) and max(qg, tg) > 1024:
+                # grossly asymmetric gap: banding would cost a band
+                # the size of the indel for a near-pure I+D — emit it
+                # directly and let BAR refine the flanks
+                layout.append(("ops", [("I", int(qg)),
+                                       ("D", int(tg))]))
+            else:
+                layout.append(("gap", slot))
+                pending.append(_PendingGap(task, cid, slot,
+                                           int(pqe), int(qs),
+                                           int(pte), int(ts)))
+                slot += 1
+        layout.append(("run", int(qs), int(ts), int(ln)))
+        prev = (qs + ln, ts + ln)
+    return layout
+
+
 def _chain_layouts(chains, cfg: BlastParams, task: int = 0,
                    max_fill: int = 8192):
     """Pass 1 of chains→records: op layouts + pending gap list."""
@@ -127,52 +185,31 @@ def _chain_layouts(chains, cfg: BlastParams, task: int = 0,
         if len(runs) == 0:
             layouts.append(None)
             continue
-        layout = []       # ("run", qs, ts, ln) | ("gap", slot) | ("split",)
-        slot = 0
-        prev = None
-        for qs, ts, ln in runs:
-            if prev is not None:
-                pqe, pte = prev
-                qg, tg = qs - pqe, ts - pte
-                if qg > max_fill or tg > max_fill:
-                    layout.append(("split",))
-                elif qg == 0 and tg == 0:
-                    pass
-                elif qg == 0:
-                    layout.append(("ops", [("D", int(tg))]))
-                elif tg == 0:
-                    layout.append(("ops", [("I", int(qg))]))
-                elif min(qg, tg) * 16 < max(qg, tg) and max(qg, tg) > 1024:
-                    # grossly asymmetric gap: banding would cost a band
-                    # the size of the indel for a near-pure I+D — emit it
-                    # directly and let BAR refine the flanks
-                    layout.append(("ops", [("I", int(qg)),
-                                           ("D", int(tg))]))
-                else:
-                    layout.append(("gap", slot))
-                    pending.append(_PendingGap(task, cid, slot,
-                                               int(pqe), int(qs),
-                                               int(pte), int(ts)))
-                    slot += 1
-            layout.append(("run", int(qs), int(ts), int(ln)))
-            prev = (qs + ln, ts + ln)
-        layouts.append(layout)
+        layouts.append(_layout_one(runs, cid, task, max_fill, pending))
     return layouts, pending
 
 
 def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
-                  tlen, strand, cfg: BlastParams, submat, task: int = 0):
+                  tlen, strand, cfg: BlastParams, submat, task: int = 0,
+                  cids=None, keyed: bool = False):
     """Pass 2 of chains→records: assemble cigars + score + emit PAF.
 
     Scoring is ONE vectorized pass over all candidate records: every M
     run of every record lands in global index arrays, substitution
     scores and match counts come from a single gather + reduceat — no
     per-record numpy slicing (the 40k-call hot spot at genome scale).
+
+    `cids` overrides each layout's chain id (for sparse layout lists);
+    `keyed=True` returns ((chain_rank, seg_idx), record) pairs so the
+    caller can interleave with the vectorized single-run path in the
+    original descending-chain-score order.
     """
     gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
     cands = []                     # (ops, q0, t0, q1, t1, gap_cost)
+    cand_keys = []                 # (chain_rank, seg_idx)
     run_rows = []                  # (cand idx, qstart, tstart, len)
-    for cid, layout in enumerate(layouts):
+    for li, layout in enumerate(layouts):
+        cid = cids[li] if cids is not None else li
         if not layout:
             continue
         # a filled gap with a NEGATIVE DP score means the chain bridged
@@ -201,7 +238,7 @@ def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
                 segs.append([])
             else:
                 segs[-1].append(item)
-        for seg in segs:
+        for seg_i, seg in enumerate(segs):
             runs_in_seg = [it for it in seg if it[0] == "run"]
             if not runs_in_seg:
                 continue
@@ -234,6 +271,7 @@ def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
                         + ln * gap_params.gap_extend
                     j += ln
             cands.append((ops, q0, t0, q1, t1, gap_cost))
+            cand_keys.append((cid, seg_i))
     if not cands:
         return []
     # vectorized substitution scoring over all M runs at once
@@ -270,8 +308,47 @@ def _emit_records(layouts, filled, qcodes, tcodes, qname, tname, qlen_full,
                         alnlen=alnlen, mapq=60)
         rec.cigar = ops
         rec.set_tag("AS", "i", score)
-        records.append(rec)
+        records.append((cand_keys[ci], rec) if keyed else rec)
     return records
+
+
+def _emit_single_runs(srows, ranks, qcodes, tcodes, qname, tname,
+                      qlen_full, tlen, strand, cfg: BlastParams, submat):
+    """Vectorized emit for single-run chains (the overwhelming bulk of
+    extracted chains at genome scale — most die at gappedThresh, so no
+    per-chain Python may run before the score filter).
+
+    srows: (S,3) int64 (qstart, tstart, len); ranks: (S,) chain ranks.
+    Returns ((rank, 0), record) pairs for survivors.
+    """
+    if not len(srows):
+        return []
+    ln = srows[:, 2]
+    total = int(ln.sum())
+    bounds = np.cumsum(ln) - ln
+    row_of = np.repeat(np.arange(len(srows)), ln)
+    k = np.arange(total, dtype=np.int64) - np.repeat(bounds, ln)
+    qs = qcodes[srows[row_of, 0] + k].astype(np.int32)
+    ts = tcodes[srows[row_of, 1] + k].astype(np.int32)
+    sub_v = np.add.reduceat(submat[qs, ts].astype(np.int64), bounds)
+    keep = np.flatnonzero(sub_v >= cfg.extend.gapped_threshold)
+    if not len(keep):
+        return []
+    nm = np.add.reduceat((qs == ts).astype(np.int64), bounds)[keep]
+    out = []
+    for row, i in enumerate(keep):
+        q0, t0, l = (int(srows[i, 0]), int(srows[i, 1]), int(srows[i, 2]))
+        q1, t1 = q0 + l, t0 + l
+        fq0, fq1 = ((q0, q1) if strand == "+"
+                    else (qlen_full - q1, qlen_full - q0))
+        rec = PafRecord(qname=qname, qlen=qlen_full, qstart=fq0, qend=fq1,
+                        strand=strand, tname=tname, tlen=tlen,
+                        tstart=t0, tend=t1, nmatch=int(nm[row]),
+                        alnlen=l, mapq=60)
+        rec.cigar = [("M", l)]
+        rec.set_tag("AS", "i", int(sub_v[i]))
+        out.append(((int(ranks[i]), 0), rec))
+    return out
 
 
 def chains_to_records(chains, qcodes, tcodes, qname, tname, qlen_full, tlen,
@@ -519,20 +596,34 @@ def run_tasks(tasks: list[StrandTask], cfg: BlastParams,
 
     sp = cfg.seed
     gap_params = GapParams(cfg.extend.gap_open, cfg.extend.gap_extend)
-    all_layouts: list = []
+    # per task: sparse multi-run layouts (+their chain ranks) and the
+    # bulk single-run chains as flat arrays for the vectorized emitter
+    all_layouts: list = []       # (layouts, cids) per task
+    all_singles: list = []       # (srows, ranks) per task
     all_pending: list[_PendingGap] = []
+    max_fill = 8192
     for i, (task, runs, (order, scores, preds)) in enumerate(
             zip(tasks, runs_list, chained)):
         if len(runs) == 0:
-            all_layouts.append([])
+            all_layouts.append(([], []))
+            all_singles.append((np.zeros((0, 3), np.int64),
+                                np.zeros(0, np.int64)))
             continue
         min_chain = max(cfg.extend.hsp_threshold // cfg.extend.match,
                         sp.span_for(task.preset))
-        chains = chain_ops.extract_chains(runs, order, scores, preds,
-                                          min_score=min_chain)
-        layouts, pending = _chain_layouts(chains, cfg, task=i)
-        all_layouts.append(layouts)
-        all_pending.extend(pending)
+        runs_flat, chain_off, _cs = _extract_trimmed(
+            runs, order, scores, preds, min_chain)
+        sizes = np.diff(chain_off)
+        single = sizes == 1
+        srows = runs_flat[chain_off[:-1][single]]
+        all_singles.append((srows, np.flatnonzero(single)))
+        layouts, cids = [], []
+        for rank in np.flatnonzero(~single):
+            ch_runs = runs_flat[chain_off[rank]:chain_off[rank + 1]]
+            layouts.append(_layout_one(ch_runs, int(rank), i, max_fill,
+                                       all_pending))
+            cids.append(int(rank))
+        all_layouts.append((layouts, cids))
 
     if _prof:
         print(f"[blast-prof] layouts: {_time.time() - _t:.2f}s", flush=True)
@@ -547,10 +638,20 @@ def run_tasks(tasks: list[StrandTask], cfg: BlastParams,
         _t = _time.time()
 
     records: list[PafRecord] = []
-    for i, (task, layouts) in enumerate(zip(tasks, all_layouts)):
-        records.extend(_emit_records(
+    for i, task in enumerate(tasks):
+        layouts, cids = all_layouts[i]
+        srows, ranks = all_singles[i]
+        keyed = _emit_records(
             layouts, filled, task.q, task.t, task.qname, task.tname,
-            task.qlen_full, task.tlen, task.strand, cfg, submat, task=i))
+            task.qlen_full, task.tlen, task.strand, cfg, submat, task=i,
+            cids=cids, keyed=True)
+        keyed += _emit_single_runs(
+            srows, ranks, task.q, task.t, task.qname, task.tname,
+            task.qlen_full, task.tlen, task.strand, cfg, submat)
+        # restore the original per-task order: descending chain score,
+        # segments in layout order (identical to the all-python path)
+        keyed.sort(key=lambda kr: kr[0])
+        records.extend(r for _k, r in keyed)
     if _prof:
         print(f"[blast-prof] emit({len(records)} records): "
               f"{_time.time() - _t:.2f}s", flush=True)
