@@ -70,13 +70,28 @@ def felsenstein_ml(obs: np.ndarray, counts: np.ndarray, tree: Tree,
             keep absent-event messages at exactly ones).
     Returns (C,) uint8 argmax root base per column.
     """
-    import jax
-    import jax.numpy as jnp
-
     event_index = {n: i for i, n in enumerate(event_names)}
     edges = _postorder_schedule(tree, event_index)
     root_idx = event_index[tree.name]
     E = len(event_names)
+
+    # device dispatch only pays off when the column batch is large: the
+    # pruning pass is transfer-bound ((C,E,4) float32 over the link for
+    # ~16 flops/element), so modest ancestors run as plain numpy — the
+    # arithmetic is identical (float32 matmul + renormalize + argmax)
+    if obs.size < 200_000_000:
+        obs32 = obs.astype(np.float32)
+        msgs = [np.ascontiguousarray(obs32[:, i, :]) for i in range(E)]
+        for child, parent, P in edges:
+            lifted = msgs[child] @ P.T.astype(np.float32)
+            m = msgs[parent] * lifted
+            m /= np.maximum(m.sum(axis=1, keepdims=True),
+                            np.float32(1e-30))
+            msgs[parent] = m
+        return np.argmax(msgs[root_idx], axis=1).astype(np.uint8)
+
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(obs):
@@ -89,9 +104,7 @@ def felsenstein_ml(obs: np.ndarray, counts: np.ndarray, tree: Tree,
                 jnp.sum(msgs[parent], axis=1, keepdims=True), 1e-30)
         return jnp.argmax(msgs[root_idx], axis=1).astype(jnp.uint8)
 
-    from ..ops import smart_put
-    put = smart_put(obs.size * 8)
-    return np.asarray(run(put(obs.astype(np.float32))))
+    return np.asarray(run(jnp.asarray(obs.astype(np.float32))))
 
 
 def overlay_outgroup_observations(caf: CafResult, obs: np.ndarray,
@@ -195,23 +208,15 @@ def block_observations(caf: CafResult, gcodes: np.ndarray,
     eidx = {n: i for i, n in enumerate(event_names)}
     live = np.flatnonzero(caf.alive)
     lens = blocks.block_length()
-    col_off = {}
-    total = 0
-    for b in live:
-        col_off[int(b)] = total
-        total += int(lens[b])
+    live_lens = lens[live].astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(live_lens)])
+    total = int(offs[-1])
+    col_off = {int(b): int(o) for b, o in zip(live, offs[:-1])}
     E = len(event_names)
-    obs = np.ones((total, E, 4), dtype=np.float32)
-    counts = np.zeros((total, E), dtype=np.int32)
-    block_ids = np.zeros(total, dtype=np.int64)
-    for b in live:
-        L = int(lens[b])
-        o = col_off[int(b)]
-        block_ids[o:o + L] = b
+    block_ids = np.repeat(live.astype(np.int64), live_lens)
     seq_event = np.array([eidx.get(event_of(n), -1) for n in table.names])
     coloff_arr = np.full(blocks.n_blocks, -1, dtype=np.int64)
-    for b, o in col_off.items():
-        coloff_arr[b] = o
+    coloff_arr[live] = offs[:-1]
 
     # vectorized over all segment bases (no per-segment Python loop):
     # obs[c,e,s] = 1e-3^N(c,e) * 1e3^n(c,e,s) with N = #observations of
@@ -236,15 +241,18 @@ def block_observations(caf: CafResult, gcodes: np.ndarray,
         gcol = coloff_arr[blocks.seg_block[s_seg]] + col
         e_rep = seq_event[blocks.seg_seq[s_seg]]
         valid = base < 4
-        np.add.at(counts, (gcol, e_rep), valid.astype(np.int32))
         gv, ev, bv = gcol[valid], e_rep[valid], base[valid]
         ce = gv * E + ev
         N = np.bincount(ce, minlength=total * E).reshape(total, E)
+        counts = N.astype(np.int32)     # == the per-(col,event) valid tally
         n_s = np.bincount(ce * 4 + bv, minlength=total * E * 4
                           ).reshape(total, E, 4)
         expo = 3.0 * n_s - 3.0 * N[:, :, None]
         expo -= expo.max(axis=2, keepdims=True)   # best state == 1
         obs = np.power(10.0, np.maximum(expo, -37.0)).astype(np.float32)
+    else:
+        obs = np.ones((total, E, 4), dtype=np.float32)
+        counts = np.zeros((total, E), dtype=np.int32)
     return obs, counts, block_ids, col_off
 
 
