@@ -629,7 +629,7 @@ def _affine_pallas_batch_or_none(n_nodes_bin: int, band: int):
     import os
 
     if (jax.devices()[0].platform == "tpu"
-            and os.environ.get("CACTUS_POA_PALLAS", "") == "1"):
+            and os.environ.get("CACTUS_POA_PALLAS", "1") == "1"):
         from .poa_pallas import MAX_VMEM_CELLS, \
             poa_align_scan_affine_pallas_batch
         bp = -(-band // 128) * 128

@@ -55,6 +55,13 @@ def _kernel(bases_ref, preds_ref,                 # scalar prefetch SMEM
     row0 = jnp.where(in_query, -gap * j_idx, NEG)
     qv = q_ref[0, :].reshape(1, Lp).astype(jnp.int32)
 
+    # nodes may reference not-yet-computed rows (add_alignment appends
+    # nodes out of index order); the XLA scan reads those as its NEG
+    # init — match it (uninitialized VMEM is garbage otherwise)
+    @pl.when(step == 0)
+    def _init():
+        H[...] = jnp.full(H.shape, NEG, jnp.int32)
+
     for r in range(R):
         v = step * R + r
         base = bases_ref[p * N + v]
@@ -170,12 +177,14 @@ def poa_align_scan_pallas(bases, preds, q, gap: int, match: int,
 
 
 def poa_default_backend():
-    """Fused Pallas kernel on TPU (opt-in via CACTUS_POA_PALLAS=1 until
-    hardware-validated, and only when H fits VMEM), XLA scan else."""
+    """Fused Pallas kernel on TPU (hardware-validated 2026-08-19 on a
+    v5e: H/dirs/ends bit-identical to the XLA scan incl. forward-pred
+    graphs; opt-out via CACTUS_POA_PALLAS=0; VMEM-guarded), XLA scan
+    else."""
     import os
 
     if (jax.devices()[0].platform == "tpu"
-            and os.environ.get("CACTUS_POA_PALLAS", "") == "1"):
+            and os.environ.get("CACTUS_POA_PALLAS", "1") == "1"):
         from .poa import poa_align_scan
 
         def route(bases, preds, q, gap, match, mismatch):
@@ -212,7 +221,15 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
     L = llen_ref[p]          # true query length, per problem
 
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
-    qrow = q_ref[0, :].reshape(1, Lq).astype(jnp.int32)
+    qrow = q_ref[0, 0, :].reshape(1, Lq).astype(jnp.int32)
+
+    # match the XLA scan's NEG init: preds may point at rows the scan
+    # has not reached yet (see the linear kernel's note)
+    @pl.when(step == 0)
+    def _init():
+        H[...] = jnp.full(H.shape, NEG, jnp.int32)
+        F1[...] = jnp.full(F1.shape, NEG, jnp.int32)
+        F2[...] = jnp.full(F2.shape, NEG, jnp.int32)
 
     def row0_at(j):
         c = jnp.minimum(o1 + j * e1, o2 + j * e2)
@@ -367,7 +384,10 @@ def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
         num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Lq), lambda p, i, *_: (p, 0),
+            # (P, 1, Lq): a (1, 1, Lq) block satisfies the (8, 128)
+            # tiling rule for every P (a (1, Lq) block on (P, Lq) only
+            # lowers when P == 1 — hardware Mosaic constraint)
+            pl.BlockSpec((1, 1, Lq), lambda p, i, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -388,7 +408,8 @@ def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
         ],
         interpret=interpret,
     )(bases_p.reshape(-1), preds_p.reshape(-1), off_p.reshape(-1),
-      l_len.astype(jnp.int32), submat.astype(jnp.int32), q_p)
+      l_len.astype(jnp.int32), submat.astype(jnp.int32),
+      q_p.reshape(P, 1, Lq))
 
     H_all = H_rows[:, :N, :B]
     dirs = dirs_rows[:, :N, :B]
@@ -415,14 +436,15 @@ def poa_align_scan_affine_pallas(bases, preds, off, q_ext, submat,
 
 
 def poa_affine_default_backend():
-    """Fused Pallas convex kernel on TPU (opt-in via CACTUS_POA_PALLAS=1
-    until hardware-validated, VMEM-guarded), XLA scan else."""
+    """Fused Pallas convex kernel on TPU (hardware-validated 2026-08-19
+    on a v5e, bit-identical; opt-out via CACTUS_POA_PALLAS=0,
+    VMEM-guarded), XLA scan else."""
     import os
 
     from .poa import poa_align_scan_affine
 
     if (jax.devices()[0].platform == "tpu"
-            and os.environ.get("CACTUS_POA_PALLAS", "") == "1"):
+            and os.environ.get("CACTUS_POA_PALLAS", "1") == "1"):
         def route(bases, preds, off, q_ext, submat, band, o1, e1, o2, e2):
             Bp = -(-band // 128) * 128
             if 3 * int(bases.shape[0]) * Bp <= MAX_VMEM_CELLS:

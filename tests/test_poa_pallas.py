@@ -91,3 +91,28 @@ def test_poa_affine_pallas_matches_xla(seed, n, l, band):
     np.testing.assert_array_equal(np.asarray(H1), np.asarray(H2))
     np.testing.assert_array_equal(np.asarray(d1),
                                   np.asarray(d2).astype(np.uint16))
+
+
+def test_linear_kernel_forward_pred_rows():
+    """Graphs from add_alignment can have preds pointing at HIGHER node
+    indices; the XLA scan reads those rows as its NEG init, so the
+    Pallas kernel must NEG-initialize its scratch (hardware bug found
+    2026-08-19: uninitialized VMEM garbage leaked into row scores)."""
+    import numpy as np
+    from cactus_tpu.ops.poa import MAX_PREDS, poa_align_scan
+    from cactus_tpu.ops.poa_pallas import poa_align_scan_pallas
+
+    rng = np.random.default_rng(9)
+    N, L = 24, 40
+    bases = rng.integers(0, 4, N).astype(np.uint8)
+    preds = np.full((N, MAX_PREDS), -1, dtype=np.int32)
+    preds[1:, 0] = np.arange(N - 1)
+    preds[1, 1] = 20          # forward reference (unreached row)
+    preds[5, 1] = 23
+    q = rng.integers(0, 4, L).astype(np.uint8)
+    H1, d1, e1 = poa_align_scan(bases, preds, q, gap=30, match=10,
+                                mismatch=-5)
+    H2, d2, e2 = poa_align_scan_pallas(bases, preds, q, gap=30, match=10,
+                                       mismatch=-5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(H1), np.asarray(H2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
