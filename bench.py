@@ -120,28 +120,51 @@ def bench_pairhmm5(jax, jnp) -> float:
 
 
 def bench_poa(jax, jnp) -> float:
-    """POA sequence-vs-DAG scan kernel (abPOA analog), via the
-    production router (Pallas on TPU once validated)."""
-    from cactus_tpu.ops.poa import MAX_PREDS
-    from cactus_tpu.ops.poa_pallas import poa_default_backend
+    """Batched convex-affine POA kernel (the abPOA analog BAR launches:
+    poa_msa_batch stacks same-bin graph-vs-sequence jobs onto
+    poa_align_scan_affine_pallas_batch / the vmapped XLA scan)."""
+    from cactus_tpu.config import PoaParams
+    from cactus_tpu.ops.banded import score_matrix_6
+    from cactus_tpu.ops.poa import MAX_PREDS, _affine_pallas_batch_or_none
+    from cactus_tpu.ops.poa import poa_align_scan_affine
 
-    N, L = 2048, 512   # graph nodes x query length
-    kernel = poa_default_backend()
+    platform = jax.devices()[0].platform
+    P, N, B, L = (8, 2048, 256, 2048) if platform == "tpu" \
+        else (2, 256, 128, 256)
+    params = PoaParams()
+    o1, e1 = params.gap_open1, params.gap_extend1
+    o2, e2 = params.gap_open2, params.gap_extend2
+    sm = jnp.asarray(np.asarray(score_matrix_6(params.sub_matrix),
+                                np.int32))
     rng = np.random.default_rng(2)
-    bases = jnp.asarray(rng.integers(0, 4, N).astype(np.uint8))
-    preds = np.full((N, MAX_PREDS), -1, dtype=np.int32)
-    preds[1:, 0] = np.arange(N - 1)
+    bases = jnp.asarray(rng.integers(0, 4, (P, N)).astype(np.uint8))
+    preds = np.full((P, N, MAX_PREDS), -1, dtype=np.int32)
+    preds[:, 1:, 0] = np.arange(N - 1)
     preds = jnp.asarray(preds)
-    q = jnp.asarray(rng.integers(0, 4, L).astype(np.uint8))
+    off = np.maximum.accumulate(
+        np.clip((np.arange(N) * (L / N)).astype(np.int32) - B // 2,
+                0, L + 1 - B))[None, :].repeat(P, 0).astype(np.int32)
+    off = jnp.asarray(off)
+    q_ext = np.full((P, L + 1), 5, np.uint8)
+    q_ext[:, 1:] = rng.integers(0, 4, (P, L))
+    q_ext = jnp.asarray(q_ext)
+    l_len = jnp.asarray(np.full(P, L, np.int32))
 
-    @jax.jit
-    def run(i):
-        H, dirs, ends = kernel(bases, preds, jnp.roll(q, i),
-                               gap=30, match=10, mismatch=-5)
-        return ends
-
+    batch = _affine_pallas_batch_or_none(N, B)
+    if batch is None:
+        batch = jax.vmap(
+            lambda b, pr, of, qe, ll: poa_align_scan_affine(
+                b, pr, of, qe, sm, band=B, o1=o1, e1=e1, o2=o2, e2=e2,
+                l_len=ll))
+        run_inner = lambda i: batch(jnp.roll(bases, i, axis=0), preds,
+                                    off, q_ext, l_len)[2]
+    else:
+        run_inner = lambda i: batch(jnp.roll(bases, i, axis=0), preds,
+                                    off, q_ext, l_len, sm, band=B,
+                                    o1=o1, e1=e1, o2=o2, e2=e2)[2]
+    run = jax.jit(run_inner)
     dt = _bench(run, 3)
-    return N * L / dt
+    return P * N * B / dt
 
 
 def bench_end_to_end() -> dict:

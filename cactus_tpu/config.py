@@ -176,6 +176,16 @@ class CafParams:
     minimum_outgroup_degree: int = 0
     minimum_tree_coverage: float = 0.0
     alignment_filter: str = "filterSecondariesByMultipleSequences"
+    # Pinch outgroup records into the block graph as real threads
+    # (reference semantics, caf/impl/caf.c:238-284): makes the
+    # outgroup-dependent filter policies (singleCopyOutgroup family,
+    # minimumOutgroupDegree) act end-to-end.  Default OFF = outgroup
+    # evidence stays overlay-only (Felsenstein votes + bar rescue):
+    # A/B on 0.2-divergence sims with segmental duplications measured
+    # overlay better (og alignment wobble fragments ingroup block
+    # segmentation; cow-dog recall 0.97 -> 0.62 when pinched, round-1
+    # note in progressive.py) — but both paths are driver-reachable.
+    pinch_outgroups: bool = False
     max_adjacency_component_size_ratio: float = 50.0
     # XML-compat: stCaf_finish uses these to decide which thread ends
     # are "attached" (chromosome-level) when building the recursive

@@ -386,6 +386,20 @@ def moves_to_ops_fwd(moves: np.ndarray) -> list[tuple[str, int]]:
             for s, e in zip(starts, ends)]
 
 
+def gap_fallback(qlen: int, tlen: int) -> tuple[int, list]:
+    """Unalignable-gap fallback: when the optimal path leaves the band
+    (a large balanced insertion+deletion hiding inside one chain gap),
+    emit the pure indel pair with a floor score — the caller's
+    min_gap_score check then splits the record there, which is the
+    lastz ydrop-termination behavior for a non-homologous interval."""
+    ops = []
+    if qlen:
+        ops.append(("I", int(qlen)))
+    if tlen:
+        ops.append(("D", int(tlen)))
+    return NEG, ops
+
+
 def align_pairs_native(pairs, submat, gap: GapParams, band: int):
     """Native C++ banded batch (bit-identical to the JAX kernels).
 
@@ -401,8 +415,8 @@ def align_pairs_native(pairs, submat, gap: GapParams, band: int):
     for p in range(len(pairs)):
         n = int(n_moves[p])
         if n < 0:
-            raise RuntimeError("native traceback left the band "
-                               f"(pair {p}, band {band})")
+            out.append(gap_fallback(len(pairs[p][0]), len(pairs[p][1])))
+            continue
         o = int(moves_off[p])
         out.append((int(scores[p]), moves_to_ops_fwd(moves[o:o + n])))
     return out
@@ -476,9 +490,19 @@ def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
         counts = np.asarray(counts)
         end_scores = np.asarray(end_scores)
         end_mat = np.asarray(end_mat)
-        return [(int(end_scores[p, end_mat[p]]),
-                 moves_to_ops(moves[p], int(counts[p])))
-                for p in range(len(pairs))]
+        out = []
+        for p in range(len(pairs)):
+            ops = moves_to_ops(moves[p], int(counts[p]))
+            # the device traceback clamps out-of-band reads instead of
+            # trapping: verify the cigar consumes exactly (m, n)
+            qc = sum(l for o, l in ops if o in ("M", "I"))
+            tc = sum(l for o, l in ops if o in ("M", "D"))
+            if qc != len(pairs[p][0]) or tc != len(pairs[p][1]):
+                out.append(gap_fallback(len(pairs[p][0]),
+                                        len(pairs[p][1])))
+            else:
+                out.append((int(end_scores[p, end_mat[p]]), ops))
+        return out
     dirs = np.asarray(dirs)
     end_scores = np.asarray(end_scores)
     end_mat = np.asarray(end_mat)
@@ -486,8 +510,12 @@ def align_pairs_banded(pairs, submat, gap: GapParams, band: int = 128,
     for p in range(len(pairs)):
         m, n = int(packed["m_len"][p]), int(packed["n_len"][p])
         score = int(end_scores[p, end_mat[p]])
-        ops = traceback_band(dirs[p], m, n, int(packed["lo"][p]),
-                             int(end_mat[p]))
+        try:
+            ops = traceback_band(dirs[p], m, n, int(packed["lo"][p]),
+                                 int(end_mat[p]))
+        except RuntimeError:
+            out.append(gap_fallback(m, n))
+            continue
         out.append((score, ops))
     return out
 

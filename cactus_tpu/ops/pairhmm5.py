@@ -378,7 +378,16 @@ def posterior5_default_backend():
     if (jax.devices()[0].platform == "tpu"
             and os.environ.get("CACTUS_PAIRHMM_PALLAS", "1") == "1"):
         from .pairhmm5_pallas import posterior_banded_batch5_pallas
-        return posterior_banded_batch5_pallas
+        dev = jax.devices()[0]
+
+        def run(q, t_shift, m_len, n_len, lo, em, **kw):
+            # callers may have committed inputs to host CPU (smart_put);
+            # the Pallas kernel only lowers on the TPU device
+            put = lambda x: jax.device_put(x, dev)
+            return posterior_banded_batch5_pallas(
+                put(q), put(t_shift), put(m_len), put(n_len), put(lo),
+                put(em), **kw)
+        return run
     return posterior_banded_batch5
 
 

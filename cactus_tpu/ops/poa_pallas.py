@@ -187,10 +187,16 @@ def poa_default_backend():
             and os.environ.get("CACTUS_POA_PALLAS", "1") == "1"):
         from .poa import poa_align_scan
 
+        dev = jax.devices()[0]
+
         def route(bases, preds, q, gap, match, mismatch):
             Lp = -(-(int(q.shape[0]) + 1) // 128) * 128
             if int(bases.shape[0]) * Lp <= MAX_VMEM_CELLS:
-                return poa_align_scan_pallas(bases, preds, q, gap=gap,
+                # inputs may be CPU-committed (smart_put); Pallas only
+                # lowers on the TPU device
+                put = lambda x: jax.device_put(x, dev)
+                return poa_align_scan_pallas(put(bases), put(preds),
+                                             put(q), gap=gap,
                                              match=match,
                                              mismatch=mismatch)
             return poa_align_scan(bases, preds, q, gap=gap, match=match,
@@ -204,8 +210,48 @@ def poa_default_backend():
 # convex (dual-affine) kernel — poa_align_scan_affine's fused backend
 # --------------------------------------------------------------------------
 
+_CHAIN_CONSTS: dict[tuple, list] = {}
+
+
+def _chain_consts(Bp: int, o1: int, e1: int, o2: int, e2: int):
+    """Precomputed tropical-matrix powers for the in-row convex chain.
+
+    The A-matrix evolution in _maxplus_chain (ops/poa.py:328) is
+    data-independent — only (Bp, gap params) shape it — so the per-node
+    kernel can skip 8 shifts + 12 max/adds per doubling step and use
+    these (1, Bp) int32 constants instead.  Same int32 arithmetic and
+    NEG clamps as the traced version (values are <= 0; sums stay above
+    int32 min)."""
+    key = (Bp, o1, e1, o2, e2)
+    got = _CHAIN_CONSTS.get(key)
+    if got is not None:
+        return got
+    A11 = np.full((1, Bp), -e1, np.int32)
+    A12 = np.full((1, Bp), -(o1 + e1), np.int32)
+    A21 = np.full((1, Bp), -(o2 + e2), np.int32)
+    A22 = np.full((1, Bp), -e2, np.int32)
+    consts = []
+    off = 1
+    while off < Bp:
+        consts.append((A11, A12, A21, A22))
+
+        def sh(x, off=off):
+            return np.concatenate(
+                [np.full((1, off), NEG, np.int32), x[:, :-off]], axis=1)
+        G11, G12 = sh(A11), sh(A12)
+        G21, G22 = sh(A21), sh(A22)
+        nA11 = np.maximum(np.maximum(A11 + G11, A12 + G21), NEG)
+        nA12 = np.maximum(np.maximum(A11 + G12, A12 + G22), NEG)
+        nA21 = np.maximum(np.maximum(A21 + G11, A22 + G21), NEG)
+        nA22 = np.maximum(np.maximum(A21 + G12, A22 + G22), NEG)
+        A11, A12, A21, A22 = nA11, nA12, nA21, nA22
+        off *= 2
+    _CHAIN_CONSTS[key] = consts
+    return consts
+
 def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
-                   q_ref,                                       # (1, Lq)
+                   q_ref,                                       # (1, 1, Lq)
+                   chain_ref,                                   # (4K, Bp)
                    H_out, dirs_ref,                             # outputs
                    H, F1, F2,                                   # scratch
                    *, n_nodes: int, band: int, b_pad: int, l_pad: int,
@@ -262,15 +308,20 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
             d = off_v - off_ref[p * N + pidx]
             gidx = d + b_idx
             amt = jnp.remainder(-d, Bp)
-            hrow = pltpu.roll(H[pl.ds(pidx, 1), :], amt, axis=1)
-            f1row = pltpu.roll(F1[pl.ds(pidx, 1), :], amt, axis=1)
-            f2row = pltpu.roll(F2[pl.ds(pidx, 1), :], amt, axis=1)
+            # ONE dynamic-amount roll per slot: the H/F1/F2 rows share
+            # the band shift, so stack them on sublanes and roll once;
+            # the diagonal row needs shift amt+1 (mod Bp), i.e. a
+            # static rotate-by-1 of the already-rolled H row.
+            rows3 = jnp.concatenate([H[pl.ds(pidx, 1), :],
+                                     F1[pl.ds(pidx, 1), :],
+                                     F2[pl.ds(pidx, 1), :]], axis=0)
+            rolled = pltpu.roll(rows3, amt, axis=1)
+            hrow = rolled[0:1, :]
             ok_g = has & (gidx >= 0) & (gidx < B)
             Hp.append(jnp.where(ok_g, hrow, NEG))
-            F1p.append(jnp.where(ok_g, f1row, NEG))
-            F2p.append(jnp.where(ok_g, f2row, NEG))
-            amt_d = jnp.remainder(-(d - 1), Bp)
-            hd = pltpu.roll(H[pl.ds(pidx, 1), :], amt_d, axis=1)
+            F1p.append(jnp.where(ok_g, rolled[1:2, :], NEG))
+            F2p.append(jnp.where(ok_g, rolled[2:3, :], NEG))
+            hd = jnp.concatenate([hrow[:, -1:], hrow[:, :-1]], axis=1)
             ok_d = has & (gidx >= 1) & (gidx <= B)
             Hd.append(jnp.where(ok_d, hd, NEG))
         vHp = row0_at(j)
@@ -298,34 +349,30 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
         diag, dslot = maxdec([h + s for h in Hd])
         h0 = jnp.maximum(diag, jnp.maximum(F1n, F2n))
 
-        # in-row convex insertion chains: tropical 2x2 Kogge-Stone
+        # in-row convex insertion chains: tropical 2x2 Kogge-Stone with
+        # PRECOMPUTED matrix powers (the A evolution is data-free)
         neg1 = jnp.full((1, 1), NEG, jnp.int32)
         def sr1(x):
             return jnp.concatenate([neg1, x[:, :-1]], axis=1)
         y1 = sr1(h0) - (o1 + e1)
         y2 = sr1(h0) - (o2 + e2)
-        A11 = jnp.full((1, Bp), -e1, jnp.int32)
-        A12 = jnp.full((1, Bp), -(o1 + e1), jnp.int32)
-        A21 = jnp.full((1, Bp), -(o2 + e2), jnp.int32)
-        A22 = jnp.full((1, Bp), -e2, jnp.int32)
         offk = 1
+        k = 0
         while offk < Bp:
+            A11 = chain_ref[4 * k + 0:4 * k + 1, :]
+            A12 = chain_ref[4 * k + 1:4 * k + 2, :]
+            A21 = chain_ref[4 * k + 2:4 * k + 3, :]
+            A22 = chain_ref[4 * k + 3:4 * k + 4, :]
             def sh(x, o=offk):
                 return jnp.concatenate(
                     [jnp.full((1, o), NEG, jnp.int32), x[:, :-o]], axis=1)
             v1, v2 = sh(y1), sh(y2)
             y1 = jnp.maximum(y1, jnp.maximum(A11 + v1, A12 + v2))
             y2 = jnp.maximum(y2, jnp.maximum(A21 + v1, A22 + v2))
-            G11, G12 = sh(A11), sh(A12)
-            G21, G22 = sh(A21), sh(A22)
-            nA11 = jnp.maximum(jnp.maximum(A11 + G11, A12 + G21), NEG)
-            nA12 = jnp.maximum(jnp.maximum(A11 + G12, A12 + G22), NEG)
-            nA21 = jnp.maximum(jnp.maximum(A21 + G11, A22 + G21), NEG)
-            nA22 = jnp.maximum(jnp.maximum(A21 + G12, A22 + G22), NEG)
-            A11, A12, A21, A22 = nA11, nA12, nA21, nA22
             y1 = jnp.maximum(y1, NEG)
             y2 = jnp.maximum(y2, NEG)
             offk *= 2
+            k += 1
         E1, E2 = y1, y2
         Hn = jnp.maximum(h0, jnp.maximum(E1, E2))
         valid = (j <= L) & (b_idx < B)
@@ -378,6 +425,9 @@ def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
     off_p = jnp.pad(off.astype(jnp.int32), ((0, 0), (0, Np - N)))
     q_p = jnp.pad(q_ext.astype(jnp.uint8), ((0, 0), (0, Lq - Lp1)),
                   constant_values=5)
+    chain_arr = np.concatenate(
+        [np.concatenate(step4, axis=0)
+         for step4 in _chain_consts(Bp, o1, e1, o2, e2)], axis=0)
 
     grid = (P, Np // R)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -388,6 +438,9 @@ def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
             # tiling rule for every P (a (1, Lq) block on (P, Lq) only
             # lowers when P == 1 — hardware Mosaic constraint)
             pl.BlockSpec((1, 1, Lq), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # precomputed tropical chain matrix powers (4K, Bp)
+            pl.BlockSpec(chain_arr.shape, lambda p, i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -409,7 +462,7 @@ def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
         interpret=interpret,
     )(bases_p.reshape(-1), preds_p.reshape(-1), off_p.reshape(-1),
       l_len.astype(jnp.int32), submat.astype(jnp.int32),
-      q_p.reshape(P, 1, Lq))
+      q_p.reshape(P, 1, Lq), jnp.asarray(chain_arr))
 
     H_all = H_rows[:, :N, :B]
     dirs = dirs_rows[:, :N, :B]
@@ -445,12 +498,15 @@ def poa_affine_default_backend():
 
     if (jax.devices()[0].platform == "tpu"
             and os.environ.get("CACTUS_POA_PALLAS", "1") == "1"):
+        dev = jax.devices()[0]
+
         def route(bases, preds, off, q_ext, submat, band, o1, e1, o2, e2):
             Bp = -(-band // 128) * 128
             if 3 * int(bases.shape[0]) * Bp <= MAX_VMEM_CELLS:
+                put = lambda x: jax.device_put(x, dev)
                 return poa_align_scan_affine_pallas(
-                    bases, preds, off, q_ext, submat, band=band,
-                    o1=o1, e1=e1, o2=o2, e2=e2)
+                    put(bases), put(preds), put(off), put(q_ext),
+                    put(submat), band=band, o1=o1, e1=e1, o2=o2, e2=e2)
             return poa_align_scan_affine(bases, preds, off, q_ext, submat,
                                          band=band, o1=o1, e1=e1, o2=o2,
                                          e2=e2)

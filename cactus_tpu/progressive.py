@@ -425,11 +425,26 @@ class ProgressiveAligner:
                  f"{len(og_records)} og records)")
 
         t0 = _time.time()
-        lengths = {n: len(s) for n, s in in_seqs.items()}
         event_tree = self._event_tree(node, outgroups)
-        caf = run_caf(in_records, lengths, cfg.caf, preset=preset,
+        if cfg.caf.pinch_outgroups:
+            # reference semantics (caf/impl/caf.c:238-284): outgroup
+            # records pinch as real threads, so the singleCopyOutgroup
+            # policy family + minimumOutgroupDegree act structurally;
+            # og-only blocks still die at minimumIngroupDegree, and the
+            # HAL/maps layers already skip non-child events
+            caf_seqs = dict(in_seqs)
+            for n, c in og_codes.items():
+                caf_seqs[n] = Sequence(n, c)
+            caf_records = in_records + og_records
+            caf_og_events = og_set
+        else:
+            caf_seqs = in_seqs
+            caf_records = in_records
+            caf_og_events = set()
+        lengths = {n: len(s) for n, s in caf_seqs.items()}
+        caf = run_caf(caf_records, lengths, cfg.caf, preset=preset,
                       ingroup_events=set(children),
-                      outgroup_events=set(),
+                      outgroup_events=caf_og_events,
                       min_chain_override=self.min_chain_override,
                       event_tree=event_tree)
         timings["caf"] = _time.time() - t0
@@ -438,10 +453,10 @@ class ProgressiveAligner:
                  f"({int(caf.alive.sum())} live blocks)")
 
         t0 = _time.time()
-        caf = bar_phase.run_bar(caf, in_seqs, cfg.bar,
+        caf = bar_phase.run_bar(caf, caf_seqs, cfg.bar,
                                 ingroup_events=set(children),
-                                outgroup_events=set())
-        if cfg.bar.rescue and og_records:
+                                outgroup_events=caf_og_events)
+        if cfg.bar.rescue and og_records and not cfg.caf.pinch_outgroups:
             n0 = caf.blocks.n_blocks
             caf = bar_phase.rescue_outgroup_covered(caf, og_records, cfg.bar)
             if caf.blocks.n_blocks > n0:
@@ -452,11 +467,12 @@ class ProgressiveAligner:
         mem_mb["bar"] = _rss_mb()
 
         t0 = _time.time()
-        gcodes = bar_phase.global_codes(caf.table, in_seqs)
-        ref = ref_phase.run_reference(caf, gcodes, event_tree, node.name,
-                                      cfg.reference,
-                                      og_records=og_records,
-                                      og_codes=og_codes)
+        gcodes = bar_phase.global_codes(caf.table, caf_seqs)
+        ref = ref_phase.run_reference(
+            caf, gcodes, event_tree, node.name, cfg.reference,
+            # og evidence is structural when pinched; overlay otherwise
+            og_records=[] if cfg.caf.pinch_outgroups else og_records,
+            og_codes=og_codes)
         timings["reference"] = _time.time() - t0
         mem_mb["reference"] = _rss_mb()
         # the full ancestor genome (incl. dust threads) stays available
