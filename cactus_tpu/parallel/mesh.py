@@ -96,6 +96,17 @@ def sharded_seed_join(mesh: Mesh, q_chunks, q_valid, t_codes, t_valid,
     return jax.jit(run)(q_chunks, q_valid, t_codes, t_valid)
 
 
+def put_global(mesh: Mesh, arr: np.ndarray, spec: P):
+    """Host array → global device array under a (possibly multi-host)
+    mesh.  Every process holds the same full host array (the driver's
+    task grid is deterministic and replicated), so each just feeds its
+    addressable shards.  Single-process: plain asarray."""
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx])
+
+
 def sharded_pair_seed_join(mesh: Mesh, q_codes, q_valid, t_codes, t_valid,
                            *, k: int, step: int, max_occ: int,
                            max_anchors: int, pattern: str = ""):
@@ -108,6 +119,11 @@ def sharded_pair_seed_join(mesh: Mesh, q_codes, q_valid, t_codes, t_valid,
     are independent of device placement, so N-device == 1-device output
     is bit-identical by construction.
 
+    Multi-process safe: inputs may be host numpy (each process holds the
+    same full array) and outputs come back REPLICATED via an in-program
+    all_gather — the collective replacing the reference's anchor-file
+    concatenation — so every host can read the full anchor table.
+
     Returns (qpos (D, A), tpos (D, A), counts (D,)).
     """
     fn = partial(seed_join, k=k, step=step, max_occ=max_occ,
@@ -116,12 +132,17 @@ def sharded_pair_seed_join(mesh: Mesh, q_codes, q_valid, t_codes, t_valid,
     @partial(shard_map, mesh=mesh,
              in_specs=(P("d", None), P("d", None), P("d", None),
                        P("d", None)),
-             out_specs=(P("d", None), P("d", None), P("d")))
+             out_specs=(P(), P(), P()), check_vma=False)
     def run(qc, qv, tc, tv):
         qpos, tpos, n = fn(qc[0], qv[0], tc[0], tv[0])
-        return qpos[None], tpos[None], n[None]
+        # gather in mesh order: deterministic merge, every host sees all
+        qpos_all = jax.lax.all_gather(qpos, "d", axis=0)
+        tpos_all = jax.lax.all_gather(tpos, "d", axis=0)
+        n_all = jax.lax.all_gather(n, "d", axis=0)
+        return qpos_all, tpos_all, n_all
 
-    return jax.jit(run)(q_codes, q_valid, t_codes, t_valid)
+    sp = lambda a: put_global(mesh, np.asarray(a), P("d", None))
+    return jax.jit(run)(sp(q_codes), sp(q_valid), sp(t_codes), sp(t_valid))
 
 
 def full_pipeline_step(mesh: Mesh, q_chunks, q_valid, t_codes, t_valid,
