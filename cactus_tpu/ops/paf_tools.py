@@ -132,6 +132,25 @@ def trim_record_to_query(r: PafRecord, q0: int,
     return out
 
 
+def trim_record_fraction(r: PafRecord, fraction: float
+                         ) -> PafRecord | None:
+    """`paffy chain --trimFraction` analog (reference invocation:
+    src/cactus/paf/local_alignment.py:674; config chainTrimFraction,
+    cactus_progressive_config.xml:111): keep the central `fraction` of
+    each chained record's query span, shaving the low-confidence ends
+    symmetrically.  fraction >= 1.0 is the shipped default no-op.
+    Returns None when nothing alignable survives."""
+    if fraction >= 1.0:
+        return r
+    if fraction <= 0.0:
+        return None
+    span = r.qend - r.qstart
+    cut = int(span * (1.0 - fraction) / 2.0)
+    if span - 2 * cut < 1:
+        return None
+    return trim_record_to_query(r, r.qstart + cut, r.qend - cut)
+
+
 def trim(records: list[PafRecord]) -> list[PafRecord]:
     """paffy trim: each query base belongs to its best-scoring record —
     lower-scoring records are cut back to the uncovered intervals

@@ -840,13 +840,17 @@ def finalize_records(records: list[PafRecord], cfg: BlastParams
     are discarded), outputSecondaryAlignments (tile level > 1 records
     and demoted sub-chain-score primaries are kept as tp:A:S or dropped),
     minPrimaryChainScore + chainGapOpen/Extend/MaxGapLength (re-chain
-    scoring).  chainTrimFraction != 1.0 is not implemented and raises.
+    scoring), chainTrimFraction (paffy chain --trimFraction: each
+    chained record keeps its central fraction, applied before tiling —
+    the reference's first chain step carries the flag,
+    local_alignment.py:674).
     """
     from ..ops import paf_tools
-    if cfg.chain_trim_fraction != 1.0:
-        raise NotImplementedError(
-            "chainTrimFraction != 1.0 (paffy chain --trimFraction) is "
-            "not implemented")
+    if cfg.chain_trim_fraction < 1.0:
+        records = [t for t in
+                   (paf_tools.trim_record_fraction(
+                       r, cfg.chain_trim_fraction) for r in records)
+                   if t is not None]
 
     # competition scope: per target EVENT (finer than the reference's
     # pooled-targets tile — a base may keep one primary per sibling

@@ -238,12 +238,29 @@ def tree_coverage_filter(blocks: Blocks, alive: np.ndarray,
     if not leaves:
         return alive
     eidx = {e: i for i, e in enumerate(leaves)}
-    if len(leaves) > 63:
-        raise NotImplementedError("tree_coverage_filter: > 63 events")
-    seg_bit = np.array([1 << eidx[e] if e in eidx else 0
-                        for e in events], np.int64)[blocks.seg_seq]
-    mask = np.zeros(B, np.int64)
-    np.bitwise_or.at(mask, blocks.seg_block, seg_bit)
+    # multi-word bitmask: 62 event bits per int64 word, any event count
+    # (reference caf/impl/filtering.c:467-499 has no cap; the round-2
+    # single-word NotImplementedError is gone)
+    W = max(1, -(-len(leaves) // 62))
+    seg_words = np.zeros((len(events), W), np.int64)
+    ev_bit = np.full(len(events), -1, np.int64)
+    for si, e in enumerate(events):
+        if e in eidx:
+            ev_bit[si] = eidx[e]
+    has = ev_bit >= 0
+    seg_words[has, ev_bit[has] // 62] = np.int64(1) << (ev_bit[has] % 62)
+    seg_words = seg_words[blocks.seg_seq]
+    mask_w = np.zeros((B, W), np.int64)
+    for w in range(W):
+        np.bitwise_or.at(mask_w[:, w], blocks.seg_block, seg_words[:, w])
+    # python-int view per block (arbitrary precision for the tree walk)
+    uniq_w, inv = np.unique(mask_w, axis=0, return_inverse=True)
+
+    def words_to_int(row) -> int:
+        out = 0
+        for w in range(W):
+            out |= int(row[w]) << (62 * w)
+        return out
 
     # per-node leaf bitmask via postorder
     node_mask: dict[int, int] = {}
@@ -282,9 +299,10 @@ def tree_coverage_filter(blocks: Blocks, alive: np.ndarray,
     whole = steiner((1 << len(leaves)) - 1)
     if whole <= 0:
         return alive
-    cov_of = {int(mv): steiner(int(mv)) / whole if mv else 0.0
-              for mv in np.unique(mask)}
-    cov = np.array([cov_of[int(m)] for m in mask])
+    cov_uniq = np.array([
+        steiner(mv) / whole if (mv := words_to_int(row)) else 0.0
+        for row in uniq_w])
+    cov = cov_uniq[inv]
     return alive & (cov >= min_coverage)
 
 

@@ -238,12 +238,19 @@ def test_primary_selection_tile_trim_mode():
         truth = {(p, q, s) for p, q, s in sim.truth_pairs(x, y)}
         s = score_pairs(truth, progressive.leaf_pairs(res, x, y))
         assert s.precision > 0.97 and s.recall > 0.97, (x, y, s)
-    # chainTrimFraction != 1 fails loudly instead of silently no-opping
-    import pytest as _pytest
+    # chainTrimFraction != 1 is implemented (central-fraction trim,
+    # paffy chain --trimFraction): records shrink, nothing raises
+    from cactus_tpu.io.paf import PafRecord
     from cactus_tpu.phases.blast import finalize_records
-    bad = dataclasses.replace(cfg.blast, chain_trim_fraction=0.5)
-    with _pytest.raises(NotImplementedError):
-        finalize_records([], bad)
+    frac = dataclasses.replace(cfg.blast, chain_trim_fraction=0.5)
+    rec = PafRecord(qname="q.c", qlen=200, qstart=0, qend=200,
+                    strand="+", tname="t.c", tlen=200, tstart=0,
+                    tend=200, nmatch=200, alnlen=200, mapq=60)
+    rec.cigar = [("M", 200)]
+    rec.set_tag("AS", "i", 2000)
+    out = finalize_records([rec], frac)
+    assert len(out) == 1
+    assert out[0].qend - out[0].qstart == 100
 
 
 def test_finalize_drops_secondaries_when_configured():

@@ -254,3 +254,34 @@ def test_tree_coverage_normalizes_over_present_events():
     # any threshold (with the og branch in the denominator it would be
     # 0.1/5.1 and melt)
     assert tree_coverage_filter(blocks, alive, tree, 0.9).all()
+
+
+def test_tree_coverage_filter_many_events():
+    """>63 events must work (reference filtering.c:467-499 has no cap;
+    the round-2 single-int64-bitmask NotImplementedError is lifted)."""
+    import numpy as np
+    from cactus_tpu.graph.columns import SeqTable
+    from cactus_tpu.phases.caf import tree_coverage_filter
+    from cactus_tpu.utils.trees import Tree
+
+    n_ev = 70
+    names = [f"e{i}.c" for i in range(n_ev)]
+    table = SeqTable.build({n: 100 for n in names})
+    root = Tree("root")
+    for i in range(n_ev):
+        root.add_child(Tree(f"e{i}", 1.0))
+
+    # two blocks: one with every event, one with only two
+    class B:
+        pass
+    blocks = B()
+    blocks.table = table
+    blocks.n_blocks = 2
+    seg_seq = list(range(n_ev)) + [0, 1]
+    blocks.seg_seq = np.array(seg_seq, np.int64)
+    blocks.seg_block = np.array([0] * n_ev + [1, 1], np.int64)
+    alive = np.ones(2, bool)
+    out = tree_coverage_filter(blocks, alive, root, min_coverage=0.5)
+    assert out[0] and not out[1]
+    out2 = tree_coverage_filter(blocks, alive, root, min_coverage=0.01)
+    assert out2.all()

@@ -122,3 +122,25 @@ def test_trim_record_fuzz_vs_pair_oracle():
             assert piece.nmatch <= len(got)
             assert piece.score <= r.score
         assert got == want, (trial, cg, strand, q0, q1)
+
+
+def test_trim_record_fraction():
+    """chainTrimFraction: keep the central fraction of the query span
+    (paffy chain --trimFraction; local_alignment.py:674)."""
+    from cactus_tpu.io.paf import PafRecord
+    from cactus_tpu.ops.paf_tools import trim_record_fraction
+
+    r = PafRecord(qname="q", qlen=100, qstart=10, qend=90, strand="+",
+                  tname="t", tlen=100, tstart=5, tend=85,
+                  nmatch=80, alnlen=80, mapq=60)
+    r.cigar = [("M", 80)]
+    r.set_tag("AS", "i", 800)
+    half = trim_record_fraction(r, 0.5)
+    assert half.qstart == 30 and half.qend == 70
+    assert half.tstart == 25 and half.tend == 65
+    assert half.cigar == [("M", 40)]
+    assert half.nmatch == 40
+    # default fraction is the identity
+    assert trim_record_fraction(r, 1.0) is r
+    # degenerate fractions vanish
+    assert trim_record_fraction(r, 0.0) is None
