@@ -130,25 +130,44 @@ def seq_maps_from_step(caf: CafResult,
 
 def compose_maps(m1: SeqMap, names1: list[str],
                  maps2: dict[str, SeqMap]) -> SeqMap:
-    """child→A composed with A→B gives child→B (missing data propagates)."""
+    """child→A composed with A→B gives child→B (missing data propagates).
+
+    One pass over the aligned bases: the A-side maps are viewed through
+    concatenated (offset-shifted) arrays so the composition is a single
+    gather regardless of how many A sequences exist (the per-sequence
+    flatnonzero scan was the 100 Mb-scale hot spot)."""
     n = len(m1.tgt_idx)
     out = SeqMap(np.full(n, -1, np.int32), np.full(n, -1, np.int64),
                  np.zeros(n, np.int8))
-    for ai in np.unique(m1.tgt_idx):
-        if ai < 0:
-            continue
-        name = names1[int(ai)]
-        m2 = maps2.get(name)
+    # concatenated view of maps2 over names1 order
+    lens = np.array([len(maps2[nm].tgt_idx) if nm in maps2 else 0
+                     for nm in names1], np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offs[-1])
+    if total == 0:
+        return out
+    cat_idx = np.full(total, -1, np.int32)
+    cat_pos = np.full(total, -1, np.int64)
+    cat_str = np.zeros(total, np.int8)
+    for k, nm in enumerate(names1):
+        m2 = maps2.get(nm)
         if m2 is None:
             continue
-        sel = np.flatnonzero(m1.tgt_idx == ai)
-        p = m1.tgt_pos[sel]
-        t_idx = m2.tgt_idx[p]
-        ok = t_idx >= 0
-        sel, p = sel[ok], p[ok]
-        out.tgt_idx[sel] = m2.tgt_idx[p]
-        out.tgt_pos[sel] = m2.tgt_pos[p]
-        out.strand[sel] = m1.strand[sel] * m2.strand[p]
+        o = int(offs[k])
+        cat_idx[o:o + len(m2.tgt_idx)] = m2.tgt_idx
+        cat_pos[o:o + len(m2.tgt_idx)] = m2.tgt_pos
+        cat_str[o:o + len(m2.tgt_idx)] = m2.strand
+    sel = np.flatnonzero((m1.tgt_idx >= 0) & (lens[np.maximum(
+        m1.tgt_idx, 0)] > 0))
+    if not len(sel):
+        return out
+    g = offs[m1.tgt_idx[sel]] + m1.tgt_pos[sel]
+    t_idx = cat_idx[g]
+    ok = t_idx >= 0
+    sel, g = sel[ok], g[ok]
+    out.tgt_idx[sel] = cat_idx[g]
+    out.tgt_pos[sel] = cat_pos[g]
+    out.strand[sel] = m1.strand[sel] * cat_str[g]
     return out
 
 
@@ -281,15 +300,27 @@ class ProgressiveAligner:
             return
         t0 = time.time()
         retries = getattr(self.config, "retries", 1)
+        chunk_size = None          # None = configured value
         for attempt in range(retries + 1):
             try:
-                step = self._ancestor_step(node)
+                step = self._ancestor_step(node, chunk_size=chunk_size)
                 break
             except (MemoryError, OSError, RuntimeError) as e:
                 if attempt >= retries:
                     raise
+                # escalation on retry (the Slurm --doubleMem analog,
+                # doc/pangenome.md:186): halve the blast chunk size so
+                # the retried attempt needs roughly half the transient
+                # memory per device batch — a deterministic failure
+                # gets a *different*, cheaper execution instead of N
+                # identical ones (per-node override; shared config is
+                # never mutated — tree workers run concurrently)
+                chunk_size = max(
+                    1 << 20,
+                    (chunk_size or self.config.blast.chunk_size) // 2)
                 self.log(f"{node.name}: attempt {attempt + 1} failed "
-                         f"({type(e).__name__}: {e}); retrying")
+                         f"({type(e).__name__}: {e}); retrying with "
+                         f"chunk_size={chunk_size}")
         steps[node.name] = step
         self.log(f"{node.name}: {int(step.caf.alive.sum())} blocks, "
                  f"{step.ref.total_length()} bp ancestor, "
@@ -336,7 +367,8 @@ class ProgressiveAligner:
                     done.add(name)
 
     # ---- one ancestor ----
-    def _ancestor_step(self, node: Tree) -> AncestorStep:
+    def _ancestor_step(self, node: Tree,
+                       chunk_size: int | None = None) -> AncestorStep:
         cfg = self.config
         children = [c.name for c in node.children]
         from .utils.outgroups import greedy_outgroups
@@ -388,7 +420,8 @@ class ProgressiveAligner:
         self.log(f"{node.name}: blast starting (preset {preset}, "
                  f"{len(seqs)} seqs, og={outgroups})")
         t0 = _time.time()
-        records = self._blast(node, children, outgroups, preset)
+        records = self._blast(node, children, outgroups, preset,
+                              chunk_size=chunk_size)
         timings["blast"] = _time.time() - t0
         mem_mb["blast"] = _rss_mb()
 
@@ -496,7 +529,7 @@ class ProgressiveAligner:
                             timings=timings)
 
     def _blast(self, node: Tree, children: list[str], outgroups: list[str],
-               preset: str):
+               preset: str, chunk_size: int | None = None):
         """All ingroup pairs + each ingroup vs outgroups (reference:
         make_paf_alignments, paf/local_alignment.py:751-858).  Genome seq
         names already carry the event prefix.  Fragmented genomes are
@@ -510,13 +543,14 @@ class ProgressiveAligner:
                                       fix_lengths, pack_small_contigs,
                                       split_packed_records)
         cfg = self.config.blast
+        eff_chunk = chunk_size or cfg.chunk_size
         packed: dict[str, dict] = {}
         pack_maps: dict = {}
         chunks: dict[str, list] = {}
         for ev in set(children) | set(outgroups):
             packed[ev], mp = pack_small_contigs(self.genomes[ev])
             pack_maps.update(mp)
-            chunks[ev] = chunk_genome(packed[ev], cfg.chunk_size,
+            chunks[ev] = chunk_genome(packed[ev], eff_chunk,
                                       cfg.overlap_size)
 
         og_preset = preset if preset in ("one", "two", "three", "four",
@@ -566,7 +600,7 @@ class ProgressiveAligner:
                        if r.tname.split(".", 1)[0] != og0]
             records += self._blast_outgroup_cascade(
                 node, children, outgroups, packed, chunks, og_preset,
-                tier0_records=tier0)
+                tier0_records=tier0, eff_chunk=eff_chunk)
 
         records = split_packed_records(records, pack_maps)
         lengths = {n: len(s)
@@ -577,7 +611,8 @@ class ProgressiveAligner:
 
     def _blast_outgroup_cascade(self, node: Tree, children: list[str],
                                 outgroups: list[str], packed, chunks,
-                                og_preset: str, tier0_records=None):
+                                og_preset: str, tier0_records=None,
+                                eff_chunk: int | None = None):
         """Progressive ingroup→outgroup trimming (reference
         make_ingroup_to_outgroup_alignments_0/1/2/3,
         paf/local_alignment.py:421-526): align each ingroup to the
@@ -588,6 +623,7 @@ class ProgressiveAligner:
         from .phases.chunking import (chunk_genome, dechunk_records,
                                       uncovered_subsequences)
         cfg = self.config.blast
+        eff_chunk = eff_chunk or cfg.chunk_size
         # per child: the shrinking remainder genome and the rebase map
         # from its current sequence names back to packed coordinates
         remainder = {c: dict(packed[c]) for c in children}
@@ -602,7 +638,7 @@ class ProgressiveAligner:
                 tasks = []
                 tier_rebase: dict = {}
                 for c in children:
-                    rchunks = chunk_genome(remainder[c], cfg.chunk_size,
+                    rchunks = chunk_genome(remainder[c], eff_chunk,
                                            cfg.overlap_size)
                     for ch in rchunks:
                         if ch.name != ch.origin:

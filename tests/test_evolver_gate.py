@@ -54,8 +54,9 @@ def test_evolver_mammals_scale_gate():
     for i in range(len(leaves)):
         for j in range(i + 1, len(leaves)):
             a, b = leaves[i], leaves[j]
-            truth = {(p, q, s) for p, q, s in sim.truth_pairs(a, b)}
-            s = score_pairs(truth, progressive.leaf_pairs(result, a, b))
+            truth = sim.truth_pairs_arr(a, b)
+            s = score_pairs(truth,
+                            progressive.leaf_pairs_arr(result, a, b))
             recalls.append(s.recall)
             precisions.append(s.precision)
             # every pair individually above the floor
@@ -96,8 +97,9 @@ def test_evolver_primates_scale_gate():
     for i in range(len(leaves)):
         for j in range(i + 1, len(leaves)):
             a, b = leaves[i], leaves[j]
-            truth = {(p, q, s) for p, q, s in sim.truth_pairs(a, b)}
-            s = score_pairs(truth, progressive.leaf_pairs(result, a, b))
+            truth = sim.truth_pairs_arr(a, b)
+            s = score_pairs(truth,
+                            progressive.leaf_pairs_arr(result, a, b))
             recalls.append(s.recall)
             precisions.append(s.precision)
             assert s.recall > 0.95 and s.precision > 0.95, (a, b, s)

@@ -122,10 +122,12 @@ def test_step_retry_on_transient_failure(monkeypatch):
     real = aligner._ancestor_step
     calls = {"n": 0}
 
-    def flaky(node):
+    def flaky(node, chunk_size=None):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("simulated transient device loss")
+        # escalation: the retried attempt arrives with a halved chunk
+        assert chunk_size is not None and chunk_size >= 1 << 20
         return real(node)
 
     aligner._ancestor_step = flaky
