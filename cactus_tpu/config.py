@@ -65,18 +65,47 @@ class SeedParams:
         "default_og": SEED_11_OF_18})
     max_occurrences: int = 64   # drop seeds occurring more often (repeat guard)
     max_anchors: int = 1 << 22  # fixed-size anchor buffer per chunk pair
+    # length-adaptive seed weight: contiguous k=15 drowns in chance
+    # collisions once Lq*Lt approaches 4^15 (~1e9) — a 5 Mb random pair
+    # yields ~25M spurious anchors, 20 Mb ~400M.  Above the threshold
+    # the contiguous presets switch to k_large (the reference controls
+    # this with repeat masking + lastz's post-seed HSP filtering; a
+    # heavier seed removes the chance hits before they materialize).
+    # Chance-hit count at k=19: Lq*Lt/4^19 ≈ 58 per 4 Mb chunk pair.
+    k_large: int = 19
+    seed_scale_threshold: int = 1_000_000
 
     def step_for(self, preset: str) -> int:
         return self.steps.get(preset, self.steps["default"])
 
-    def pattern_for(self, preset: str) -> str:
+    def pattern_for(self, preset: str, min_len: int = 0) -> str:
         if self.pattern:
             return self.pattern
-        return self.patterns.get(preset, self.patterns["default"])
+        p = self.patterns.get(preset, self.patterns["default"])
+        if p and min_len >= self.seed_scale_threshold:
+            # megabase-scale tasks: permissive low-bit patterns (the
+            # 18-22 bit divergence seeds) drown in L^2/2^bits chance
+            # hits; fall back to lastz's own default 12-of-19 seed —
+            # what the reference runs at EVERY divergence (submodule
+            # lastz default seed; transitions approximated by the
+            # T-patterns only below this scale)
+            ones = 2 * p.count("1") + p.count("T")
+            if ones < 24:
+                return SEED_12_OF_19
+        return p
 
-    def span_for(self, preset: str) -> int:
-        p = self.pattern_for(preset)
-        return len(p) if p else self.k
+    def k_for(self, preset: str, min_len: int) -> int:
+        """Effective contiguous seed weight for a task whose smaller
+        side is min_len bases (no-op when a spaced pattern drives)."""
+        if self.pattern_for(preset, min_len):
+            return self.k
+        if min_len >= self.seed_scale_threshold:
+            return self.k_large
+        return self.k
+
+    def span_for(self, preset: str, min_len: int = 0) -> int:
+        p = self.pattern_for(preset, min_len)
+        return len(p) if p else self.k_for(preset, min_len)
 
 
 @dataclass
@@ -91,11 +120,12 @@ class ExtendParams:
     mismatch: int = -114
     gap_open: int = 400
     gap_extend: int = 30
-    # xdrop/ydrop: lastz's incremental-extension termination thresholds
-    # (config :131).  XML-compat only: this design has no per-base
-    # extension loop — seeds merge into exact runs, chaining bridges
-    # them, and gapped termination is the banded gap fill plus the
-    # min_gap_score record split below (blast._emit_records)
+    # xdrop + hsp_threshold drive the native ungapped x-drop HSP filter
+    # (native/dp.cpp dp_hsp_filter — lastz's seed-hit filtering): seed
+    # runs extend along their diagonal and must reach hsp_threshold or
+    # die before chaining.  ydrop's gapped-termination role is covered
+    # by the banded gap fill plus the min_gap_score record split
+    # (blast._emit_records).
     xdrop: int = 910
     ydrop: int = 3000
     hsp_threshold: int = 1500  # min ungapped HSP score to seed gapped ext

@@ -90,6 +90,13 @@ def load():
                 ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int32]
+            lib.dp_hsp_filter.restype = None
+            lib.dp_hsp_filter.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int32]
             lib.dp_chain_extract.restype = ctypes.c_int64
             lib.dp_chain_extract.argtypes = [
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -173,6 +180,30 @@ def dp_chain_batch(runs_list, gap_open: int, gap_extend: int, max_gap: int,
                        _ptr(scores), _ptr(preds), n_threads)
     return ([scores[off[i]:off[i + 1]] for i in range(S)],
             [preds[off[i]:off[i + 1]] for i in range(S)])
+
+
+def dp_hsp_filter(q: np.ndarray, t: np.ndarray, runs: np.ndarray,
+                  match: int, mismatch: int, xdrop: int,
+                  hsp_thresh: int, n_threads: int = 4):
+    """Ungapped x-drop HSP filter over (qstart, tstart, len) runs.
+
+    Returns a bool keep-mask, or None when the native library is
+    unavailable (caller keeps all runs — the chain/emit score filters
+    still apply, just slower)."""
+    lib = load()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(runs, np.int64)
+    qs = np.ascontiguousarray(r[:, 0])
+    ts = np.ascontiguousarray(r[:, 1])
+    ln = np.ascontiguousarray(r[:, 2])
+    q = np.ascontiguousarray(q, np.uint8)
+    t = np.ascontiguousarray(t, np.uint8)
+    keep = np.empty(len(r), np.uint8)
+    lib.dp_hsp_filter(_ptr(q), len(q), _ptr(t), len(t), len(r),
+                      _ptr(qs), _ptr(ts), _ptr(ln), match, mismatch,
+                      xdrop, hsp_thresh, _ptr(keep), n_threads)
+    return keep.astype(bool)
 
 
 def dp_chain_extract(sorted_runs: np.ndarray, scores: np.ndarray,

@@ -248,6 +248,67 @@ void dp_chain_batch(int64_t n_sets, const int64_t* set_off,
     for (auto& th : threads) th.join();
 }
 
+// Ungapped x-drop HSP filter (lastz's hspThresh semantics): score each
+// seed run along its diagonal, extend both ways with x-drop
+// termination, keep runs whose best ungapped score reaches the
+// threshold.  This is what kills the L^2/2^bits chance seed hits
+// before they reach the chaining sort (the reference runs the same
+// filter inside lastz; config hspThreshold).  Codes >= 4 (N/pad) score
+// as mismatches.
+void dp_hsp_filter(const uint8_t* q, int64_t lq,
+                   const uint8_t* t, int64_t lt,
+                   int64_t n_runs,
+                   const int64_t* qs, const int64_t* ts,
+                   const int64_t* ln,
+                   int32_t match, int32_t mismatch,
+                   int32_t xdrop, int32_t hsp_thresh,
+                   uint8_t* keep, int32_t n_threads) {
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(4096);
+            if (i >= n_runs) break;
+            int64_t hi = std::min(i + 4096, n_runs);
+            for (; i < hi; ++i) {
+                int64_t q0 = qs[i], t0 = ts[i], L = ln[i];
+                int64_t score = 0;
+                for (int64_t j = 0; j < L; ++j) {
+                    uint8_t a = q[q0 + j], b = t[t0 + j];
+                    score += (a == b && a < 4) ? match : mismatch;
+                }
+                int64_t best = score;
+                // extend right
+                int64_t cur = score;
+                for (int64_t j = 0; ; ++j) {
+                    int64_t x = q0 + L + j, y = t0 + L + j;
+                    if (x >= lq || y >= lt) break;
+                    uint8_t a = q[x], b = t[y];
+                    cur += (a == b && a < 4) ? match : mismatch;
+                    if (cur > best) best = cur;
+                    if (best - cur > xdrop) break;
+                }
+                // extend left
+                cur = best;
+                int64_t peak = best;
+                for (int64_t j = 1; ; ++j) {
+                    int64_t x = q0 - j, y = t0 - j;
+                    if (x < 0 || y < 0) break;
+                    uint8_t a = q[x], b = t[y];
+                    cur += (a == b && a < 4) ? match : mismatch;
+                    if (cur > peak) peak = cur;
+                    if (peak - cur > xdrop) break;
+                }
+                keep[i] = peak >= hsp_thresh;
+            }
+        }
+    };
+    int32_t T = std::max<int32_t>(1, n_threads);
+    if (T == 1 || n_runs < 8192) { worker(); return; }
+    std::vector<std::thread> threads;
+    for (int32_t k = 0; k < T; ++k) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
 // Greedy best-first chain extraction + overlap trimming (mirrors
 // ops/chain.py extract_chains followed by trim_chain_overlaps, fused).
 // Inputs are the sorted runs + the chain scan's scores/preds and a

@@ -465,30 +465,43 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
                 return None
             return ~task.t_mask
 
+        def task_min(task):
+            return min(len(task.q), len(task.t))
+
+        def eff_k(task):
+            # length-adaptive seed weight (see SeedParams.k_for)
+            return sp.k_for(task.preset, task_min(task))
+
+        def eff_pattern(task):
+            # length-adaptive pattern (see SeedParams.pattern_for)
+            return sp.pattern_for(task.preset, task_min(task))
+
         # phase 1: build each unique target table once (dedup by identity)
         tgt_keys = {}
         for i, task in enumerate(tasks):
-            pattern = sp.pattern_for(task.preset)
+            pattern = eff_pattern(task)
             key = (id(task.t), None if task.t_mask is None
-                   else id(task.t_mask), sp.k, pattern)
-            tgt_keys.setdefault(key, (task.t, t_valid(task), pattern))
+                   else id(task.t_mask), eff_k(task), pattern)
+            tgt_keys.setdefault(key, (task.t, t_valid(task), pattern,
+                                      eff_k(task)))
         tables: dict[tuple, seeds_host.HashedTarget] = {}
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = {key: pool.submit(seeds_host.hash_target, codes, valid,
-                                     sp.k, pattern)
-                    for key, (codes, valid, pattern) in tgt_keys.items()}
+                                     kk, pattern)
+                    for key, (codes, valid, pattern, kk)
+                    in tgt_keys.items()}
             for key, f in futs.items():
                 tables[key] = f.result()
 
             # phase 2: per-task query hash + join, threaded
             def join_one(i):
                 task = tasks[i]
-                pattern = sp.pattern_for(task.preset)
+                pattern = eff_pattern(task)
                 key = (id(task.t), None if task.t_mask is None
-                       else id(task.t_mask), sp.k, pattern)
+                       else id(task.t_mask), eff_k(task), pattern)
                 qv = None if task.q_mask is None else ~task.q_mask
                 return seeds_host.seed_join_host(
-                    task.q, qv, tables[key], k=sp.k,
+                    task.q, qv, tables[key], k=eff_k(task),
                     step=sp.step_for(task.preset), max_occ=max_occ,
                     pattern=pattern)
 
@@ -530,15 +543,29 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
 
 
 def _task_runs(task: StrandTask, qpos: np.ndarray, tpos: np.ndarray,
-               cfg: BlastParams) -> np.ndarray:
+               cfg: BlastParams, span: int | None = None) -> np.ndarray:
     """Anchors → merged diagonal runs for one task (host, vectorized)."""
     sp = cfg.seed
-    span = sp.span_for(task.preset)
+    if span is None:
+        span = sp.span_for(task.preset, min(len(task.q), len(task.t)))
     step = sp.step_for(task.preset)
     if task.self_alignment and task.strand == "+":
         keep = qpos != tpos  # drop the trivial self-diagonal
         qpos, tpos = qpos[keep], tpos[keep]
     runs = seed_ops.merge_diagonal_runs(qpos, tpos, k=span, max_gap=step)
+    if len(runs):
+        # ungapped x-drop HSP filter (lastz hspThresh, config :131):
+        # chance seed hits — L^2/2^bits of them on megabase tasks —
+        # score nowhere near the threshold once extended along their
+        # diagonal, while true seeds inside homologous context pass;
+        # killing them here keeps the chaining sort linear in TRUE
+        # anchors (the reference applies the same filter inside lastz)
+        from ..native import build as native
+        keep = native.dp_hsp_filter(
+            task.q, task.t, runs, cfg.extend.match, cfg.extend.mismatch,
+            cfg.extend.xdrop, cfg.extend.hsp_threshold)
+        if keep is not None:
+            runs = runs[keep]
     if cfg.aligner == "fastga" and len(runs):
         # adaptamer length floor: short (likely chance) unique matches
         # are dropped, leaving the long-exact-match anchor set
@@ -586,7 +613,14 @@ def run_tasks(tasks: list[StrandTask], cfg: BlastParams,
         print(f"[blast-prof] anchors({len(tasks)} tasks): "
               f"{_time.time() - _t:.2f}s", flush=True)
         _t = _time.time()
-    runs_list = [_task_runs(t, qp, tp, cfg)
+    # run-merge span must match the k the anchoring path used: the
+    # host path scales k by task size; the device/mesh path is pinned
+    # at the int32-hash limit (k=15)
+    def _span(t):
+        if mesh is None or len(mesh.devices.flat) <= 1:
+            return cfg.seed.span_for(t.preset, min(len(t.q), len(t.t)))
+        return cfg.seed.span_for(t.preset)
+    runs_list = [_task_runs(t, qp, tp, cfg, span=_span(t))
                  for t, (qp, tp) in zip(tasks, anchors)]
     chained = chain_ops.chain_anchors_batch(runs_list, max_gap=8192)
     if _prof:

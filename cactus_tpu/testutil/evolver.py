@@ -71,30 +71,41 @@ def _evolve_branch(codes, anc_idx, anc_strand, dist, rng,
     shifts = rng.integers(1, 4, size=n, dtype=np.uint8)
     codes = np.where(sub_mask & (codes < 4), (codes + shifts) % 4, codes)
 
-    # indels: expected indel events per site = indel_rate * dist
-    n_events = rng.poisson(indel_rate * dist * n)
-    segs_c, segs_i, segs_s = [codes], [anc_idx], [anc_strand]
-
-    def rebuild():
-        return (np.concatenate(segs_c), np.concatenate(segs_i),
-                np.concatenate(segs_s))
-
-    codes, anc_idx, anc_strand = rebuild()
-    for _ in range(n_events):
-        m = len(codes)
-        if m < 10:
-            break
-        pos = int(rng.integers(0, m))
-        length = 1 + int(rng.geometric(1.0 / indel_mean))
-        if rng.random() < 0.5:  # deletion
-            codes = np.delete(codes, slice(pos, pos + length))
-            anc_idx = np.delete(anc_idx, slice(pos, pos + length))
-            anc_strand = np.delete(anc_strand, slice(pos, pos + length))
-        else:  # insertion of random bases (no ancestor)
-            ins = rng.integers(0, 4, size=length).astype(np.uint8)
-            codes = np.insert(codes, pos, ins)
-            anc_idx = np.insert(anc_idx, pos, np.full(length, -1, dtype=np.int64))
-            anc_strand = np.insert(anc_strand, pos, np.ones(length, dtype=np.int8))
+    # indels: expected indel events per site = indel_rate * dist.
+    # All events are sampled against the post-substitution coordinates
+    # and applied in ONE assembly pass (deletion union mask + a single
+    # multi-position np.insert) — the per-event np.delete/np.insert
+    # loop copied the whole genome per event, which at 20 Mb+ scale
+    # meant terabytes of memcpy and made the 100 Mb gate unreachable.
+    n_events = int(rng.poisson(indel_rate * dist * n))
+    m = len(codes)
+    if n_events and m >= 10:
+        pos = rng.integers(0, m, size=n_events)
+        length = 1 + rng.geometric(1.0 / indel_mean, size=n_events)
+        is_del = rng.random(n_events) < 0.5
+        d_pos = pos[is_del]
+        d_end = np.minimum(d_pos + length[is_del], m)
+        delta = np.zeros(m + 1, np.int64)
+        np.add.at(delta, d_pos, 1)
+        np.add.at(delta, d_end, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+        ins_pos = pos[~is_del]
+        ins_len = length[~is_del]
+        codes = codes[keep]
+        anc_idx = anc_idx[keep]
+        anc_strand = anc_strand[keep]
+        if len(ins_pos):
+            # original position -> position in the deletion-filtered
+            # array; inserted bases carry no ancestor
+            ks = np.concatenate([[0], np.cumsum(keep)])
+            fpos = np.repeat(ks[ins_pos], ins_len)
+            total_ins = int(ins_len.sum())
+            ins = rng.integers(0, 4, size=total_ins).astype(np.uint8)
+            codes = np.insert(codes, fpos, ins)
+            anc_idx = np.insert(anc_idx, fpos,
+                                np.full(total_ins, -1, dtype=np.int64))
+            anc_strand = np.insert(anc_strand, fpos,
+                                   np.ones(total_ins, dtype=np.int8))
 
     # inversions
     n_inv = rng.poisson(inversion_rate * dist * len(codes))
