@@ -243,13 +243,29 @@ def block_observations(caf: CafResult, gcodes: np.ndarray,
         valid = base < 4
         gv, ev, bv = gcol[valid], e_rep[valid], base[valid]
         ce = gv * E + ev
-        N = np.bincount(ce, minlength=total * E).reshape(total, E)
-        counts = N.astype(np.int32)     # == the per-(col,event) valid tally
-        n_s = np.bincount(ce * 4 + bv, minlength=total * E * 4
-                          ).reshape(total, E, 4)
-        expo = 3.0 * n_s - 3.0 * N[:, :, None]
-        expo -= expo.max(axis=2, keepdims=True)   # best state == 1
-        obs = np.power(10.0, np.maximum(expo, -37.0)).astype(np.float32)
+        counts = np.bincount(ce, minlength=total * E).reshape(
+            total, E).astype(np.int32)
+        # obs[c,e,:] = max-normalized 10^(3*(n_s - max_s n_s)).  The
+        # overwhelming majority of (column, event) cells hold exactly
+        # ONE observation — a one-hot row — so build those by direct
+        # scatter and run the full histogram only over the rare
+        # multi-observation cells (the (C,E,4) int64 bincount pair was
+        # the genome-scale hot spot).
+        obs = np.ones((total, E, 4), dtype=np.float32)
+        flat = obs.reshape(-1, 4)
+        single = counts.reshape(-1)[ce] == 1
+        ce1, bv1 = ce[single], bv[single]
+        flat[ce1] = np.float32(1e-3)
+        flat.reshape(-1)[ce1 * 4 + bv1] = 1.0
+        if not single.all():
+            cem, bvm = ce[~single], bv[~single]
+            uniq_ce, inv = np.unique(cem, return_inverse=True)
+            n_s = np.zeros((len(uniq_ce), 4), np.int64)
+            np.add.at(n_s, (inv, bvm), 1)
+            diff = np.minimum(n_s.max(axis=1, keepdims=True) - n_s, 12
+                              ).astype(np.uint8)
+            lut = (10.0 ** (-3.0 * np.arange(13))).astype(np.float32)
+            flat[uniq_ce] = lut[diff]
     else:
         obs = np.ones((total, E, 4), dtype=np.float32)
         counts = np.zeros((total, E), dtype=np.int32)
