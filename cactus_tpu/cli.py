@@ -228,7 +228,17 @@ def cmd_prepare(args) -> int:
     from .prepare import make_plan, write_script, write_wdl
     sf = SeqFile.parse(args.seqfile)
     tree = sf.tree if sf.tree is not None else sf.star_tree()
-    stages = make_plan(tree, args.seqfile, args.outdir)
+    # size each stage with the reference's consolidated memory model
+    # (cactus_workflow.py:34-97) from the on-disk FASTA sizes
+    import os as _os
+    event_bytes = {}
+    for ev, path in sf.paths.items():
+        try:
+            event_bytes[ev] = _os.path.getsize(path)
+        except OSError:
+            pass
+    stages = make_plan(tree, args.seqfile, args.outdir,
+                       event_bytes=event_bytes)
     if getattr(args, "wdl", None):
         with open(args.wdl, "w") as fh:
             write_wdl(stages, fh)
