@@ -368,6 +368,14 @@ class OutgroupParams:
 @dataclass
 class Config:
     distance_to_add_to_root_alignment: float = 0.1
+    # nested tangle refinement (phases/nested.py): after the flat
+    # CAF+BAR pass, re-decompose large unaligned link interiors — the
+    # one-level analog of the reference's recursive flower hierarchy
+    # (cactus_consolidated.c:115-144,439-460)
+    nested_refinement: bool = True
+    nested_min_interior: int = 64
+    nested_max_interior: int = 200_000
+    nested_max_members: int = 12
     # per-ancestor-step retry budget on transient failures (the Toil
     # job-retry analog; checkpoint store bounds lost work to one step)
     retries: int = 1

@@ -486,6 +486,21 @@ class ProgressiveAligner:
                  f"({int(caf.alive.sum())} live blocks)")
 
         t0 = _time.time()
+        if cfg.nested_refinement:
+            # second decomposition inside large unaligned link
+            # interiors, BEFORE bar fills adjacency gaps (the
+            # reference's recursive flower layers run at the CAF level
+            # and bar works the hierarchy's leaves —
+            # cactus_consolidated.c:426-460; phases/nested.py)
+            from .phases import nested as nested_phase
+            n0 = int(caf.alive.sum())
+            caf = nested_phase.refine_nested(
+                caf, caf_seqs, cfg, preset, set(children),
+                caf_og_events, log=lambda m: self.log(
+                    f"{node.name}: {m}"))
+            if int(caf.alive.sum()) != n0:
+                self.log(f"{node.name}: nested refinement "
+                         f"{n0} -> {int(caf.alive.sum())} live blocks")
         caf = bar_phase.run_bar(caf, caf_seqs, cfg.bar,
                                 ingroup_events=set(children),
                                 outgroup_events=caf_og_events)

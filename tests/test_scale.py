@@ -6,11 +6,11 @@ within a host-memory budget and an accuracy floor — the criteria from
 the round-1 verdict ("a >=100 Mb two-genome alignment completes on one
 chip within memory with accuracy held").
 
-Measured anchors (this repo):
-  5 Mb pair:  292 s, 5.1 GB peak RSS, ~17 k cols/s (one v5e chip)
-  20 Mb pair: 2183 s, 21.3 GB peak RSS, 19.88 M cols = 99.4% coverage
-              (2026-08-18, CPU-only under load — TPU tunnel down)
-(See PROGRESS notes / README for the current large-run numbers.)
+Measured anchors (this repo; round 3, 2026-08-19, v5e chip attached):
+  5 Mb pair:   42 s,  3.5 GB peak RSS, 99.4% coverage
+  20 Mb pair:  455 s, 12.9 GB peak RSS, 99.4% coverage
+  100 Mb pair: 2932 s (49 min), 51.7 GB peak RSS, 99.4% coverage
+(Round-2 anchors: 5 Mb 292 s; 20 Mb 2183 s CPU-only, 21.3 GB.)
 """
 
 import os
