@@ -69,59 +69,74 @@ def link_interiors(caf: CafResult, min_len: int, max_len: int):
     return {k: v for k, v in groups.items() if len(v) >= 2}
 
 
-def _seedless_runs(qa: np.ndarray, tb: np.ndarray,
-                   gq_off: int, gt_off: int,
-                   max_side: int = 16_384,
-                   gamma: float = 0.9, min_frac: float = 0.4,
-                   min_side: int = 200):
-    """Pecan-in-tangle: pair-HMM posterior alignment of an interval
-    pair where no seed survived (high divergence and/or the reverse
+def _seedless_runs_batch(jobs, max_side: int = 16_384,
+                         gamma: float = 0.9, min_frac: float = 0.4,
+                         min_side: int = 200):
+    """Pecan-in-tangle: pair-HMM posterior alignment of interval pairs
+    where no seed survived (high divergence and/or the reverse
     orientation, which the forward-only BAR end alignment cannot see).
 
-    Both strands run through the cPecan-analog posterior kernel; the
-    better orientation's confident matched pairs (posterior >= gamma)
-    become global match runs — garbage pairings yield diffuse
-    posteriors and die at the min_frac acceptance, so force-aligned
-    junk never pinches.  Returns [(ga, gb, ln, strand)] global runs."""
+    jobs: [(qa, tb, gq_off, gt_off)].  Both strands of every job run
+    through the cPecan-analog posterior kernel in ONE batched dispatch
+    per band bin; the better orientation's confident matched pairs
+    (posterior >= gamma) become global match runs — garbage pairings
+    yield diffuse posteriors and die at the min_frac acceptance, so
+    force-aligned junk never pinches.  Returns [(ga, gb, ln, strand)]
+    global runs."""
     from ..io.fasta import revcomp
     from ..ops.pairhmm import HmmParams, posterior_pairs_banded
-    if (min(len(qa), len(tb)) < min_side
-            or max(len(qa), len(tb)) > max_side):
-        # boundary slivers aren't tangles: low-confidence pinches on
-        # the edge of an aligned region fragment good blocks
-        return []
-    span = abs(len(qa) - len(tb)) + max(64, max(len(qa), len(tb)) // 4)
-    band = 128
-    while band <= span + 16:
-        band *= 2
-    if band > 4096:
-        return []
+    by_band: dict[int, list] = {}
+    for job in jobs:
+        qa, tb = job[0], job[1]
+        if (min(len(qa), len(tb)) < min_side
+                or max(len(qa), len(tb)) > max_side):
+            # boundary slivers aren't tangles: low-confidence pinches
+            # on the edge of an aligned region fragment good blocks
+            continue
+        span = (abs(len(qa) - len(tb))
+                + max(64, max(len(qa), len(tb)) // 4))
+        band = 128
+        while band <= span + 16:
+            band *= 2
+        if band <= 4096:
+            by_band.setdefault(band, []).append(job)
     params = HmmParams()
-    cands = posterior_pairs_banded(
-        [(qa, tb), (revcomp(qa), tb)], params, band=band, gamma=gamma)
-    best_strand, best = None, None
-    for strand, matched in zip((1, -1), cands):
-        if best is None or len(matched) > len(best):
-            best, best_strand = matched, strand
-    if best is None or len(best) < min_frac * min(len(qa), len(tb)):
-        return []
-    qp = np.array([m[0] for m in best], np.int64)
-    tp = np.array([m[1] for m in best], np.int64)
-    # consecutive diagonal pairs → runs (aligned orientation)
-    brk = np.flatnonzero((np.diff(qp) != 1) | (np.diff(tp) != 1)) + 1
-    starts = np.concatenate([[0], brk])
-    ends = np.concatenate([brk, [len(qp)]])
-    L = len(qa)
     runs = []
-    for s, e in zip(starts, ends):
-        ln = int(e - s)
-        q0a, t0 = int(qp[s]), int(tp[s])
-        if best_strand == 1:
-            runs.append((gq_off + q0a, gt_off + t0, ln, 1))
-        else:
-            # aligned-orientation q interval [q0a, q0a+ln) sits at
-            # forward [L-q0a-ln, L-q0a) and pairs REVERSED with t
-            runs.append((gq_off + L - q0a - ln, gt_off + t0, ln, -1))
+    for band, grp in by_band.items():
+        pairs = []
+        for qa, tb, _gq, _gt in grp:
+            pairs.append((qa, tb))
+            pairs.append((revcomp(qa), tb))
+        cands = posterior_pairs_banded(pairs, params, band=band,
+                                       gamma=gamma)
+        for i, (qa, tb, gq_off, gt_off) in enumerate(grp):
+            best_strand, best = None, None
+            for strand, matched in zip((1, -1),
+                                       (cands[2 * i], cands[2 * i + 1])):
+                if best is None or len(matched) > len(best):
+                    best, best_strand = matched, strand
+            if best is None or len(best) < min_frac * min(len(qa),
+                                                          len(tb)):
+                continue
+            qp = np.array([m[0] for m in best], np.int64)
+            tp = np.array([m[1] for m in best], np.int64)
+            # consecutive diagonal pairs → runs (aligned orientation)
+            brk = np.flatnonzero((np.diff(qp) != 1)
+                                 | (np.diff(tp) != 1)) + 1
+            starts = np.concatenate([[0], brk])
+            ends = np.concatenate([brk, [len(qp)]])
+            L = len(qa)
+            for s, e in zip(starts, ends):
+                ln = int(e - s)
+                q0a, t0 = int(qp[s]), int(tp[s])
+                if best_strand == 1:
+                    runs.append((gq_off + q0a, gt_off + t0, ln, 1))
+                else:
+                    # aligned-orientation q interval [q0a, q0a+ln)
+                    # sits at forward [L-q0a-ln, L-q0a) and pairs
+                    # REVERSED with t
+                    runs.append((gq_off + L - q0a - ln, gt_off + t0,
+                                 ln, -1))
     return runs
 
 
@@ -142,7 +157,7 @@ def refine_nested(caf: CafResult, seqs: dict[str, Sequence],
     names = list(table.names)
     codes = {n: seqs[n].codes for n in names if n in seqs}
     new_records = []
-    seedless = []
+    seedless_jobs = []
     n_pairs = 0
     for key, members in groups.items():
         members = members[:cfg.nested_max_members]
@@ -167,12 +182,13 @@ def refine_nested(caf: CafResult, seqs: dict[str, Sequence],
                     r.tend += s2
                 if not recs and si != sj:
                     # no seeds survive in this interior: pecan role
-                    seedless.extend(_seedless_runs(
-                        qa.codes, tb.codes,
-                        int(table.offsets[si]) + s1,
-                        int(table.offsets[sj]) + s2))
+                    seedless_jobs.append(
+                        (qa.codes, tb.codes,
+                         int(table.offsets[si]) + s1,
+                         int(table.offsets[sj]) + s2))
                 new_records.extend(recs)
                 n_pairs += 1
+    seedless = _seedless_runs_batch(seedless_jobs)
     if not new_records and not seedless:
         return caf
     log(f"nested refinement: {len(groups)} tangles, {n_pairs} interval "
