@@ -227,13 +227,17 @@ def layout_stress(graph: PanGraph, X: np.ndarray,
 
 
 def sgd_sort(graph: PanGraph, ref_name: str | None = None,
-             iters: int = 200, batch: int = 1024,
+             iters: int | None = None, batch: int = 1024,
              seed: int = 0) -> np.ndarray:
     """`odgi sort -Y` analog: path-guided 1D SGD node order.
 
     Same sampled-pair SGD as layout_2d but in one dimension with one
     point per node (odgi's 1D sort), starting from the first-visit
     order.  Returns the node permutation (new order, old ids).
+
+    iters defaults to a graph-size-scaled schedule: convergence needs
+    the sampled pairs to cover each node several times (odgi scales
+    its SGD epochs with path steps the same way).
     """
     import jax
     import jax.numpy as jnp
@@ -241,6 +245,8 @@ def sgd_sort(graph: PanGraph, ref_name: str | None = None,
     n = graph.n_nodes
     if n == 0:
         return np.zeros(0, np.int64)
+    if iters is None:
+        iters = min(2000, max(600, 4 * n))
     ep, pos, pstart, plen = _step_termini(graph, ref_name)
     if len(ep) < 2:
         return np.arange(n, dtype=np.int64)
