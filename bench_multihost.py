@@ -37,8 +37,9 @@ import time
 
 REPS = 6
 N_PAIRS = 64          # global batch (8 per device on the 8-device mesh)
-SEQ_LEN = 2048
-BAND = 512
+SEQ_LEN = 4096        # genome-realistic per-pair work: the fixed
+BAND = 512            # process-boundary costs amortize as they would
+                      # on a real two-host batch
 
 
 def _workload():
