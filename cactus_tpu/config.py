@@ -65,15 +65,25 @@ class SeedParams:
         "default_og": SEED_11_OF_18})
     max_occurrences: int = 64   # drop seeds occurring more often (repeat guard)
     max_anchors: int = 1 << 22  # fixed-size anchor buffer per chunk pair
-    # length-adaptive seed weight: contiguous k=15 drowns in chance
-    # collisions once Lq*Lt approaches 4^15 (~1e9) — a 5 Mb random pair
-    # yields ~25M spurious anchors, 20 Mb ~400M.  Above the threshold
-    # the contiguous presets switch to k_large (the reference controls
-    # this with repeat masking + lastz's post-seed HSP filtering; a
-    # heavier seed removes the chance hits before they materialize).
-    # Chance-hit count at k=19: Lq*Lt/4^19 ≈ 58 per 4 Mb chunk pair.
-    k_large: int = 19
+    # length-adaptive seeds: the 18-22-bit divergence T-patterns drown
+    # in Lq*Lt/2^bits chance collisions at megabase scale (a 4 Mb pair
+    # yields ~30M spurious anchors on the 19-bit default pattern);
+    # above the threshold such patterns fall back to lastz's 12-of-19
+    # seed (24 bits) — see pattern_for.  Contiguous k=15 (30 bits) is
+    # already specific enough (≈16k chance hits per 4 Mb pair, and the
+    # native HSP filter removes those), and staying ≤15 keeps every
+    # seed scheme within the device kernel's int32 hash space, so the
+    # same join can run host-side OR as a batched TPU dispatch.
+    k_large: int = 15
     seed_scale_threshold: int = 1_000_000
+    # single-chip device routing for seed joins: chunk pairs whose
+    # combined length reaches this go to the TPU as batched vmapped
+    # joins.  Disabled by default: MEASURED SLOWER on a v5e (20 Mb
+    # pair blast 783 s vs 142 s on the threaded host-numpy join —
+    # XLA's TPU argsort at 4M keys loses to numpy's introsort by ~5x
+    # per join, dwarfing any transfer saving).  Kept config-reachable
+    # for future hardware/XLA where the device sort wins.
+    device_join_threshold: int = 1 << 62
 
     def step_for(self, preset: str) -> int:
         return self.steps.get(preset, self.steps["default"])

@@ -106,6 +106,19 @@ def seed_join(q_codes, q_valid, t_codes, t_valid,
     return out_q, out_t, total.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "step", "max_occ", "max_anchors",
+                                   "pattern"))
+def seed_join_batch(q_codes, q_valid, t_codes, t_valid,
+                    k: int = 15, step: int = 1, max_occ: int = 64,
+                    max_anchors: int = 1 << 20, pattern: str = ""):
+    """vmapped seed_join over a (B, L) task batch — ONE device dispatch
+    for a whole shape bin of chunk-pair tasks (the single-chip analog
+    of the mesh path's sharded join; amortizes link latency)."""
+    fn = partial(seed_join, k=k, step=step, max_occ=max_occ,
+                 max_anchors=max_anchors, pattern=pattern)
+    return jax.vmap(fn)(q_codes, q_valid, t_codes, t_valid)
+
+
 def merge_diagonal_runs(qpos: np.ndarray, tpos: np.ndarray, k: int,
                         max_gap: int = 0) -> np.ndarray:
     """Collapse seed hits into maximal runs on each diagonal (host, numpy).

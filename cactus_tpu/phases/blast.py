@@ -427,6 +427,58 @@ def _warn_anchor_overflow(task: StrandTask, n: int, cap: int, log) -> None:
             log(msg)
 
 
+def _device_join_batch(tasks, idxs, out, cfg: BlastParams, max_occ: int,
+                       eff_cap, log) -> None:
+    """Batched TPU seed joins for big chunk pairs on ONE chip.
+
+    Tasks bin by (padded shapes, seed scheme); each bin is one vmapped
+    dispatch (seed_join_batch).  Counts come back first (tiny), then
+    each task's anchors transfer as a device-side slice of its true
+    count — never the full fixed-capacity table (round-2's whole-table
+    pulls were the device path's real cost on the slow link)."""
+    import jax
+
+    sp = cfg.seed
+    prepped = {i: _task_inputs(tasks[i]) for i in idxs}
+    bins: dict[tuple, list[int]] = {}
+    for i in idxs:
+        t = tasks[i]
+        qp, qv, tp, tv = prepped[i]
+        ml = min(len(t.q), len(t.t))
+        key = (len(qp), len(tp), sp.k_for(t.preset, ml),
+               sp.step_for(t.preset), sp.pattern_for(t.preset, ml))
+        bins.setdefault(key, []).append(i)
+    for (lq, lt, k, step, pattern), grp in bins.items():
+        cap = eff_cap(lq)
+        # HBM budget per sub-batch: per-task footprint ≈ inputs
+        # (2(lq+lt) bytes) + anchor tables (8·cap) + sort workspace
+        # (~16(lq+lt)); cap the vmapped batch so the device never
+        # swells past ~0.75 GB of working set (a 50-wide 4 Mb bin crashed
+        # the worker)
+        per_task = 18 * (lq + lt) + 8 * cap
+        b_max = max(1, int((3 << 28) // per_task))
+        for g0 in range(0, len(grp), b_max):
+            sub = grp[g0:g0 + b_max]
+            B = len(sub)
+            qc = np.zeros((B, lq), np.uint8)
+            qv = np.zeros((B, lq), bool)
+            tc = np.zeros((B, lt), np.uint8)
+            tv = np.zeros((B, lt), bool)
+            for row, i in enumerate(sub):
+                a, b, c, d = prepped[i]
+                qc[row], qv[row], tc[row], tv[row] = a, b, c, d
+            qpos, tpos, counts = seed_ops.seed_join_batch(
+                qc, qv, tc, tv, k=k, step=step, max_occ=max_occ,
+                max_anchors=cap, pattern=pattern)
+            counts = np.asarray(counts)
+            for row, i in enumerate(sub):
+                n = int(counts[row])
+                _warn_anchor_overflow(tasks[i], n, cap, log)
+                # device-side slice: transfer n anchors, not the table
+                out[i] = (np.asarray(qpos[row, :n]),
+                          np.asarray(tpos[row, :n]))
+
+
 def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
                       mesh=None, log=None) -> list:
     """Seed-join anchors per task, optionally sharded over a device mesh.
@@ -452,13 +504,29 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
         return min(want, 1 << 24)
 
     if mesh is None or len(mesh.devices.flat) <= 1:
-        # single-device path: exact host-numpy join with the target side
-        # hashed+sorted once per chunk and shared across every task that
-        # aligns to it (strands, cascade tiers, sibling queries).  Zero
-        # device round-trips; threads overlap the numpy sorts.
+        # single-device path: small tasks run the exact host-numpy join
+        # (target hashed+sorted once per chunk, shared across strands/
+        # tiers/queries; zero device round-trips); BIG chunk pairs go
+        # to the TPU as ONE batched dispatch per shape bin — at
+        # multi-megabase chunks the device sort beats the host numpy
+        # sort even across the link, and the link cost amortizes over
+        # the bin
         from concurrent.futures import ThreadPoolExecutor
 
         from ..ops import seeds_host
+
+        import jax
+        device_set: set[int] = set()
+        if jax.devices()[0].platform == "tpu":
+            device_set = {i for i, t in enumerate(tasks)
+                          if len(t.q) + len(t.t)
+                          >= sp.device_join_threshold}
+        if device_set:
+            _device_join_batch(tasks, sorted(device_set), out, cfg,
+                               max_occ, eff_cap, log)
+        host_idx = [i for i in range(len(tasks)) if i not in device_set]
+        if not host_idx:
+            return out
 
         def t_valid(task):
             if task.t_mask is None:
@@ -478,7 +546,8 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
 
         # phase 1: build each unique target table once (dedup by identity)
         tgt_keys = {}
-        for i, task in enumerate(tasks):
+        for i in host_idx:
+            task = tasks[i]
             pattern = eff_pattern(task)
             key = (id(task.t), None if task.t_mask is None
                    else id(task.t_mask), eff_k(task), pattern)
@@ -505,7 +574,7 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
                     step=sp.step_for(task.preset), max_occ=max_occ,
                     pattern=pattern)
 
-            for i, res in enumerate(pool.map(join_one, range(len(tasks)))):
+            for i, res in zip(host_idx, pool.map(join_one, host_idx)):
                 out[i] = res
         return out
 
