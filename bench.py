@@ -25,14 +25,32 @@ import numpy as np
 CPU_BASELINE_CELLS_PER_S = 1.0e9
 
 
-def _bench(fn, n_iter: int) -> float:
-    """Median-free simple timing: compile call first, then average."""
+def _bench(fn, n_iter: int, fetch=None) -> float:
+    """Slope timing with an end-of-chain FETCH sync.
+
+    jax.block_until_ready does NOT reliably wait on the remote-relay
+    backend (measured: 10 multi-ms kernels "completed" in 0.4 ms);
+    only materializing a value forces completion.  Timing two chain
+    lengths and taking the slope cancels the fetch round trip, so the
+    number is pure marginal kernel cost."""
     import jax
-    jax.block_until_ready(fn(0))
+    import numpy as np
+
+    if fetch is None:
+        fetch = lambda o: np.asarray(jax.tree_util.tree_leaves(o)[0])
+    fetch(fn(0))                               # compile + warm
     t0 = time.perf_counter()
-    outs = [fn(i + 1) for i in range(n_iter)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / n_iter
+    out = None
+    for i in range(3):
+        out = fn(i + 1)
+    fetch(out)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(n_iter + 3):
+        out = fn(i + 1)
+    fetch(out)
+    t_big = time.perf_counter() - t0
+    return max((t_big - t_small) / n_iter, 1e-9)
 
 
 def bench_banded(jax, jnp, device=None) -> float:
@@ -56,15 +74,21 @@ def bench_banded(jax, jnp, device=None) -> float:
     else:
         kernel = banded_align_batch
 
-    @jax.jit
+    # vary inputs per call HOST-side (defeats remote-relay result
+    # caching) and call the jitted kernel directly: wrapping a jitted
+    # kernel in another jit costs ~21 ms/call of nested-pjit dispatch
+    # on the relay backend and understates throughput
+    qs = [put(np.roll(np.asarray(q), i + 1, axis=0))
+          for i in range(10)]
+
     def run(i):
-        # roll by the iteration index so every call is distinct work
-        # (defeats any result caching in remote-execution relays)
-        dirs, scores, mat = kernel(jnp.roll(q, i, axis=0), *rest,
-                                   band=band, gap_open=400, gap_extend=30)
+        dirs, scores, mat = kernel(qs[i % len(qs)] if i else q, *rest,
+                                   band=band, gap_open=400,
+                                   gap_extend=30)
         return scores
 
-    dt = _bench(run, 10 if platform == "tpu" else 3)
+    dt = _bench(run, 10 if platform == "tpu" else 3,
+                fetch=lambda o: float(o[0, 0]))
     return P * M * band / dt
 
 
@@ -84,13 +108,16 @@ def bench_pairhmm(jax, jnp) -> float:
     lo = jnp.asarray(np.zeros(P, dtype=np.int32))
     em = jnp.asarray(p.emissions())
 
-    @jax.jit
+    qs = [jnp.asarray(np.roll(np.asarray(q), i + 1, axis=0))
+          for i in range(5)]
+
     def run(i):
-        return kernel(jnp.roll(q, i, axis=0), t_shift,
+        return kernel(qs[i % len(qs)] if i else q, t_shift,
                       m_len, m_len, lo, em, band=band,
                       delta=p.delta, epsilon=p.epsilon)
 
-    dt = _bench(run, 5 if platform == "tpu" else 2)
+    dt = _bench(run, 5 if platform == "tpu" else 2,
+                fetch=lambda o: float(o[0, 0, 0]))
     # forward + backward + posterior ≈ 3 passes over the band
     return 3 * P * M * band / dt
 
@@ -110,12 +137,15 @@ def bench_pairhmm5(jax, jnp) -> float:
     lo = jnp.asarray(np.zeros(P, dtype=np.int32))
     em = jnp.asarray(p.emissions())
 
-    @jax.jit
+    qs = [jnp.asarray(np.roll(np.asarray(q), i + 1, axis=0))
+          for i in range(5)]
+
     def run(i):
-        return kernel(jnp.roll(q, i, axis=0), t_shift,
+        return kernel(qs[i % len(qs)] if i else q, t_shift,
                       m_len, m_len, lo, em, band=band, params=p)
 
-    dt = _bench(run, 5 if platform == "tpu" else 2)
+    dt = _bench(run, 5 if platform == "tpu" else 2,
+                fetch=lambda o: float(o[0, 0, 0]))
     return 3 * P * M * band / dt
 
 
@@ -151,19 +181,20 @@ def bench_poa(jax, jnp) -> float:
     l_len = jnp.asarray(np.full(P, L, np.int32))
 
     batch = _affine_pallas_batch_or_none(N, B)
+    rolled = [jnp.asarray(np.roll(np.asarray(bases), i + 1, axis=0))
+              for i in range(3)]
     if batch is None:
-        batch = jax.vmap(
+        vbatch = jax.jit(jax.vmap(
             lambda b, pr, of, qe, ll: poa_align_scan_affine(
                 b, pr, of, qe, sm, band=B, o1=o1, e1=e1, o2=o2, e2=e2,
-                l_len=ll))
-        run_inner = lambda i: batch(jnp.roll(bases, i, axis=0), preds,
-                                    off, q_ext, l_len)[2]
+                l_len=ll)))
+        run = lambda i: vbatch(rolled[i % 3] if i else bases, preds,
+                               off, q_ext, l_len)[2]
     else:
-        run_inner = lambda i: batch(jnp.roll(bases, i, axis=0), preds,
-                                    off, q_ext, l_len, sm, band=B,
-                                    o1=o1, e1=e1, o2=o2, e2=e2)[2]
-    run = jax.jit(run_inner)
-    dt = _bench(run, 3)
+        run = lambda i: batch(rolled[i % 3] if i else bases, preds,
+                              off, q_ext, l_len, sm, band=B,
+                              o1=o1, e1=e1, o2=o2, e2=e2)[2]
+    dt = _bench(run, 3, fetch=lambda o: float(o[0, 0]))
     return P * N * B / dt
 
 

@@ -249,14 +249,23 @@ def _chain_consts(Bp: int, o1: int, e1: int, o2: int, e2: int):
     _CHAIN_CONSTS[key] = consts
     return consts
 
-def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
-                   q_ref,                                       # (1, 1, Lq)
-                   chain_ref,                                   # (4K, Bp)
-                   H_out, dirs_ref,                             # outputs
-                   H, F1, F2,                                   # scratch
+def _affine_kernel(llen_ref, submat_ref,                # scalar prefetch
+                   q_ref,                               # (1, 1, Lq) VMEM
+                   chain_ref,                           # (4K, Bp) VMEM
+                   nslots_ref,                          # (1, 1, S) SMEM
+                   bases_ref,                           # (1, 1, Np) SMEM
+                   preds_ref,                           # (1,1,Np*MP) SMEM
+                   off_ref,                             # (1, 1, Np) SMEM
+                   H_out, dirs_ref,                     # outputs
+                   H, F1, F2,                           # scratch
                    *, n_nodes: int, band: int, b_pad: int, l_pad: int,
                    o1: int, e1: int, o2: int, e2: int,
                    nodes_per_step: int):
+    """Node topology rides in SMEM BLOCKS, not scalar prefetch: the
+    step's R nodes (bases/preds/nslots) and the problem's off row are
+    tiny per-step windows the pipeline double-buffers — prefetching the
+    whole (P, Np, MAX_PREDS) tables into SMEM both exceeded the 1 MB
+    SMEM at real batch sizes and dominated per-call dispatch."""
     p = pl.program_id(0)
     step = pl.program_id(1)
     R = nodes_per_step
@@ -282,14 +291,45 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
         return jnp.where(j == 0, 0,
                          jnp.where(j > 0, -c, NEG)).astype(jnp.int32)
 
+    # the step's nodes run with exactly as many pred slots as any of
+    # them needs: ~95% of POA nodes have a single predecessor, and the
+    # slot machinery (scratch slices + band rolls + the 12-candidate
+    # argmax) is ~97% of node cost — the 1-slot body measured 8.1
+    # Gcells/s vs 0.2 for the unconditional MAX_PREDS body.  Outputs
+    # are bit-identical: trailing invalid slots contribute NEG rows
+    # that can never win a first-max tie, and the a % n // n decode
+    # yields the same (slot, ext) pair either way.
+    ns = nslots_ref[0, 0, step]
+
+    @pl.when(ns <= 1)
+    def _fast():
+        _affine_nodes(1, p, step, L, b_idx, qrow, row0_at,
+                      bases_ref, preds_ref, off_ref, submat_ref,
+                      chain_ref, H_out, dirs_ref, H, F1, F2,
+                      R=R, N=N, B=B, Bp=Bp, Lq=Lq,
+                      o1=o1, e1=e1, o2=o2, e2=e2)
+
+    @pl.when(ns > 1)
+    def _full():
+        _affine_nodes(MAX_PREDS, p, step, L, b_idx, qrow, row0_at,
+                      bases_ref, preds_ref, off_ref, submat_ref,
+                      chain_ref, H_out, dirs_ref, H, F1, F2,
+                      R=R, N=N, B=B, Bp=Bp, Lq=Lq,
+                      o1=o1, e1=e1, o2=o2, e2=e2)
+
+
+def _affine_nodes(n_slots, p, step, L, b_idx, qrow, row0_at,
+                  bases_ref, preds_ref, off_ref, submat_ref,
+                  chain_ref, H_out, dirs_ref, H, F1, F2,
+                  *, R, N, B, Bp, Lq, o1, e1, o2, e2):
     for r in range(R):
         v = step * R + r
-        off_v = off_ref[p * N + v]
+        off_v = off_ref[0, 0, v]
         j = off_v + b_idx
         # query codes at columns j: cyclic left-roll by off, wrap lanes
         # are masked by `valid` downstream
         qv = pltpu.roll(qrow, jnp.remainder(-off_v, Lq), axis=1)[:, :Bp]
-        base = bases_ref[p * N + v]
+        base = bases_ref[0, 0, v]
         s = jnp.zeros((1, Bp), jnp.int32)
         for bcode in range(6):
             row_s = jnp.zeros((1, Bp), jnp.int32)
@@ -299,13 +339,13 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
 
         any_pred = None
         Hp, F1p, F2p, Hd = [], [], [], []
-        for slot in range(MAX_PREDS):
-            pv = preds_ref[(p * N + v) * MAX_PREDS + slot]
+        for slot in range(n_slots):
+            pv = preds_ref[0, 0, v * MAX_PREDS + slot]
             has = pv >= 0
             any_pred = has if any_pred is None else jnp.logical_or(
                 any_pred, has)
             pidx = jnp.maximum(pv, 0)
-            d = off_v - off_ref[p * N + pidx]
+            d = off_v - off_ref[0, 0, pidx]
             gidx = d + b_idx
             amt = jnp.remainder(-d, Bp)
             # ONE dynamic-amount roll per slot: the H/F1/F2 rows share
@@ -344,8 +384,8 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
                          + [f - e1 for f in F1p])
         F2n, a2 = maxdec([h - (o2 + e2) for h in Hp]
                          + [f - e2 for f in F2p])
-        f1_slot, f1_ext = a1 % MAX_PREDS, a1 // MAX_PREDS
-        f2_slot, f2_ext = a2 % MAX_PREDS, a2 // MAX_PREDS
+        f1_slot, f1_ext = a1 % n_slots, a1 // n_slots
+        f2_slot, f2_ext = a2 % n_slots, a2 // n_slots
         diag, dslot = maxdec([h + s for h in Hd])
         h0 = jnp.maximum(diag, jnp.maximum(F1n, F2n))
 
@@ -399,8 +439,83 @@ def _affine_kernel(bases_ref, preds_ref, off_ref, llen_ref, submat_ref,
         dirs_ref[0, pl.ds(r, 1), :] = dirs
 
 
-@partial(jax.jit,
-         static_argnames=("band", "o1", "e1", "o2", "e2", "interpret"))
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _affine_call(P: int, Np: int, B: int, Bp: int, Lq: int,
+                 o1: int, e1: int, o2: int, e2: int, R: int,
+                 chain_rows: int, interpret: bool):
+    """Construct (once per static signature) the raw pallas_call.
+
+    The call is invoked DIRECTLY (one eager XLA dispatch), not through
+    a jax.jit wrapper: on the remote-relay backend a pjit-decorated
+    wrapper measured ~20 ms of per-call dispatch overhead around a
+    0.5 ms kernel — 40x of pure launch tax.  Host-side prep/epilogue
+    moved to numpy for the same reason."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P, Np // R),
+        in_specs=[
+            # (P, 1, Lq): a (1, 1, Lq) block satisfies the (8, 128)
+            # tiling rule for every P (a (1, Lq) block on (P, Lq) only
+            # lowers when P == 1 — hardware Mosaic constraint)
+            pl.BlockSpec((1, 1, Lq), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # precomputed tropical chain matrix powers (4K, Bp)
+            pl.BlockSpec((chain_rows, Bp), lambda p, i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # per-PROBLEM topology rows in SMEM (NOT scalar prefetch:
+            # whole-table prefetch exceeded the 1 MB SMEM at real batch
+            # sizes and dominated per-call dispatch; blocks must keep
+            # their trailing dims equal to the array dims — the (8,128)
+            # tiling rule applies to SMEM blocks too)
+            pl.BlockSpec((1, 1, Np // R), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.SMEM),            # nslots
+            pl.BlockSpec((1, 1, Np), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.SMEM),            # bases
+            # preds flattened to (P, 1, Np*MP): a trailing dim of
+            # MAX_PREDS would pad to 128 lanes in the SMEM window
+            pl.BlockSpec((1, 1, Np * MAX_PREDS),
+                         lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.SMEM),            # preds
+            pl.BlockSpec((1, 1, Np), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.SMEM),            # off row
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, Bp), lambda p, i, *_: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Bp), lambda p, i, *_: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((Np, Bp), jnp.int32)] * 3,
+    )
+    return pl.pallas_call(
+        partial(_affine_kernel, n_nodes=Np, band=B, b_pad=Bp, l_pad=Lq,
+                o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=None)
+def _batch_jit(band: int, o1: int, e1: int, o2: int, e2: int,
+               interpret: bool):
+    """jit closure per static signature, called with POSITIONAL args
+    only: calling a static_argnames-decorated pjit with keyword statics
+    measured ~20 ms of per-call HOST dispatch on the relay backend
+    (shape-invariant; the kernel itself is ~0.5 ms) — the positional
+    fast path dispatches in microseconds."""
+    def impl(bases, preds, off, q_ext, l_len, submat):
+        return _batch_impl(bases, preds, off, q_ext, l_len, submat,
+                           band, o1, e1, o2, e2, interpret)
+    return jax.jit(impl)
+
+
 def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
                                        submat, band: int, o1: int,
                                        e1: int, o2: int, e2: int,
@@ -411,6 +526,14 @@ def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
     (P, Lq) with q_ext[:, 0] = pad; l_len (P,) true query lengths.
     Returns (H (P, N, B) int32, dirs (P, N, B) int32 with the
     poa_align_scan_affine bit layout, ends (P, N))."""
+    return _batch_jit(band, o1, e1, o2, e2, interpret)(
+        bases, preds, off, q_ext, l_len, submat)
+
+
+def _batch_impl(bases, preds, off, q_ext, l_len,
+                submat, band: int, o1: int,
+                e1: int, o2: int, e2: int,
+                interpret: bool = False):
     P, N = bases.shape
     B = band
     Lp1 = q_ext.shape[1]
@@ -428,41 +551,23 @@ def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
     chain_arr = np.concatenate(
         [np.concatenate(step4, axis=0)
          for step4 in _chain_consts(Bp, o1, e1, o2, e2)], axis=0)
+    # per-(problem, step) pred-slot requirement for the kernel's
+    # fast-path dispatch (slots are packed from 0, so the count is the
+    # highest valid slot index + 1, floored at 1)
+    slot_idx = jnp.where(preds_p >= 0,
+                         jnp.arange(1, MAX_PREDS + 1, dtype=jnp.int32),
+                         0).max(axis=2)                      # (P, Np)
+    nslots = jnp.maximum(
+        slot_idx.reshape(P, Np // R, R).max(axis=2), 1
+    ).astype(jnp.int32)                                      # (P, steps)
 
-    grid = (P, Np // R)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=grid,
-        in_specs=[
-            # (P, 1, Lq): a (1, 1, Lq) block satisfies the (8, 128)
-            # tiling rule for every P (a (1, Lq) block on (P, Lq) only
-            # lowers when P == 1 — hardware Mosaic constraint)
-            pl.BlockSpec((1, 1, Lq), lambda p, i, *_: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # precomputed tropical chain matrix powers (4K, Bp)
-            pl.BlockSpec(chain_arr.shape, lambda p, i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, R, Bp), lambda p, i, *_: (p, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, Bp), lambda p, i, *_: (p, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((Np, Bp), jnp.int32)] * 3,
-    )
-    H_rows, dirs_rows = pl.pallas_call(
-        partial(_affine_kernel, n_nodes=Np, band=B, b_pad=Bp, l_pad=Lq,
-                o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(bases_p.reshape(-1), preds_p.reshape(-1), off_p.reshape(-1),
-      l_len.astype(jnp.int32), submat.astype(jnp.int32),
-      q_p.reshape(P, 1, Lq), jnp.asarray(chain_arr))
+    call = _affine_call(P, Np, B, Bp, Lq, o1, e1, o2, e2, R,
+                        chain_arr.shape[0], interpret)
+    H_rows, dirs_rows = call(
+        l_len.astype(jnp.int32), submat.astype(jnp.int32),
+        q_p.reshape(P, 1, Lq), jnp.asarray(chain_arr),
+        nslots[:, None, :], bases_p[:, None, :],
+        preds_p.reshape(P, 1, Np * MAX_PREDS), off_p[:, None, :])
 
     H_all = H_rows[:, :N, :B]
     dirs = dirs_rows[:, :N, :B]
