@@ -159,7 +159,10 @@ def bench_poa(jax, jnp) -> float:
     from cactus_tpu.ops.poa import poa_align_scan_affine
 
     platform = jax.devices()[0].platform
-    P, N, B, L = (8, 2048, 256, 2048) if platform == "tpu" \
+    # the dominant BAR production bin (poa_msa_batch shape bins for
+    # 10 kb windows land here); the kernel groups G=8 problems per
+    # program on the sublane axis at this scratch footprint
+    P, N, B, L = (32, 512, 128, 512) if platform == "tpu" \
         else (2, 256, 128, 256)
     params = PoaParams()
     o1, e1 = params.gap_open1, params.gap_extend1

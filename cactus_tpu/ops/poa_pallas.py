@@ -250,41 +250,44 @@ def _chain_consts(Bp: int, o1: int, e1: int, o2: int, e2: int):
     return consts
 
 def _affine_kernel(llen_ref, submat_ref,                # scalar prefetch
-                   q_ref,                               # (1, 1, Lq) VMEM
+                   q_ref,                               # (G, 1, Lq) VMEM
                    chain_ref,                           # (4K, Bp) VMEM
-                   nslots_ref,                          # (1, 1, S) SMEM
-                   bases_ref,                           # (1, 1, Np) SMEM
-                   preds_ref,                           # (1,1,Np*MP) SMEM
-                   off_ref,                             # (1, 1, Np) SMEM
+                   nslots_ref,                          # (G, 1, S) SMEM
+                   bases_ref,                           # (G, 1, Np) SMEM
+                   preds_ref,                           # (G,1,Np*MP) SMEM
+                   off_ref,                             # (G, 1, Np) SMEM
                    H_out, dirs_ref,                     # outputs
-                   H, F1, F2,                           # scratch
-                   *, n_nodes: int, band: int, b_pad: int, l_pad: int,
+                   *scratch,                            # 3G x (Np, Bp)
+                   n_nodes: int, band: int, b_pad: int, l_pad: int,
                    o1: int, e1: int, o2: int, e2: int,
-                   nodes_per_step: int):
-    """Node topology rides in SMEM BLOCKS, not scalar prefetch: the
-    step's R nodes (bases/preds/nslots) and the problem's off row are
-    tiny per-step windows the pipeline double-buffers — prefetching the
-    whole (P, Np, MAX_PREDS) tables into SMEM both exceeded the 1 MB
-    SMEM at real batch sizes and dominated per-call dispatch."""
-    p = pl.program_id(0)
+                   nodes_per_step: int, n_group: int):
+    """G problems per program, packed on the SUBLANE axis: the node
+    body is vector-instruction-bound on (1, Bp) rows (measured: static
+    vs dynamic addressing makes no difference), so G problems share the
+    same instruction stream with G× the data.  Scratch is (Np, G*Bp)
+    2D — a 3D (Np, G, Bp) layout would pad the G sublane dim to 8 and
+    4x the VMEM.  Node topology rides per-problem SMEM block windows
+    (whole-table scalar prefetch exceeded the 1 MB SMEM above P=8)."""
     step = pl.program_id(1)
+    pg = pl.program_id(0)
     R = nodes_per_step
     N = n_nodes
     B = band
     Bp = b_pad
     Lq = l_pad
-    L = llen_ref[p]          # true query length, per problem
+    G = n_group
+    Hs, F1s, F2s = (scratch[:G], scratch[G:2 * G], scratch[2 * G:3 * G])
+    # per-problem true query length as a (G, 1) column
+    L = jnp.stack([llen_ref[pg * G + g] for g in range(G)]).reshape(G, 1)
 
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1)
-    qrow = q_ref[0, 0, :].reshape(1, Lq).astype(jnp.int32)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Bp), 1)
 
     # match the XLA scan's NEG init: preds may point at rows the scan
     # has not reached yet (see the linear kernel's note)
     @pl.when(step == 0)
     def _init():
-        H[...] = jnp.full(H.shape, NEG, jnp.int32)
-        F1[...] = jnp.full(F1.shape, NEG, jnp.int32)
-        F2[...] = jnp.full(F2.shape, NEG, jnp.int32)
+        for buf in scratch:
+            buf[...] = jnp.full(buf.shape, NEG, jnp.int32)
 
     def row0_at(j):
         c = jnp.minimum(o1 + j * e1, o2 + j * e2)
@@ -292,88 +295,105 @@ def _affine_kernel(llen_ref, submat_ref,                # scalar prefetch
                          jnp.where(j > 0, -c, NEG)).astype(jnp.int32)
 
     # the step's nodes run with exactly as many pred slots as any of
-    # them needs: ~95% of POA nodes have a single predecessor, and the
-    # slot machinery (scratch slices + band rolls + the 12-candidate
-    # argmax) is ~97% of node cost — the 1-slot body measured 8.1
-    # Gcells/s vs 0.2 for the unconditional MAX_PREDS body.  Outputs
-    # are bit-identical: trailing invalid slots contribute NEG rows
-    # that can never win a first-max tie, and the a % n // n decode
-    # yields the same (slot, ext) pair either way.
+    # them needs (~95% of POA nodes are single-pred).  Outputs are
+    # bit-identical: trailing invalid slots contribute NEG rows that
+    # can never win a first-max tie, and the a % n // n decode yields
+    # the same (slot, ext) pair either way.
     ns = nslots_ref[0, 0, step]
+    for g in range(1, G):
+        ns = jnp.maximum(ns, nslots_ref[g, 0, step])
 
     @pl.when(ns <= 1)
     def _fast():
-        _affine_nodes(1, p, step, L, b_idx, qrow, row0_at,
+        _affine_nodes(1, step, L, b_idx, row0_at, q_ref,
                       bases_ref, preds_ref, off_ref, submat_ref,
-                      chain_ref, H_out, dirs_ref, H, F1, F2,
-                      R=R, N=N, B=B, Bp=Bp, Lq=Lq,
+                      chain_ref, H_out, dirs_ref, Hs, F1s, F2s,
+                      R=R, N=N, B=B, Bp=Bp, Lq=Lq, G=G,
                       o1=o1, e1=e1, o2=o2, e2=e2)
 
     @pl.when(ns > 1)
     def _full():
-        _affine_nodes(MAX_PREDS, p, step, L, b_idx, qrow, row0_at,
+        _affine_nodes(MAX_PREDS, step, L, b_idx, row0_at, q_ref,
                       bases_ref, preds_ref, off_ref, submat_ref,
-                      chain_ref, H_out, dirs_ref, H, F1, F2,
-                      R=R, N=N, B=B, Bp=Bp, Lq=Lq,
+                      chain_ref, H_out, dirs_ref, Hs, F1s, F2s,
+                      R=R, N=N, B=B, Bp=Bp, Lq=Lq, G=G,
                       o1=o1, e1=e1, o2=o2, e2=e2)
 
 
-def _affine_nodes(n_slots, p, step, L, b_idx, qrow, row0_at,
+def _affine_nodes(n_slots, step, L, b_idx, row0_at, q_ref,
                   bases_ref, preds_ref, off_ref, submat_ref,
-                  chain_ref, H_out, dirs_ref, H, F1, F2,
-                  *, R, N, B, Bp, Lq, o1, e1, o2, e2):
+                  chain_ref, H_out, dirs_ref, Hs, F1s, F2s,
+                  *, R, N, B, Bp, Lq, G, o1, e1, o2, e2):
     for r in range(R):
         v = step * R + r
-        off_v = off_ref[0, 0, v]
-        j = off_v + b_idx
-        # query codes at columns j: cyclic left-roll by off, wrap lanes
-        # are masked by `valid` downstream
-        qv = pltpu.roll(qrow, jnp.remainder(-off_v, Lq), axis=1)[:, :Bp]
-        base = bases_ref[0, 0, v]
-        s = jnp.zeros((1, Bp), jnp.int32)
+        offs = [off_ref[g, 0, v] for g in range(G)]
+        off_col = jnp.stack(offs).reshape(G, 1)
+        j = off_col + b_idx
+        # query codes at columns j (per problem): cyclic left-roll by
+        # off; wrap lanes are masked by `valid` downstream
+        qv = jnp.concatenate(
+            [pltpu.roll(q_ref[g, 0:1, :].astype(jnp.int32),
+                        jnp.remainder(-offs[g], Lq), axis=1)[:, :Bp]
+             for g in range(G)], axis=0)                     # (G, Bp)
+        base_col = jnp.stack(
+            [bases_ref[g, 0, v] for g in range(G)]).reshape(G, 1)
+        s = jnp.zeros((G, Bp), jnp.int32)
         for bcode in range(6):
-            row_s = jnp.zeros((1, Bp), jnp.int32)
+            row_s = jnp.zeros((G, Bp), jnp.int32)
             for t in range(6):
                 row_s = jnp.where(qv == t, submat_ref[bcode, t], row_s)
-            s = jnp.where(base == bcode, row_s, s)
+            s = jnp.where(base_col == bcode, row_s, s)
 
-        any_pred = None
+        any_flags = [None] * G
         Hp, F1p, F2p, Hd = [], [], [], []
         for slot in range(n_slots):
-            pv = preds_ref[0, 0, v * MAX_PREDS + slot]
-            has = pv >= 0
-            any_pred = has if any_pred is None else jnp.logical_or(
-                any_pred, has)
-            pidx = jnp.maximum(pv, 0)
-            d = off_v - off_ref[0, 0, pidx]
-            gidx = d + b_idx
-            amt = jnp.remainder(-d, Bp)
-            # ONE dynamic-amount roll per slot: the H/F1/F2 rows share
-            # the band shift, so stack them on sublanes and roll once;
-            # the diagonal row needs shift amt+1 (mod Bp), i.e. a
-            # static rotate-by-1 of the already-rolled H row.
-            rows3 = jnp.concatenate([H[pl.ds(pidx, 1), :],
-                                     F1[pl.ds(pidx, 1), :],
-                                     F2[pl.ds(pidx, 1), :]], axis=0)
-            rolled = pltpu.roll(rows3, amt, axis=1)
-            hrow = rolled[0:1, :]
-            ok_g = has & (gidx >= 0) & (gidx < B)
-            Hp.append(jnp.where(ok_g, hrow, NEG))
-            F1p.append(jnp.where(ok_g, rolled[1:2, :], NEG))
-            F2p.append(jnp.where(ok_g, rolled[2:3, :], NEG))
-            hd = jnp.concatenate([hrow[:, -1:], hrow[:, :-1]], axis=1)
-            ok_d = has & (gidx >= 1) & (gidx <= B)
-            Hd.append(jnp.where(ok_d, hd, NEG))
+            hp_g, f1_g, f2_g, hd_g = [], [], [], []
+            for g in range(G):
+                pv = preds_ref[g, 0, v * MAX_PREDS + slot]
+                has = pv >= 0
+                any_flags[g] = has if any_flags[g] is None else \
+                    jnp.logical_or(any_flags[g], has)
+                pidx = jnp.maximum(pv, 0)
+                d = offs[g] - off_ref[g, 0, pidx]
+                gidx = d + b_idx[0:1, :]
+                amt = jnp.remainder(-d, Bp)
+                # ONE dynamic-amount roll per (g, slot): H/F1/F2 rows
+                # share the band shift; the diagonal row is a static
+                # rotate-by-1 of the rolled H row.  Each problem owns
+                # its own (Np, Bp) scratch triple — dynamic sublane
+                # loads/stores must start at lane 0 on Mosaic.
+                rows3 = jnp.concatenate(
+                    [Hs[g][pl.ds(pidx, 1), :],
+                     F1s[g][pl.ds(pidx, 1), :],
+                     F2s[g][pl.ds(pidx, 1), :]], axis=0)
+                rolled = pltpu.roll(rows3, amt, axis=1)
+                hrow = rolled[0:1, :]
+                ok_g = has & (gidx >= 0) & (gidx < B)
+                hp_g.append(jnp.where(ok_g, hrow, NEG))
+                f1_g.append(jnp.where(ok_g, rolled[1:2, :], NEG))
+                f2_g.append(jnp.where(ok_g, rolled[2:3, :], NEG))
+                hd = jnp.concatenate([hrow[:, -1:], hrow[:, :-1]],
+                                     axis=1)
+                ok_d = has & (gidx >= 1) & (gidx <= B)
+                hd_g.append(jnp.where(ok_d, hd, NEG))
+            Hp.append(jnp.concatenate(hp_g, axis=0))
+            F1p.append(jnp.concatenate(f1_g, axis=0))
+            F2p.append(jnp.concatenate(f2_g, axis=0))
+            Hd.append(jnp.concatenate(hd_g, axis=0))
+        # bool scalars can't relayout on Mosaic ("insertion of minor
+        # dim ... only for 32-bit types"): stack as int32, compare
+        any_col = jnp.stack([f.astype(jnp.int32)
+                             for f in any_flags]).reshape(G, 1) > 0
         vHp = row0_at(j)
         vHd = row0_at(j - 1)
-        Hp[0] = jnp.where(any_pred, Hp[0], vHp)
-        Hd[0] = jnp.where(any_pred, Hd[0], vHd)
+        Hp[0] = jnp.where(any_col, Hp[0], vHp)
+        Hd[0] = jnp.where(any_col, Hd[0], vHd)
 
         # F_k over open/extend candidates (argmax decode, first-max-wins
         # with candidate order [opens slots 0..3, extends slots 0..3])
         def maxdec(cands):
             best = cands[0]
-            arg = jnp.zeros((1, Bp), jnp.int32)
+            arg = jnp.zeros((G, Bp), jnp.int32)
             for ci in range(1, len(cands)):
                 upd = cands[ci] > best
                 best = jnp.where(upd, cands[ci], best)
@@ -391,7 +411,7 @@ def _affine_nodes(n_slots, p, step, L, b_idx, qrow, row0_at,
 
         # in-row convex insertion chains: tropical 2x2 Kogge-Stone with
         # PRECOMPUTED matrix powers (the A evolution is data-free)
-        neg1 = jnp.full((1, 1), NEG, jnp.int32)
+        neg1 = jnp.full((G, 1), NEG, jnp.int32)
         def sr1(x):
             return jnp.concatenate([neg1, x[:, :-1]], axis=1)
         y1 = sr1(h0) - (o1 + e1)
@@ -405,7 +425,7 @@ def _affine_nodes(n_slots, p, step, L, b_idx, qrow, row0_at,
             A22 = chain_ref[4 * k + 3:4 * k + 4, :]
             def sh(x, o=offk):
                 return jnp.concatenate(
-                    [jnp.full((1, o), NEG, jnp.int32), x[:, :-o]], axis=1)
+                    [jnp.full((G, o), NEG, jnp.int32), x[:, :-o]], axis=1)
             v1, v2 = sh(y1), sh(y2)
             y1 = jnp.maximum(y1, jnp.maximum(A11 + v1, A12 + v2))
             y2 = jnp.maximum(y2, jnp.maximum(A21 + v1, A22 + v2))
@@ -432,20 +452,31 @@ def _affine_nodes(n_slots, p, step, L, b_idx, qrow, row0_at,
                 + 256 * f2_slot + 1024 * f2_ext + 2048 * e1_ext
                 + 4096 * e2_ext)
 
-        H[pl.ds(v, 1), :] = Hn
-        F1[pl.ds(v, 1), :] = F1n
-        F2[pl.ds(v, 1), :] = F2n
-        H_out[0, pl.ds(r, 1), :] = Hn
-        dirs_ref[0, pl.ds(r, 1), :] = dirs
+        for g in range(G):
+            Hs[g][pl.ds(v, 1), :] = Hn[g:g + 1, :]
+            F1s[g][pl.ds(v, 1), :] = F1n[g:g + 1, :]
+            F2s[g][pl.ds(v, 1), :] = F2n[g:g + 1, :]
+            H_out[g, pl.ds(r, 1), :] = Hn[g:g + 1, :]
+            dirs_ref[g, pl.ds(r, 1), :] = dirs[g:g + 1, :]
 
 
 from functools import lru_cache
 
 
+def _group_size(Np: int, Bp: int, budget: int = 10 << 20) -> int:
+    """Problems per program: bounded by the VMEM scratch budget
+    (3 int32 carries of (Np, G*Bp)) and capped at 8 sublanes."""
+    g = int(budget // (3 * Np * Bp * 4))
+    for cand in (8, 4, 2, 1):
+        if g >= cand:
+            return cand
+    return 1
+
+
 @lru_cache(maxsize=None)
 def _affine_call(P: int, Np: int, B: int, Bp: int, Lq: int,
                  o1: int, e1: int, o2: int, e2: int, R: int,
-                 chain_rows: int, interpret: bool):
+                 chain_rows: int, G: int, interpret: bool):
     """Construct (once per static signature) the raw pallas_call.
 
     The call is invoked DIRECTLY (one eager XLA dispatch), not through
@@ -455,12 +486,11 @@ def _affine_call(P: int, Np: int, B: int, Bp: int, Lq: int,
     moved to numpy for the same reason."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(P, Np // R),
+        grid=(P // G, Np // R),
         in_specs=[
-            # (P, 1, Lq): a (1, 1, Lq) block satisfies the (8, 128)
-            # tiling rule for every P (a (1, Lq) block on (P, Lq) only
-            # lowers when P == 1 — hardware Mosaic constraint)
-            pl.BlockSpec((1, 1, Lq), lambda p, i, *_: (p, 0, 0),
+            # (P, 1, Lq): a (G, 1, Lq) block satisfies the (8, 128)
+            # tiling rule (last two dims equal the array dims)
+            pl.BlockSpec((G, 1, Lq), lambda p, i, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             # precomputed tropical chain matrix powers (4K, Bp)
             pl.BlockSpec((chain_rows, Bp), lambda p, i, *_: (0, 0),
@@ -470,29 +500,30 @@ def _affine_call(P: int, Np: int, B: int, Bp: int, Lq: int,
             # sizes and dominated per-call dispatch; blocks must keep
             # their trailing dims equal to the array dims — the (8,128)
             # tiling rule applies to SMEM blocks too)
-            pl.BlockSpec((1, 1, Np // R), lambda p, i, *_: (p, 0, 0),
+            pl.BlockSpec((G, 1, Np // R), lambda p, i, *_: (p, 0, 0),
                          memory_space=pltpu.SMEM),            # nslots
-            pl.BlockSpec((1, 1, Np), lambda p, i, *_: (p, 0, 0),
+            pl.BlockSpec((G, 1, Np), lambda p, i, *_: (p, 0, 0),
                          memory_space=pltpu.SMEM),            # bases
             # preds flattened to (P, 1, Np*MP): a trailing dim of
             # MAX_PREDS would pad to 128 lanes in the SMEM window
-            pl.BlockSpec((1, 1, Np * MAX_PREDS),
+            pl.BlockSpec((G, 1, Np * MAX_PREDS),
                          lambda p, i, *_: (p, 0, 0),
                          memory_space=pltpu.SMEM),            # preds
-            pl.BlockSpec((1, 1, Np), lambda p, i, *_: (p, 0, 0),
+            pl.BlockSpec((G, 1, Np), lambda p, i, *_: (p, 0, 0),
                          memory_space=pltpu.SMEM),            # off row
         ],
         out_specs=[
-            pl.BlockSpec((1, R, Bp), lambda p, i, *_: (p, i, 0),
+            pl.BlockSpec((G, R, Bp), lambda p, i, *_: (p, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, Bp), lambda p, i, *_: (p, i, 0),
+            pl.BlockSpec((G, R, Bp), lambda p, i, *_: (p, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((Np, Bp), jnp.int32)] * 3,
+        scratch_shapes=[pltpu.VMEM((Np, Bp), jnp.int32)] * (3 * G),
     )
     return pl.pallas_call(
         partial(_affine_kernel, n_nodes=Np, band=B, b_pad=Bp, l_pad=Lq,
-                o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R),
+                o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R,
+                n_group=G),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
@@ -561,16 +592,31 @@ def _batch_impl(bases, preds, off, q_ext, l_len,
         slot_idx.reshape(P, Np // R, R).max(axis=2), 1
     ).astype(jnp.int32)                                      # (P, steps)
 
-    call = _affine_call(P, Np, B, Bp, Lq, o1, e1, o2, e2, R,
-                        chain_arr.shape[0], interpret)
-    H_rows, dirs_rows = call(
-        l_len.astype(jnp.int32), submat.astype(jnp.int32),
-        q_p.reshape(P, 1, Lq), jnp.asarray(chain_arr),
-        nslots[:, None, :], bases_p[:, None, :],
-        preds_p.reshape(P, 1, Np * MAX_PREDS), off_p[:, None, :])
+    # group problems on the sublane axis; pad P to a multiple of G
+    G = _group_size(Np, Bp)
+    Pp = -(-P // G) * G
+    if Pp != P:
+        zpad = ((0, Pp - P), (0, 0))
+        bases_p = jnp.pad(bases_p, zpad, constant_values=255)
+        off_p = jnp.pad(off_p, zpad)
+        preds_p = jnp.pad(preds_p, ((0, Pp - P), (0, 0), (0, 0)),
+                          constant_values=-1)
+        q_p = jnp.pad(q_p, zpad, constant_values=5)
+        nslots = jnp.pad(nslots, zpad, constant_values=1)
+        l_len_p = jnp.pad(l_len.astype(jnp.int32), (0, Pp - P))
+    else:
+        l_len_p = l_len.astype(jnp.int32)
 
-    H_all = H_rows[:, :N, :B]
-    dirs = dirs_rows[:, :N, :B]
+    call = _affine_call(Pp, Np, B, Bp, Lq, o1, e1, o2, e2, R,
+                        chain_arr.shape[0], G, interpret)
+    H_rows, dirs_rows = call(
+        l_len_p, submat.astype(jnp.int32),
+        q_p.reshape(Pp, 1, Lq), jnp.asarray(chain_arr),
+        nslots[:, None, :], bases_p[:, None, :],
+        preds_p.reshape(Pp, 1, Np * MAX_PREDS), off_p[:, None, :])
+
+    H_all = H_rows[:P, :N, :B]
+    dirs = dirs_rows[:P, :N, :B]
     bL = l_len.astype(jnp.int32)[:, None] - off.astype(jnp.int32)[:, :N]
     ends = jnp.where((bL >= 0) & (bL < B),
                      jnp.take_along_axis(
