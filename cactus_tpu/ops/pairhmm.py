@@ -295,7 +295,8 @@ def posterior_pairs_banded(pairs, params: HmmParams, band: int = 128,
     if not pairs:
         return []
     packed = pack_band_batch(pairs, band)
-    put = smart_put(packed["q"].shape[0] * packed["q"].shape[1] * band)
+    put = smart_put(packed["q"].shape[0] * packed["q"].shape[1]
+                    * band, pallas_env="CACTUS_PAIRHMM_PALLAS")
     post = posterior_default_backend()(
         put(packed["q"]), put(packed["t_shift"]),
         put(packed["m_len"]), put(packed["n_len"]),

@@ -280,7 +280,7 @@ def poa_align(graph: PoaGraph, seq: np.ndarray, gap: int = 30,
     q_p[:len(seq)] = seq
     from . import smart_put
     from .poa_pallas import poa_default_backend
-    put = smart_put(Nb * Lb * MAX_PREDS)
+    put = smart_put(Nb * Lb * MAX_PREDS, pallas_env="CACTUS_POA_PALLAS")
     H, dirs, _ends = poa_default_backend()(put(bases_p), put(preds_p),
                                            put(q_p), gap=gap, match=match,
                                            mismatch=mismatch)
@@ -576,7 +576,7 @@ def poa_align_affine(graph: PoaGraph, seq: np.ndarray,
     q_ext[1:] = seq
     from . import smart_put
     from .poa_pallas import poa_affine_default_backend
-    put = smart_put(Nb * B * MAX_PREDS)
+    put = smart_put(Nb * B * MAX_PREDS, pallas_env="CACTUS_POA_PALLAS")
     H, dirs, ends = poa_affine_default_backend()(
         put(bases_p), put(preds_p), put(off[:Nb].astype(np.int32)),
         put(q_ext), put(submat.astype(np.int32)),
