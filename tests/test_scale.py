@@ -8,7 +8,7 @@ chip within memory with accuracy held").
 
 Measured anchors (this repo; round 3, 2026-08-19, v5e chip attached):
   5 Mb pair:   42 s,  3.5 GB peak RSS, 99.4% coverage
-  20 Mb pair:  455 s, 12.9 GB peak RSS, 99.4% coverage
+  20 Mb pair:  356 s, 7.2 GB peak RSS, 99.4% coverage
   100 Mb pair: 2932 s (49 min), 51.7 GB peak RSS, 99.4% coverage
 (Round-2 anchors: 5 Mb 292 s; 20 Mb 2183 s CPU-only, 21.3 GB.)
 """
