@@ -435,6 +435,15 @@ def cmd_hal(args) -> int:
     (the halStats / hal2fasta / hal2maf / halValidate / halRemoveDupes
     CLI surface of the reference hal submodule)."""
     from .hal_archive import HalArchive
+    if args.tool == "import-hdf5":
+        # `archive` is the DESTINATION .hal (created, not opened);
+        # --hdf5 names the source container
+        from .io.hal_hdf5 import import_hdf5
+        if not args.hdf5:
+            raise SystemExit("hal import-hdf5 needs --hdf5 <source.h5>")
+        import_hdf5(args.hdf5, args.archive)
+        _log(f"imported {args.hdf5} -> {args.archive}")
+        return 0
     arc = HalArchive.open(args.archive)
     if args.tool == "stats":
         for row in arc.stats():
@@ -460,6 +469,12 @@ def cmd_hal(args) -> int:
     elif args.tool == "removeDupes":
         n = arc.remove_dupes(args.genome)
         _log(f"demoted {n} duplicate top segments in {args.genome}")
+    elif args.tool == "export-hdf5":
+        # the reference's storage model is HDF5 (hal submodule); write
+        # a HAL-structured HDF5 container (see io/hal_hdf5.py caveat)
+        from .io.hal_hdf5 import export_hdf5
+        export_hdf5(arc, args.out or args.archive + ".h5")
+        _log(f"wrote {args.out or args.archive + '.h5'}")
     elif args.tool == "metadata":
         if args.set:
             k, _, v = args.set.partition("=")
@@ -684,7 +699,8 @@ def main(argv=None) -> int:
                         "hal2fasta/hal2maf/halValidate/halRemoveDupes)")
     ph.add_argument("tool", choices=["stats", "fasta", "maf", "validate",
                                      "removeDupes", "metadata", "liftover",
-                                     "snps", "mutations", "append"])
+                                     "snps", "mutations", "append",
+                                     "export-hdf5", "import-hdf5"])
     ph.add_argument("--set", default=None,
                     help="metadata key=value to store (halSetMetadata)")
     ph.add_argument("archive")
@@ -698,6 +714,8 @@ def main(argv=None) -> int:
                     help="input BED of source intervals (liftover)")
     ph.add_argument("--out", default=None)
     ph.add_argument("--ref-seq", default=None)
+    ph.add_argument("--hdf5", default=None,
+                    help="source HDF5 container (hal import-hdf5)")
     ph.add_argument("--start", type=int, default=0)
     ph.add_argument("--end", type=int, default=None)
     ph.set_defaults(fn=cmd_hal)
