@@ -287,6 +287,18 @@ def posterior_default_backend():
     return posterior_banded_batch
 
 
+@jax.jit
+def _row_argmax(post):
+    """Device-side per-row band reduction: (P, Mmax, B) → argmax + max.
+
+    The posterior tensor itself can be tens of GB for a genome-scale
+    batch; fetching it over a remote-tunnel link was 90% of the 600 kb
+    gate wall (round-4 profile).  Only the consumed (P, Mmax) argmax /
+    max rows ever leave the device."""
+    return (jnp.argmax(post, axis=2).astype(jnp.int32),
+            jnp.max(post, axis=2))
+
+
 def posterior_pairs_banded(pairs, params: HmmParams, band: int = 128,
                            gamma: float = 0.5):
     """Aligned (qpos, tpos, posterior) per pair via the batched kernel."""
@@ -302,14 +314,15 @@ def posterior_pairs_banded(pairs, params: HmmParams, band: int = 128,
         put(packed["m_len"]), put(packed["n_len"]),
         put(packed["lo"]), put(params.emissions()),
         band=band, delta=params.delta, epsilon=params.epsilon)
-    post = np.asarray(post)
+    best_b_all, pr_all = _row_argmax(post)
+    best_b_all = np.asarray(best_b_all)
+    pr_all = np.asarray(pr_all)
     out = []
     for p, (qs, ts) in enumerate(pairs):
         m = len(qs)
         lo_p = int(packed["lo"][p])
-        rows = post[p, :m]                      # (m, B)
-        best_b = rows.argmax(axis=1)
-        pr = rows[np.arange(m), best_b]
+        best_b = best_b_all[p, :m]
+        pr = pr_all[p, :m]
         j = np.arange(1, m + 1) + lo_p + best_b     # 1-based target pos
         keep = (pr >= gamma) & (j >= 1) & (j <= len(ts))
         idx = np.flatnonzero(keep)

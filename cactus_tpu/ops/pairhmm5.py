@@ -406,14 +406,17 @@ def posterior_pairs_banded5(pairs, params: Hmm5Params, band: int = 128,
         put(packed["m_len"]), put(packed["n_len"]),
         put(packed["lo"]), put(params.emissions()),
         band=band, params=params)
-    post = np.asarray(post)
+    # device-side band reduction: never fetch the (P, Mmax, B) tensor
+    from .pairhmm import _row_argmax
+    best_b_all, pr_all = _row_argmax(post)
+    best_b_all = np.asarray(best_b_all)
+    pr_all = np.asarray(pr_all)
     out = []
     for p, (qs, ts) in enumerate(pairs):
         m = len(qs)
         lo_p = int(packed["lo"][p])
-        rows = post[p, :m]
-        best_b = rows.argmax(axis=1)
-        pr = rows[np.arange(m), best_b]
+        best_b = best_b_all[p, :m]
+        pr = pr_all[p, :m]
         j = np.arange(1, m + 1) + lo_p + best_b
         keep = (pr >= gamma) & (j >= 1) & (j <= len(ts))
         idx = np.flatnonzero(keep)
