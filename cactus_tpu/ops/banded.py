@@ -110,18 +110,23 @@ def align_affine_np(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
 # batched banded JAX kernel (XLA path; Pallas variant in banded_pallas.py)
 # --------------------------------------------------------------------------
 
-def pack_band_batch(pairs, band: int, submat: np.ndarray | None = None):
+def pack_band_batch(pairs, band: int, submat: np.ndarray | None = None,
+                    min_batch: int = 8, min_rows: int = 32):
     """Pack a list of (q_codes, t_codes) into uniform banded-batch arrays.
 
     Returns dict of arrays: q (P, Mmax) uint8, t_shift (P, Mmax+band) uint8,
     m_len, n_len, lo (P,) int32.  Band offset lo_p is chosen to center the
     [0, N-M] diagonal range; caller must bin pairs so that
     |N_p - M_p| + slack <= band.
+
+    min_batch/min_rows floor the pow2 quantization — callers on a
+    cold-compile-expensive backend canonicalize shapes with them (every
+    distinct (P, Mmax, band) costs a fresh Mosaic compile).
     """
     # quantize batch and row count to limit distinct jit shapes
-    P = max(8, 1 << (len(pairs) - 1).bit_length())
+    P = max(min_batch, 1 << (len(pairs) - 1).bit_length())
     Mmax = max(len(q) for q, _ in pairs)
-    Mmax = max(32, 1 << (Mmax - 1).bit_length())
+    Mmax = max(min_rows, 32, 1 << (Mmax - 1).bit_length())
     q_arr = np.full((P, Mmax), PAD_Q, dtype=np.uint8)
     t_arr = np.full((P, Mmax + band), PAD_T, dtype=np.uint8)
     m_len = np.zeros(P, dtype=np.int32)

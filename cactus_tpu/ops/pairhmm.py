@@ -26,6 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 TINY = 1e-30
+# widest band the fused Pallas posterior kernels compile at (v5e scoped
+# vmem is 16 MB; band 4096 needs a 20 MB stack slab) — wider bands run
+# through the XLA scan backends
+MAX_PALLAS_BAND = 2048
 
 
 @dataclass(frozen=True)
@@ -277,6 +281,13 @@ def posterior_default_backend():
         dev = jax.devices()[0]
 
         def run(q, t_shift, m_len, n_len, lo, em, **kw):
+            if kw.get("band", 0) > MAX_PALLAS_BAND:
+                # the fused kernel's per-step VMEM scratch exceeds the
+                # 16 MB scoped-vmem limit above band 2048 (measured on a
+                # v5e: band 4096 fails AOT compile with a 20 MB stack
+                # allocation) — route wide bands to the XLA scan
+                return posterior_banded_batch(q, t_shift, m_len, n_len,
+                                              lo, em, **kw)
             # callers may have committed inputs to host CPU (smart_put);
             # the Pallas kernel only lowers on the TPU device
             put = lambda x: jax.device_put(x, dev)
@@ -299,14 +310,56 @@ def _row_argmax(post):
             jnp.max(post, axis=2))
 
 
+def length_bins(pairs, min_rows: int = 256) -> dict[int, list[int]]:
+    """Pair indices grouped by pow2 query-length bins.
+
+    pack_band_batch pads every pair in a batch to the longest query's
+    pow2 row count, so one flat batch with a wide length spread wastes
+    rows quadratically (measured: the nested-refinement seedless batch
+    at the 600 kb gate spent ~240 s of device time, most of it padding).
+    Binning by pow2 length bounds padding waste at 2x per bin.
+    """
+    bins: dict[int, list[int]] = {}
+    for i, (q, _t) in enumerate(pairs):
+        b = max(min_rows, 1 << (max(1, len(q)) - 1).bit_length())
+        bins.setdefault(b, []).append(i)
+    return bins
+
+
 def posterior_pairs_banded(pairs, params: HmmParams, band: int = 128,
-                           gamma: float = 0.5):
-    """Aligned (qpos, tpos, posterior) per pair via the batched kernel."""
-    from . import smart_put
-    from .banded import pack_band_batch
+                           gamma: float = 0.5, min_batch: int = 8,
+                           min_rows_bin: int = 256, max_batch: int = 0):
+    """Aligned (qpos, tpos, posterior) per pair via the batched kernel.
+
+    Pairs are dispatched in pow2 query-length bins (see length_bins).
+    min_batch floors (and max_batch>0 caps, by chunking) the batch-size
+    quantization; min_rows_bin floors the length bins — together they
+    canonicalize dispatch shapes so a whole workload compiles a handful
+    of kernels (each distinct shape is a fresh Mosaic compile, ~35 s on
+    the remote-relay backend)."""
     if not pairs:
         return []
-    packed = pack_band_batch(pairs, band)
+    bins = length_bins(pairs, min_rows=min_rows_bin)
+    out: list = [None] * len(pairs)
+    for _b, idxs in sorted(bins.items()):
+        step = max_batch if max_batch > 0 else len(idxs)
+        for c in range(0, len(idxs), step):
+            chunk = idxs[c:c + step]
+            sub = _posterior_pairs_banded_one(
+                [pairs[i] for i in chunk], params, band, gamma,
+                min_batch=min_batch, min_rows=min_rows_bin)
+            for i, r in zip(chunk, sub):
+                out[i] = r
+    return out
+
+
+def _posterior_pairs_banded_one(pairs, params: HmmParams, band: int,
+                                gamma: float, min_batch: int = 8,
+                                min_rows: int = 32):
+    from . import smart_put
+    from .banded import pack_band_batch
+    packed = pack_band_batch(pairs, band, min_batch=min_batch,
+                             min_rows=min_rows)
     put = smart_put(packed["q"].shape[0] * packed["q"].shape[1]
                     * band, pallas_env="CACTUS_PAIRHMM_PALLAS")
     post = posterior_default_backend()(

@@ -381,6 +381,12 @@ def posterior5_default_backend():
         dev = jax.devices()[0]
 
         def run(q, t_shift, m_len, n_len, lo, em, **kw):
+            from .pairhmm import MAX_PALLAS_BAND
+            if kw.get("band", 0) > MAX_PALLAS_BAND:
+                # scoped-vmem limit (see pairhmm.MAX_PALLAS_BAND): wide
+                # bands route to the XLA scan
+                return posterior_banded_batch5(q, t_shift, m_len, n_len,
+                                               lo, em, **kw)
             # callers may have committed inputs to host CPU (smart_put);
             # the Pallas kernel only lowers on the TPU device
             put = lambda x: jax.device_put(x, dev)
@@ -393,12 +399,28 @@ def posterior5_default_backend():
 
 def posterior_pairs_banded5(pairs, params: Hmm5Params, band: int = 128,
                             gamma: float = 0.5):
-    """Aligned (qpos, tpos, posterior) per pair via the 5-state kernel."""
-    from . import smart_put
-    from .banded import pack_band_batch
+    """Aligned (qpos, tpos, posterior) per pair via the 5-state kernel.
+
+    Pairs dispatch in pow2 query-length bins (pairhmm.length_bins) so
+    one long pair cannot pad the whole batch to its row count."""
+    from .pairhmm import length_bins
     if not pairs:
         return []
-    packed = pack_band_batch(pairs, band)
+    bins = length_bins(pairs)
+    out: list = [None] * len(pairs)
+    for _b, idxs in sorted(bins.items()):
+        sub = _posterior_pairs_banded5_one(
+            [pairs[i] for i in idxs], params, band, gamma)
+        for i, r in zip(idxs, sub):
+            out[i] = r
+    return out
+
+
+def _posterior_pairs_banded5_one(pairs, params: Hmm5Params, band: int,
+                                 gamma: float):
+    from . import smart_put
+    from .banded import pack_band_batch
+    packed = pack_band_batch(pairs, band, min_rows=256)
     put = smart_put(packed["q"].shape[0] * packed["q"].shape[1]
                     * band, pallas_env="CACTUS_PAIRHMM_PALLAS")
     post = posterior5_default_backend()(

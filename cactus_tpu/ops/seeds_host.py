@@ -39,11 +39,16 @@ def _care_positions(pattern: str, k: int) -> list[tuple[int, str]]:
 
 
 def hash_kmers(codes: np.ndarray, valid: np.ndarray | None, k: int,
-               step: int, pattern: str = ""):
+               step: int, pattern: str = "", minimizer_w: int = 0):
     """Hashes + positions of every (spaced) seed; invalid seeds dropped.
 
     Returns (hashes (n,) int64, positions (n,) int64) — only VALID
     seeds, unlike the device path's fixed-shape sentinel encoding.
+
+    minimizer_w > 0 selects (k, w) window minimizers instead of every
+    seed (minimap2's sampling: per window of w consecutive seed starts,
+    keep the one with the smallest mixed hash; ~2/(w+1) density).
+    Applies after validity filtering, requires step == 1.
     """
     care = _care_positions(pattern, k)
     span = len(pattern) if pattern else k
@@ -67,7 +72,37 @@ def hash_kmers(codes: np.ndarray, valid: np.ndarray | None, k: int,
             vj = valid[j:j + L - span + 1][pos] if step > 1 \
                 else valid[j:j + n]
             ok &= vj
-    return h[ok], pos[ok]
+    h, pos = h[ok], pos[ok]
+    if minimizer_w > 1 and len(h):
+        assert step == 1, "minimizer sampling requires step == 1"
+        keep = _minimizer_select(h, minimizer_w)
+        h, pos = h[keep], pos[keep]
+    return h, pos
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Invertible 64-bit finalizer (splitmix64 tail) so minimizer ranks
+    spread uniformly — raw 2-bit-packed kmer values would bias
+    minimizers toward poly-A."""
+    z = h.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return (z ^ (z >> np.uint64(31))).astype(np.int64) & ((1 << 62) - 1)
+
+
+def _minimizer_select(h: np.ndarray, w: int) -> np.ndarray:
+    """Indices of window minimizers over consecutive runs of seeds.
+
+    Vectorized sliding-window argmin on the mixed ranks; ties keep the
+    leftmost (minimap2 keeps all tied minimizers — leftmost is a
+    deterministic subset with the same sampling guarantee)."""
+    r = _mix64(h)
+    n = len(r)
+    if n <= w:
+        return np.array([int(np.argmin(r))], np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(r, w)
+    sel = win.argmin(axis=1) + np.arange(n - w + 1, dtype=np.int64)
+    return np.unique(sel)
 
 
 @dataclass
@@ -78,19 +113,21 @@ class HashedTarget:
 
 
 def hash_target(codes: np.ndarray, valid: np.ndarray | None, k: int,
-                pattern: str = "") -> HashedTarget:
-    th, tpos = hash_kmers(codes, valid, k, step=1, pattern=pattern)
+                pattern: str = "", minimizer_w: int = 0) -> HashedTarget:
+    th, tpos = hash_kmers(codes, valid, k, step=1, pattern=pattern,
+                          minimizer_w=minimizer_w)
     order = np.argsort(th, kind="stable")
     return HashedTarget(th[order], tpos[order])
 
 
 def seed_join_host(q_codes: np.ndarray, q_valid: np.ndarray | None,
                    target: HashedTarget, k: int, step: int,
-                   max_occ: int, pattern: str = ""):
+                   max_occ: int, pattern: str = "", minimizer_w: int = 0):
     """All matching (qpos, tpos) seed pairs; per-query-kmer hits capped
     at max_occ over the stable-sorted target order (identical cap choice
     to the device join)."""
-    qh, qpos = hash_kmers(q_codes, q_valid, k, step, pattern)
+    qh, qpos = hash_kmers(q_codes, q_valid, k, step, pattern,
+                          minimizer_w=minimizer_w)
     if len(qh) == 0 or len(target.th_s) == 0:
         z = np.zeros(0, np.int64)
         return z, z
@@ -119,11 +156,13 @@ class TargetCache:
         self.max_entries = max_entries
 
     def get(self, codes: np.ndarray, valid: np.ndarray | None, k: int,
-            pattern: str) -> HashedTarget:
-        key = (id(codes), None if valid is None else id(valid), k, pattern)
+            pattern: str, minimizer_w: int = 0) -> HashedTarget:
+        key = (id(codes), None if valid is None else id(valid), k, pattern,
+               minimizer_w)
         got = self._cache.get(key)
         if got is None:
-            got = hash_target(codes, valid, k, pattern)
+            got = hash_target(codes, valid, k, pattern,
+                              minimizer_w=minimizer_w)
             if len(self._cache) >= self.max_entries:
                 self._cache.pop(next(iter(self._cache)))
             self._cache[key] = got

@@ -536,13 +536,26 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
         def task_min(task):
             return min(len(task.q), len(task.t))
 
+        # minimap2 mode: contiguous k with (k, w) window-minimizer
+        # sampling on both sides (reference `minimap2 -c -x asm20`,
+        # local_alignment.py:99-118, config XML :94; asm20's k=19 is
+        # traded for the join kernels' shared k<=15 hash budget — the
+        # mode's defining behavior is the minimizer sampling + the same
+        # chain/extend stack downstream)
+        mm2_w = cfg.minimap2_window if cfg.aligner == "minimap2" else 0
+
         def eff_k(task):
             # length-adaptive seed weight (see SeedParams.k_for)
-            return sp.k_for(task.preset, task_min(task))
+            return sp.k if mm2_w else sp.k_for(task.preset,
+                                               task_min(task))
 
         def eff_pattern(task):
             # length-adaptive pattern (see SeedParams.pattern_for)
-            return sp.pattern_for(task.preset, task_min(task))
+            return "" if mm2_w else sp.pattern_for(task.preset,
+                                                   task_min(task))
+
+        def eff_step(task):
+            return 1 if mm2_w else sp.step_for(task.preset)
 
         # phase 1: build each unique target table once (dedup by identity)
         tgt_keys = {}
@@ -556,7 +569,7 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
         tables: dict[tuple, seeds_host.HashedTarget] = {}
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = {key: pool.submit(seeds_host.hash_target, codes, valid,
-                                     kk, pattern)
+                                     kk, pattern, mm2_w)
                     for key, (codes, valid, pattern, kk)
                     in tgt_keys.items()}
             for key, f in futs.items():
@@ -571,8 +584,8 @@ def anchors_for_tasks(tasks: list[StrandTask], cfg: BlastParams,
                 qv = None if task.q_mask is None else ~task.q_mask
                 return seeds_host.seed_join_host(
                     task.q, qv, tables[key], k=eff_k(task),
-                    step=sp.step_for(task.preset), max_occ=max_occ,
-                    pattern=pattern)
+                    step=eff_step(task), max_occ=max_occ,
+                    pattern=pattern, minimizer_w=mm2_w)
 
             for i, res in zip(host_idx, pool.map(join_one, host_idx)):
                 out[i] = res

@@ -71,21 +71,28 @@ def link_interiors(caf: CafResult, min_len: int, max_len: int):
 
 def _seedless_runs_batch(jobs, max_side: int = 16_384,
                          gamma: float = 0.9, min_frac: float = 0.4,
-                         min_side: int = 200):
+                         min_side: int = 200, split_span: int = 3000):
     """Pecan-in-tangle: pair-HMM posterior alignment of interval pairs
     where no seed survived (high divergence and/or the reverse
     orientation, which the forward-only BAR end alignment cannot see).
 
-    jobs: [(qa, tb, gq_off, gt_off)].  Both strands of every job run
-    through the cPecan-analog posterior kernel in ONE batched dispatch
-    per band bin; the better orientation's confident matched pairs
-    (posterior >= gamma) become global match runs — garbage pairings
-    yield diffuse posteriors and die at the min_frac acceptance, so
-    force-aligned junk never pinches.  Returns [(ga, gb, ln, strand)]
-    global runs."""
+    jobs: [(qa, tb, gq_off, gt_off)].  Both strands of every job are
+    MUM-anchor-split first (the cPecan splitMatrixBiggerThanThis=3000
+    semantics, reference config XML :276-280) so pieces run narrow
+    bands; all pieces dispatch through the batched posterior kernel in
+    pow2 length bins.  Anchorless pieces (the wrong strand, true
+    tangles) fall back to a diagonal band capped at MAX_PALLAS_BAND.
+    The better orientation's confident matched pairs (posterior >=
+    gamma) become global match runs — garbage pairings yield diffuse
+    posteriors and die at the min_frac acceptance, so force-aligned
+    junk never pinches.  Returns [(ga, gb, ln, strand)] global runs."""
     from ..io.fasta import revcomp
-    from ..ops.pairhmm import HmmParams, posterior_pairs_banded
-    by_band: dict[int, list] = {}
+    from ..ops.anchors import split_pair_by_mums
+    from ..ops.pairhmm import (HmmParams, MAX_PALLAS_BAND,
+                               posterior_pairs_banded)
+    by_band: dict[int, list] = {}   # band -> [(job idx, strand, q0, t0,
+    #                                           qseg, tseg)]
+    kept_jobs = []
     for job in jobs:
         qa, tb = job[0], job[1]
         if (min(len(qa), len(tb)) < min_side
@@ -93,50 +100,67 @@ def _seedless_runs_batch(jobs, max_side: int = 16_384,
             # boundary slivers aren't tangles: low-confidence pinches
             # on the edge of an aligned region fragment good blocks
             continue
-        span = (abs(len(qa) - len(tb))
-                + max(64, max(len(qa), len(tb)) // 4))
-        band = 128
-        while band <= span + 16:
-            band *= 2
-        if band <= 4096:
-            by_band.setdefault(band, []).append(job)
+        ji = len(kept_jobs)
+        kept_jobs.append(job)
+        for strand, q in ((1, qa), (-1, revcomp(qa))):
+            for q0, t0, qs, ts in split_pair_by_mums(
+                    q, tb, max_span=split_span, recursive=True):
+                span = (abs(len(qs) - len(ts))
+                        + max(64, max(len(qs), len(ts)) // 4))
+                # two canonical bands only (512 / 2048): every distinct
+                # (P, Mmax, band) dispatch shape is a fresh ~35 s Mosaic
+                # compile on the remote backend, and this path's work is
+                # tiny relative to that (measured 655 s for 0.04 Gcells
+                # at the 600 kb gate, all of it shape compiles)
+                if span + 16 >= MAX_PALLAS_BAND:
+                    # the band cannot cover the diagonal range: an
+                    # anchorless long piece (wrong strand / unrelated) —
+                    # its posterior is diffuse and dies at min_frac, so
+                    # skip the compute
+                    continue
+                band = 512 if span + 16 < 512 else MAX_PALLAS_BAND
+                by_band.setdefault(band, []).append(
+                    (ji, strand, q0, t0, qs, ts))
     params = HmmParams()
+    # matched pairs per (job, strand), assembled across pieces
+    matched: dict[tuple[int, int], list] = {}
+    for band, grp in sorted(by_band.items()):
+        cands = posterior_pairs_banded([(qs, ts) for *_k, qs, ts in grp],
+                                       params, band=band, gamma=gamma,
+                                       min_batch=64, max_batch=64,
+                                       min_rows_bin=4096)
+        for (ji, strand, q0, t0, _qs, _ts), hits in zip(grp, cands):
+            matched.setdefault((ji, strand), []).extend(
+                (i + q0, j + t0) for i, j, _p in hits)
     runs = []
-    for band, grp in by_band.items():
-        pairs = []
-        for qa, tb, _gq, _gt in grp:
-            pairs.append((qa, tb))
-            pairs.append((revcomp(qa), tb))
-        cands = posterior_pairs_banded(pairs, params, band=band,
-                                       gamma=gamma)
-        for i, (qa, tb, gq_off, gt_off) in enumerate(grp):
-            best_strand, best = None, None
-            for strand, matched in zip((1, -1),
-                                       (cands[2 * i], cands[2 * i + 1])):
-                if best is None or len(matched) > len(best):
-                    best, best_strand = matched, strand
-            if best is None or len(best) < min_frac * min(len(qa),
-                                                          len(tb)):
-                continue
-            qp = np.array([m[0] for m in best], np.int64)
-            tp = np.array([m[1] for m in best], np.int64)
-            # consecutive diagonal pairs → runs (aligned orientation)
-            brk = np.flatnonzero((np.diff(qp) != 1)
-                                 | (np.diff(tp) != 1)) + 1
-            starts = np.concatenate([[0], brk])
-            ends = np.concatenate([brk, [len(qp)]])
-            L = len(qa)
-            for s, e in zip(starts, ends):
-                ln = int(e - s)
-                q0a, t0 = int(qp[s]), int(tp[s])
-                if best_strand == 1:
-                    runs.append((gq_off + q0a, gt_off + t0, ln, 1))
-                else:
-                    # aligned-orientation q interval [q0a, q0a+ln)
-                    # sits at forward [L-q0a-ln, L-q0a) and pairs
-                    # REVERSED with t
-                    runs.append((gq_off + L - q0a - ln, gt_off + t0,
-                                 ln, -1))
+    for ji, (qa, tb, gq_off, gt_off) in enumerate(kept_jobs):
+        best_strand, best = None, None
+        for strand in (1, -1):
+            m = matched.get((ji, strand), [])
+            if best is None or len(m) > len(best):
+                best, best_strand = m, strand
+        if not best or len(best) < min_frac * min(len(qa), len(tb)):
+            continue
+        best.sort()
+        qp = np.array([m[0] for m in best], np.int64)
+        tp = np.array([m[1] for m in best], np.int64)
+        # consecutive diagonal pairs → runs (aligned orientation)
+        brk = np.flatnonzero((np.diff(qp) != 1)
+                             | (np.diff(tp) != 1)) + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [len(qp)]])
+        L = len(qa)
+        for s, e in zip(starts, ends):
+            ln = int(e - s)
+            q0a, t0 = int(qp[s]), int(tp[s])
+            if best_strand == 1:
+                runs.append((gq_off + q0a, gt_off + t0, ln, 1))
+            else:
+                # aligned-orientation q interval [q0a, q0a+ln)
+                # sits at forward [L-q0a-ln, L-q0a) and pairs
+                # REVERSED with t
+                runs.append((gq_off + L - q0a - ln, gt_off + t0,
+                             ln, -1))
     return runs
 
 
@@ -161,33 +185,45 @@ def refine_nested(caf: CafResult, seqs: dict[str, Sequence],
     n_pairs = 0
     for key, members in groups.items():
         members = members[:cfg.nested_max_members]
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                (si, s1, e1), (sj, s2, e2) = members[i], members[j]
-                na, nb = names[si], names[sj]
-                if na not in codes or nb not in codes:
-                    continue
-                qa = Sequence("q", codes[na][s1:e1])
-                tb = Sequence("t", codes[nb][s2:e2])
-                recs = blast_phase.align_contig_pair(
-                    qa, tb, "q", "t", cfg.blast, preset,
-                    self_alignment=(si == sj))
-                for r in recs:
-                    # rebase interval-local coords onto the real seqs
-                    r.qname, r.qlen = na, int(table.lengths[si])
-                    r.qstart += s1
-                    r.qend += s1
-                    r.tname, r.tlen = nb, int(table.lengths[sj])
-                    r.tstart += s2
-                    r.tend += s2
-                if not recs and si != sj:
-                    # no seeds survive in this interior: pecan role
-                    seedless_jobs.append(
-                        (qa.codes, tb.codes,
-                         int(table.offsets[si]) + s1,
-                         int(table.offsets[sj]) + s2))
-                new_records.extend(recs)
-                n_pairs += 1
+        # all-vs-all for small tangles; star (everyone vs the longest
+        # member) for big ones — transitivity through the representative
+        # pinches the group into shared columns (the reference's poset
+        # MSA is likewise transitive, flowerAligner.h:33), and the pair
+        # count stays O(m) instead of O(m^2)
+        if len(members) <= 4:
+            pair_idx = [(i, j) for i in range(len(members))
+                        for j in range(i + 1, len(members))]
+        else:
+            rep = max(range(len(members)),
+                      key=lambda i: members[i][2] - members[i][1])
+            pair_idx = [(i, rep) for i in range(len(members))
+                        if i != rep]
+        for i, j in pair_idx:
+            (si, s1, e1), (sj, s2, e2) = members[i], members[j]
+            na, nb = names[si], names[sj]
+            if na not in codes or nb not in codes:
+                continue
+            qa = Sequence("q", codes[na][s1:e1])
+            tb = Sequence("t", codes[nb][s2:e2])
+            recs = blast_phase.align_contig_pair(
+                qa, tb, "q", "t", cfg.blast, preset,
+                self_alignment=(si == sj))
+            for r in recs:
+                # rebase interval-local coords onto the real seqs
+                r.qname, r.qlen = na, int(table.lengths[si])
+                r.qstart += s1
+                r.qend += s1
+                r.tname, r.tlen = nb, int(table.lengths[sj])
+                r.tstart += s2
+                r.tend += s2
+            if not recs and si != sj:
+                # no seeds survive in this interior: pecan role
+                seedless_jobs.append(
+                    (qa.codes, tb.codes,
+                     int(table.offsets[si]) + s1,
+                     int(table.offsets[sj]) + s2))
+            new_records.extend(recs)
+            n_pairs += 1
     seedless = _seedless_runs_batch(seedless_jobs)
     if not new_records and not seedless:
         return caf
