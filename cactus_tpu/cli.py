@@ -179,6 +179,9 @@ def cmd_blast(args) -> int:
     if getattr(args, "fastga", False):
         import dataclasses
         cfg = dataclasses.replace(cfg, aligner="fastga")
+    if getattr(args, "minimap2", False):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, aligner="minimap2")
     records = []
     for i, a in enumerate(events):
         for b in events[i + 1:]:
@@ -634,6 +637,9 @@ def main(argv=None) -> int:
     pb.add_argument("--preset", default="default")
     pb.add_argument("--fastga", action="store_true",
                     help="adaptamer-style unique-seed aligner mode")
+    pb.add_argument("--minimap2", action="store_true",
+                    help="minimizer-sampled seed aligner mode "
+                         "(reference: minimap2 -c -x asm20)")
     pb.set_defaults(fn=cmd_blast)
 
     pm = sub.add_parser("hal2maf", help="export MAF from an alignment store")

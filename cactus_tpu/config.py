@@ -195,8 +195,13 @@ class BlastParams:
     # target-unique seed hits, merged runs kept at ≥ fastga_min_match —
     # sparse anchors for near-identical genomes at a fraction of the
     # seed volume
-    aligner: str = "lastz"              # "lastz" | "fastga"
+    # "minimap2" mode (reference `minimap2 -c -x asm20`,
+    # local_alignment.py:99-118, config XML :94): contiguous-k seeds
+    # sampled as (k, w) window minimizers on both sides, same
+    # chain/extend stack downstream
+    aligner: str = "lastz"              # "lastz" | "fastga" | "minimap2"
     fastga_min_match: int = 20
+    minimap2_window: int = 10           # minimizer window w
     seed: SeedParams = field(default_factory=SeedParams)
     extend: ExtendParams = field(default_factory=ExtendParams)
 

@@ -628,9 +628,16 @@ def _task_runs(task: StrandTask, qpos: np.ndarray, tpos: np.ndarray,
                cfg: BlastParams, span: int | None = None) -> np.ndarray:
     """Anchors → merged diagonal runs for one task (host, vectorized)."""
     sp = cfg.seed
-    if span is None:
-        span = sp.span_for(task.preset, min(len(task.q), len(task.t)))
-    step = sp.step_for(task.preset)
+    if cfg.aligner == "minimap2":
+        # contiguous-k minimizers: seed span is k; sampled seeds are
+        # sparse on the diagonal, so allow merge gaps up to the window
+        if span is None:
+            span = sp.k
+        step = cfg.minimap2_window
+    else:
+        if span is None:
+            span = sp.span_for(task.preset, min(len(task.q), len(task.t)))
+        step = sp.step_for(task.preset)
     if task.self_alignment and task.strand == "+":
         keep = qpos != tpos  # drop the trivial self-diagonal
         qpos, tpos = qpos[keep], tpos[keep]

@@ -282,3 +282,49 @@ def test_finalize_drops_secondaries_when_configured():
         out2 = blast.finalize([rec(0, 1000, 50_000), rec(100, 900, 40_000)],
                               cfg2)
         assert sum(not r.is_primary for r in out2) == 1, mode
+
+
+def test_minimap2_mode_divergent_genomes():
+    """The --minimap2 aligner mode (reference `minimap2 -c -x asm20`,
+    local_alignment.py:99-118): minimizer-sampled contiguous seeds feed
+    the same chain/extend stack; accuracy holds at asm-scale divergence
+    with a sampled (sparser) anchor set."""
+    import dataclasses
+    from cactus_tpu.config import Config
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.testutil.comparator import score_pairs
+    from cactus_tpu.utils.trees import parse_newick
+
+    tree = parse_newick("(a:0.05,b:0.05)r;")
+    sim = evolver.simulate(tree, root_len=40_000, seed=29)
+    qa = Sequence("a.c", sim.genomes["a"].codes)
+    tb = Sequence("b.c", sim.genomes["b"].codes)
+    cfg = dataclasses.replace(Config.default().blast, aligner="minimap2")
+    recs = blast.align_contig_pair(qa, tb, "a.c", "b.c", cfg)
+    assert recs
+    pred = set()
+    for r in recs:
+        rel = 1 if r.strand == "+" else -1
+        for qp, tp in r.aligned_pairs():
+            pred.add((qp, tp, rel))
+    truth = {(p, q, s) for p, q, s in sim.truth_pairs("a", "b")}
+    s = score_pairs(truth, pred)
+    assert s.recall > 0.9 and s.precision > 0.9, s
+
+
+def test_minimizer_sampling_density():
+    """(k, w) window minimizers sample ~2/(w+1) of seeds and every
+    w-window keeps at least one seed (coverage guarantee)."""
+    import numpy as np
+    from cactus_tpu.ops import seeds_host
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 50_000).astype(np.uint8)
+    h_all, p_all = seeds_host.hash_kmers(codes, None, 15, 1)
+    h_min, p_min = seeds_host.hash_kmers(codes, None, 15, 1,
+                                         minimizer_w=10)
+    assert 0 < len(p_min) < 0.35 * len(p_all)
+    # window coverage: gaps between kept positions never exceed w
+    assert int(np.diff(p_min).max()) <= 10
+    # sampled set is deterministic and position-consistent
+    assert set(p_min) <= set(p_all)
