@@ -184,20 +184,25 @@ def bench_poa(jax, jnp) -> float:
     l_len = jnp.asarray(np.full(P, L, np.int32))
 
     batch = _affine_pallas_batch_or_none(N, B)
+    # every timed call must see a DISTINCT input (the remote relay
+    # caches results for identical inputs; 3 variants measured a
+    # degenerate zero slope once the kernel shapes were disk-cached)
     rolled = [jnp.asarray(np.roll(np.asarray(bases), i + 1, axis=0))
-              for i in range(3)]
+              for i in range(16)]
+    import itertools
+    cnt = itertools.count()
     if batch is None:
         vbatch = jax.jit(jax.vmap(
             lambda b, pr, of, qe, ll: poa_align_scan_affine(
                 b, pr, of, qe, sm, band=B, o1=o1, e1=e1, o2=o2, e2=e2,
                 l_len=ll)))
-        run = lambda i: vbatch(rolled[i % 3] if i else bases, preds,
+        run = lambda i: vbatch(rolled[next(cnt) % 16], preds,
                                off, q_ext, l_len)[2]
     else:
-        run = lambda i: batch(rolled[i % 3] if i else bases, preds,
+        run = lambda i: batch(rolled[next(cnt) % 16], preds,
                               off, q_ext, l_len, sm, band=B,
                               o1=o1, e1=e1, o2=o2, e2=e2)[2]
-    dt = _bench(run, 3, fetch=lambda o: float(o[0, 0]))
+    dt = _bench(run, 6, fetch=lambda o: float(o[0, 0]))
     return P * N * B / dt
 
 

@@ -391,6 +391,7 @@ class Config:
     nested_min_interior: int = 64
     nested_max_interior: int = 200_000
     nested_max_members: int = 12
+    nested_max_depth: int = 3
     # per-ancestor-step retry budget on transient failures (the Toil
     # job-retry analog; checkpoint store bounds lost work to one step)
     retries: int = 1

@@ -325,37 +325,33 @@ def poa_align(graph: PoaGraph, seq: np.ndarray, gap: int = 30,
 # convex (dual-affine) gap kernel with adaptive band — abPOA parity
 # --------------------------------------------------------------------------
 
-def _maxplus_chain(s1, s2, a11, a12, a21, a22, B):
-    """Tropical 2-vector scan: y[b] = A (x) y[b-1] (+) s[b] where
-    (A (x) v)_i = max_j(A_ij + v_j).  a_ij are scalar ints; s1/s2 (B,)
-    int32 source terms.  Returns (y1, y2)."""
-    y1, y2 = s1, s2
-    F11 = jnp.full((B,), a11, jnp.int32)
-    F12 = jnp.full((B,), a12, jnp.int32)
-    F21 = jnp.full((B,), a21, jnp.int32)
-    F22 = jnp.full((B,), a22, jnp.int32)
+def _maxplus_chain(s1, s2, e1, e2, B):
+    """Two independent tropical prefix scans:
+    y_k[b] = max_{a<=b} (s_k[a] - e_k*(b-a)), clamped at NEG.
 
+    Earlier rounds ran the full 2x2 tropical matrix scan here, letting a
+    gap of one model open directly off the OTHER model's E state with no
+    match in between.  Those cross-model terms are strictly dominated
+    whenever o1,o2 > 0: the back-to-back pair costs both opens, while
+    the better single model spanning the same columns costs one
+    (mixed - pure_k = -o_j - (e_j - e_k)*len_j < 0 for the pure model k
+    of the SECOND run's comparison partner; H = max(h0,E1,E2) is
+    therefore unchanged, only non-optimal E entries drop).  Dropping
+    them matches abPOA's E-state transitions (E_k extends from E_k or
+    opens from H) and halves the in-row chain cost — the hottest loop
+    of the fused kernel."""
     def shift(x, off):
         return jnp.concatenate([jnp.full((off,), NEG, jnp.int32), x[:-off]])
 
-    off = 1
-    while off < B:
-        v1, v2 = shift(y1, off), shift(y2, off)
-        y1 = jnp.maximum(y1, jnp.maximum(F11 + v1, F12 + v2))
-        y2 = jnp.maximum(y2, jnp.maximum(F21 + v1, F22 + v2))
-        G11, G12 = shift(F11, off), shift(F12, off)
-        G21, G22 = shift(F21, off), shift(F22, off)
-        # clamp at NEG: repeated tropical products of NEG-padded entries
-        # would otherwise run off toward int32 overflow
-        nF11 = jnp.maximum(jnp.maximum(F11 + G11, F12 + G21), NEG)
-        nF12 = jnp.maximum(jnp.maximum(F11 + G12, F12 + G22), NEG)
-        nF21 = jnp.maximum(jnp.maximum(F21 + G11, F22 + G21), NEG)
-        nF22 = jnp.maximum(jnp.maximum(F21 + G12, F22 + G22), NEG)
-        F11, F12, F21, F22 = nF11, nF12, nF21, nF22
-        y1 = jnp.maximum(y1, NEG)
-        y2 = jnp.maximum(y2, NEG)
-        off *= 2
-    return y1, y2
+    def scan(y, e):
+        off = 1
+        while off < B:
+            y = jnp.maximum(y, shift(y, off) - e * off)
+            y = jnp.maximum(y, NEG)
+            off *= 2
+        return y
+
+    return scan(s1, e1), scan(s2, e2)
 
 
 @partial(jax.jit, static_argnames=("band", "o1", "e1", "o2", "e2"))
@@ -379,6 +375,8 @@ def poa_align_scan_affine(bases, preds, off, q_ext, submat,
     4=ins2); 3-4 diag pred slot; 5-6 F1 slot, 7 F1-extend; 8-9 F2 slot,
     10 F2-extend; 11 E1-extend; 12 E2-extend.
     """
+    # _maxplus_chain's diagonal collapse needs strictly positive opens
+    assert o1 > 0 and o2 > 0, (o1, o2)
     N = bases.shape[0]
     B = band
     Lp1 = q_ext.shape[0]
@@ -441,7 +439,7 @@ def poa_align_scan_affine(bases, preds, off, q_ext, submat,
             return jnp.concatenate([jnp.full((1,), NEG, jnp.int32), x[:-1]])
 
         E1, E2 = _maxplus_chain(sr1(h0) - (o1 + e1), sr1(h0) - (o2 + e2),
-                                -e1, -(o1 + e1), -(o2 + e2), -e2, B)
+                                e1, e2, B)
         H = jnp.maximum(h0, jnp.maximum(E1, E2))
         valid = j <= L
         H = jnp.where(valid, H, NEG)

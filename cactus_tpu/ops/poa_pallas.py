@@ -409,30 +409,23 @@ def _affine_nodes(n_slots, step, L, b_idx, row0_at, q_ref,
         diag, dslot = maxdec([h + s for h in Hd])
         h0 = jnp.maximum(diag, jnp.maximum(F1n, F2n))
 
-        # in-row convex insertion chains: tropical 2x2 Kogge-Stone with
-        # PRECOMPUTED matrix powers (the A evolution is data-free)
+        # in-row convex insertion chains: two INDEPENDENT doubling
+        # max-scans (cross-model mixing terms are strictly dominated
+        # for o1,o2 > 0 — see ops/poa.py:_maxplus_chain; halves the
+        # chain op count, the kernel's hottest loop)
         neg1 = jnp.full((G, 1), NEG, jnp.int32)
         def sr1(x):
             return jnp.concatenate([neg1, x[:, :-1]], axis=1)
         y1 = sr1(h0) - (o1 + e1)
         y2 = sr1(h0) - (o2 + e2)
         offk = 1
-        k = 0
         while offk < Bp:
-            A11 = chain_ref[4 * k + 0:4 * k + 1, :]
-            A12 = chain_ref[4 * k + 1:4 * k + 2, :]
-            A21 = chain_ref[4 * k + 2:4 * k + 3, :]
-            A22 = chain_ref[4 * k + 3:4 * k + 4, :]
             def sh(x, o=offk):
                 return jnp.concatenate(
                     [jnp.full((G, o), NEG, jnp.int32), x[:, :-o]], axis=1)
-            v1, v2 = sh(y1), sh(y2)
-            y1 = jnp.maximum(y1, jnp.maximum(A11 + v1, A12 + v2))
-            y2 = jnp.maximum(y2, jnp.maximum(A21 + v1, A22 + v2))
-            y1 = jnp.maximum(y1, NEG)
-            y2 = jnp.maximum(y2, NEG)
+            y1 = jnp.maximum(jnp.maximum(y1, sh(y1) - e1 * offk), NEG)
+            y2 = jnp.maximum(jnp.maximum(y2, sh(y2) - e2 * offk), NEG)
             offk *= 2
-            k += 1
         E1, E2 = y1, y2
         Hn = jnp.maximum(h0, jnp.maximum(E1, E2))
         valid = (j <= L) & (b_idx < B)

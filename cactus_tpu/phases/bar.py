@@ -499,6 +499,8 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
                                ingroup_seqs=ingroup_seqs,
                                gap_pairs=gaps if cfg.best_cut else None)
     caf_runs = blocks_to_match_edges(caf.blocks, caf.alive)
+    bar_arr = (np.asarray(bar_runs, np.int64).reshape(-1, 4)
+               if len(bar_runs) else np.zeros((0, 4), np.int64))
     # rebuild the graph from (CAF ∪ BAR) evidence on the segment-level
     # pinch path (the mini CAF re-anneal of bar.c:133-145); CAF block
     # runs pinch first so established homology keeps its orientation
@@ -506,7 +508,7 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
     blocks = pinch_blocks(
         caf.table, caf.events_of_seq,
         primary_runs=global_runs_to_thread_runs(
-            caf_runs + bar_runs, caf.table),
+            np.concatenate([caf_runs, bar_arr]), caf.table),
         min_degree=cfg.minimum_block_degree)
     alive = np.ones(blocks.n_blocks, dtype=bool)
     # BarParams carries the same degree/species knobs as CafParams, so the

@@ -311,13 +311,16 @@ def blocks_to_match_edges(blocks: Blocks, alive: np.ndarray):
 
     Each block becomes a star of pairwise matches against its first
     segment, letting downstream passes rebuild the graph from
-    (CAF ∪ BAR) evidence.  Returns (ga, gb, ln, strand) global runs:
-    strand +1 pairs [ga, ga+ln) with [gb, gb+ln) forward; -1 reversed.
+    (CAF ∪ BAR) evidence.  Returns an (N, 4) int64 array of
+    (ga, gb, ln, strand) global runs: strand +1 pairs [ga, ga+ln) with
+    [gb, gb+ln) forward; -1 reversed.  (An earlier revision returned a
+    list of tuples — ~200 B/run of transient Python objects at genome
+    scale.)
     """
     live = alive[blocks.seg_block]
     idx = np.flatnonzero(live)
     if not len(idx):
-        return []
+        return np.zeros((0, 4), np.int64)
     blk = blocks.seg_block[idx]
     order = np.argsort(blk, kind="stable")
     idx = idx[order]
@@ -331,5 +334,5 @@ def blocks_to_match_edges(blocks: Blocks, alive: np.ndarray):
     members = np.arange(len(blk))
     rest = members != first
     base, mem = first[rest], members[rest]
-    out = np.stack([g0[base], g0[mem], ln[base], st[base] * st[mem]], axis=1)
-    return [tuple(int(x) for x in row) for row in out]
+    return np.stack([g0[base], g0[mem], ln[base], st[base] * st[mem]],
+                    axis=1).astype(np.int64)

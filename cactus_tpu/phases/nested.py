@@ -122,13 +122,20 @@ def _seedless_runs_batch(jobs, max_side: int = 16_384,
                 by_band.setdefault(band, []).append(
                     (ji, strand, q0, t0, qs, ts))
     params = HmmParams()
+    # canonical (64, 4096, band) dispatch shapes ONLY on TPU, where the
+    # per-shape Mosaic compile (~35 s) dominates and the padded cells
+    # are nearly free; on the XLA-CPU backend padded cells cost real
+    # time, so keep the default tight pow2 bins there
+    import jax
+    on_tpu = jax.devices()[0].platform == "tpu"
+    shape_kw = (dict(min_batch=64, max_batch=64, min_rows_bin=4096)
+                if on_tpu else dict(max_batch=32))
     # matched pairs per (job, strand), assembled across pieces
     matched: dict[tuple[int, int], list] = {}
     for band, grp in sorted(by_band.items()):
         cands = posterior_pairs_banded([(qs, ts) for *_k, qs, ts in grp],
                                        params, band=band, gamma=gamma,
-                                       min_batch=64, max_batch=64,
-                                       min_rows_bin=4096)
+                                       **shape_kw)
         for (ji, strand, q0, t0, _qs, _ts), hits in zip(grp, cands):
             matched.setdefault((ji, strand), []).extend(
                 (i + q0, j + t0) for i, j, _p in hits)
@@ -235,7 +242,10 @@ def refine_nested(caf: CafResult, seqs: dict[str, Sequence],
     p_runs = records_to_runs([r for r in new_records if r.is_primary],
                              table)
     caf_runs = blocks_to_match_edges(caf.blocks, caf.alive)
-    g_runs = global_runs_to_thread_runs(caf_runs + seedless, table)
+    seed_arr = (np.asarray(seedless, np.int64).reshape(-1, 4)
+                if len(seedless) else np.zeros((0, 4), np.int64))
+    g_runs = global_runs_to_thread_runs(
+        np.concatenate([caf_runs, seed_arr]), table)
     merged = {k: np.concatenate([g_runs[k], p_runs[k]])
               for k in g_runs}
     blocks = pinch_blocks(

@@ -577,7 +577,9 @@ def match_ends(live: list[int], weights: dict[tuple[int, int], float],
                 u, v, _w = ce[0]
                 mate.add((min(u, v), max(u, v)))
                 continue
-            if len(ce) > 50_000:
+            import os
+            cap = int(os.environ.get("CACTUS_MATCH_EDGE_CAP", "50000"))
+            if len(ce) > cap:
                 # oversized component: degrade to greedy, loudly
                 greedy_comps += 1
                 used: set[int] = set()
@@ -662,6 +664,160 @@ def walk_threads(live: list[int], matched: dict[int, int]):
 
 def _adj_weight(z: dict, u: int, v: int) -> float:
     return z.get((u, v) if u <= v else (v, u), 0.0)
+
+
+def insert_stranded_threads(threads, z: dict, max_passes: int = 256,
+                            theta: float = 1e-6,
+                            ulen: dict | None = None):
+    """Splice stranded threads into longer threads at their best
+    Z-supported interior position (the reference never leaves a chain
+    unplaced: makeReferenceGreedily2/updateReferenceGreedily insert
+    every chain into the growing reference order,
+    buildReference.c:1285-1332).
+
+    A pure end-matching fragments the order whenever sub-paths
+    interleave: with pinched outgroups the mr ancestor came out as 90
+    threads whose terminal ends had Z edges ONLY to interior ends of
+    other threads (measured: 180 terminal ends, 178 with Z>0 edges, 0
+    to another terminal end) — og-witnessed single-clade runs alternate
+    with shared runs, and the matching builds one path per run.  The
+    fragmented ancestor then collapses the next level's blast
+    (human-mouse recall 0.95 -> 0.10).  Insertion repairs this: splice
+    thread T between consecutive units (A, B) of a longer thread where
+    z(A, T_head) + z(T_tail, B) - z(A, B) is maximal and positive,
+    trying both orientations of T.  Genuinely unrelated threads (no
+    positive interior support — e.g. different chromosomes) stay
+    separate.
+    """
+    threads = [list(t) for t in threads]
+    incident: dict[int, list[tuple[int, float]]] = {}
+    for (u, v), w in z.items():
+        if w > 0:
+            incident.setdefault(u, []).append((v, w))
+            incident.setdefault(v, []).append((u, w))
+
+    def entry_end(item):
+        b, o = item
+        return 2 * b + (0 if o == 1 else 1)
+
+    def exit_end(item):
+        b, o = item
+        return 2 * b + (1 if o == 1 else 0)
+
+    import math
+
+    def decay(tt) -> float:
+        """(1-theta)^(base length of tt): the surviving fraction of a
+        bridged adjacency's Z after inserting tt between its ends."""
+        if ulen is None:
+            return 0.0      # unknown lengths: fall back to full charge
+        L = sum(ulen.get(b, 0) for b, _o in tt)
+        return math.exp(L * math.log1p(-theta)) if theta > 0 else 1.0
+
+    for _pass in range(max_passes):
+        if len(threads) <= 1:
+            break
+        pos_of: dict[int, tuple[int, int]] = {}
+        for ti, t in enumerate(threads):
+            for pi, (b, _o) in enumerate(t):
+                pos_of[b] = (ti, pi)
+        lens = [len(t) for t in threads]
+
+        plans = []   # (gain, ti, target unit, oriented unit list)
+        for ti, t in enumerate(threads):
+            if not t:
+                continue
+            best = None
+            for tt in (t, [(b, -o) for b, o in reversed(t)]):
+                head = entry_end(tt[0])
+                tail = exit_end(tt[-1])
+                # candidates from BOTH of T's outward ends: an edge off
+                # the head anchors T after its partner unit; an edge off
+                # the tail anchors T before its partner (i.e. after that
+                # unit's predecessor — covers prepend via opi == -1...
+                # skipped: order needs an anchor unit, retry reversed)
+                cand_pos: dict[tuple[int, int], float] = {}
+                for other, w in incident.get(head, ()):
+                    ob = other // 2
+                    if ob not in pos_of:
+                        continue
+                    oti, opi = pos_of[ob]
+                    if other == exit_end(threads[oti][opi]):
+                        cand_pos[(oti, opi)] = max(
+                            cand_pos.get((oti, opi), 0.0), w)
+                for other, w in incident.get(tail, ()):
+                    ob = other // 2
+                    if ob not in pos_of:
+                        continue
+                    oti, opi = pos_of[ob]
+                    if other == entry_end(threads[oti][opi]) and opi > 0:
+                        cand_pos.setdefault((oti, opi - 1), 0.0)
+                for (oti, opi), _w0 in cand_pos.items():
+                    if oti == ti:
+                        continue
+                    # (no length restriction: mutual-splice cycles are
+                    # prevented at apply time — a moving thread is never
+                    # a target in the same pass, and each pass strictly
+                    # reduces the thread count)
+                    anchor = threads[oti][opi]
+                    head_w = _adj_weight(z, exit_end(anchor), head)
+                    nxt_w = old_w = 0.0
+                    if opi + 1 < len(threads[oti]):
+                        nx_entry = entry_end(threads[oti][opi + 1])
+                        nxt_w = _adj_weight(z, tail, nx_entry)
+                        old_w = _adj_weight(z, exit_end(anchor), nx_entry)
+                    # inserting T between (A, B) does NOT discard
+                    # z(A, B): the reference objective scores every pair
+                    # by (1-theta)^distance (buildReference.c Z-score
+                    # doc comment), so the old adjacency only DECAYS by
+                    # T's base length — an adjacent-only gain model
+                    # would charge the full 2.7e6 weight of a hot
+                    # junction and never splice anything (measured)
+                    loss = old_w * (1.0 - decay(tt))
+                    gain = head_w + nxt_w - loss
+                    if gain > 1e-12 and (best is None or gain > best[0]):
+                        best = (gain, oti, anchor[0], list(tt))
+            if best is not None:
+                plans.append((best[0], ti, best[1], best[2], best[3]))
+        if not plans:
+            break
+        # apply best-gain-first; at most one splice per anchor unit, and
+        # a thread may not move if it is (a) already moving or (b) the
+        # TARGET of an accepted splice this pass — emptying a target
+        # thread would silently drop the units just spliced into it
+        # (measured: cow-dog recall 0.98 -> 0.26 from exactly that)
+        plans.sort(key=lambda p: -p[0])
+        total0 = sum(len(t) for t in threads)
+        taken: set[int] = set()
+        moving: set[int] = set()
+        targeted: set[int] = set()
+        after: dict[int, list] = {}
+        for _gain, ti, oti, ob, units in plans:
+            if (ti in moving or ti in targeted or oti in moving
+                    or ob in taken):
+                continue
+            moving.add(ti)
+            targeted.add(oti)
+            taken.add(ob)
+            after[ob] = units
+            threads[ti] = []
+        if not after:
+            break
+        new_threads = []
+        for t in threads:
+            if not t:
+                continue
+            nt = []
+            for item in t:
+                nt.append(item)
+                nt.extend(after.get(item[0], ()))
+            new_threads.append(nt)
+        # splices must conserve units exactly (a lost unit = lost
+        # ancestor blocks = silently lost homology downstream)
+        assert sum(len(t) for t in new_threads) == total0, \
+            "splice dropped units"
+        threads = new_threads
+    return threads
 
 
 def nudge_threads(threads, z: dict, permutations: int):
@@ -764,6 +920,13 @@ def order_blocks(caf: CafResult, cfg: ReferenceParams,
     live_units = list(range(len(units)))
     matched = match_ends(live_units, z, cfg.matching_algorithm)
     uthreads = walk_threads(live_units, matched)
+    blen = caf.blocks.block_length()
+    ulen = {ui: int(sum(blen[b] for b, _o in unit))
+            for ui, unit in enumerate(units)}
+    import os as _os
+    if _os.environ.get("CACTUS_INSERT_STRANDED", "1") == "1":
+        uthreads = insert_stranded_threads(uthreads, z, theta=cfg.theta,
+                                           ulen=ulen)
     uthreads = nudge_threads(uthreads, z, cfg.permutations)
     threads = []
     for ut in uthreads:

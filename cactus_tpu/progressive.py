@@ -38,6 +38,28 @@ class SeqMap:
     strand: np.ndarray
 
 
+# per-base map arrays above this many bytes back onto disk (anonymous
+# unlinked temp files): at genome scale the retained child→ancestor
+# maps are the largest RESIDENT structure (9 B/base · total bases per
+# ancestor step), and file-backed pages are evictable under memory
+# pressure while staying transparent ndarrays to every consumer —
+# the streaming/spill design the reference gets from chunked files
+# (local_alignment.py:370-408) applied to the map layer
+MAPS_MEMMAP_BYTES = int(__import__("os").environ.get(
+    "CACTUS_MAPS_MEMMAP_BYTES", str(1 << 30)))
+
+
+def _map_array(n: int, fill, dtype) -> np.ndarray:
+    if n * np.dtype(dtype).itemsize < MAPS_MEMMAP_BYTES:
+        return np.full(n, fill, dtype)
+    import tempfile
+    f = tempfile.TemporaryFile(prefix="cactus_map_")
+    f.truncate(n * np.dtype(dtype).itemsize)
+    arr = np.memmap(f, dtype=dtype, mode="r+", shape=(n,))
+    arr[:] = fill
+    return arr
+
+
 @dataclass
 class AncestorStep:
     event: str
@@ -75,9 +97,12 @@ def seq_maps_from_step(caf: CafResult,
     table = caf.table
     anc_index = {n: i for i, n in enumerate(ref.sequences)}
     total = int(table.total)
-    g_idx = np.full(total, -1, np.int32)
-    g_pos = np.full(total, -1, np.int64)
-    g_str = np.zeros(total, np.int8)
+    g_idx = _map_array(total, -1, np.int32)
+    # int32 positions: a single ancestor contig stays < 2^31 bases
+    # (guarded below); halves the dominant per-base map footprint
+    g_pos = _map_array(total, -1, np.int32)
+    g_str = _map_array(total, 0, np.int8)
+    assert all(len(s) < (1 << 31) for s in ref.sequences.values())
 
     blocks = caf.blocks
     lens = blocks.block_length()
@@ -137,8 +162,8 @@ def compose_maps(m1: SeqMap, names1: list[str],
     gather regardless of how many A sequences exist (the per-sequence
     flatnonzero scan was the 100 Mb-scale hot spot)."""
     n = len(m1.tgt_idx)
-    out = SeqMap(np.full(n, -1, np.int32), np.full(n, -1, np.int64),
-                 np.zeros(n, np.int8))
+    out = SeqMap(_map_array(n, -1, np.int32), _map_array(n, -1, np.int32),
+                 _map_array(n, 0, np.int8))
     # concatenated view of maps2 over names1 order
     lens = np.array([len(maps2[nm].tgt_idx) if nm in maps2 else 0
                      for nm in names1], np.int64)
@@ -147,7 +172,7 @@ def compose_maps(m1: SeqMap, names1: list[str],
     if total == 0:
         return out
     cat_idx = np.full(total, -1, np.int32)
-    cat_pos = np.full(total, -1, np.int64)
+    cat_pos = np.full(total, -1, np.int32)
     cat_str = np.zeros(total, np.int8)
     for k, nm in enumerate(names1):
         m2 = maps2.get(nm)
@@ -493,14 +518,23 @@ class ProgressiveAligner:
             # and bar works the hierarchy's leaves —
             # cactus_consolidated.c:426-460; phases/nested.py)
             from .phases import nested as nested_phase
-            n0 = int(caf.alive.sum())
-            caf = nested_phase.refine_nested(
-                caf, caf_seqs, cfg, preset, set(children),
-                caf_og_events, log=lambda m: self.log(
-                    f"{node.name}: {m}"))
-            if int(caf.alive.sum()) != n0:
-                self.log(f"{node.name}: nested refinement "
-                         f"{n0} -> {int(caf.alive.sum())} live blocks")
+            # iterate to fixpoint (depth cap): the reference recurses
+            # layer-by-layer until leaf flowers
+            # (cactus_consolidated.c:439-460, caf/impl/finishing.c:438);
+            # a level-2 tangle (an inversion inside an insertion inside
+            # an insertion) only becomes visible on the graph REBUILT by
+            # level 1, so one pass can miss it (tests/test_nested.py)
+            for depth in range(cfg.nested_max_depth):
+                n0 = int(caf.alive.sum())
+                caf = nested_phase.refine_nested(
+                    caf, caf_seqs, cfg, preset, set(children),
+                    caf_og_events, log=lambda m: self.log(
+                        f"{node.name}: {m}"))
+                n1 = int(caf.alive.sum())
+                if n1 == n0:
+                    break
+                self.log(f"{node.name}: nested refinement level "
+                         f"{depth + 1}: {n0} -> {n1} live blocks")
         caf = bar_phase.run_bar(caf, caf_seqs, cfg.bar,
                                 ingroup_events=set(children),
                                 outgroup_events=caf_og_events)

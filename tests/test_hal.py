@@ -129,7 +129,9 @@ def test_hal_validate_catches_corruption(mammal_result):
     m = next(iter(step2.maps.values()))
     sel = np.flatnonzero(m.tgt_idx >= 0)
     if len(sel):
-        m.tgt_pos[sel[0]] = 1 << 40
+        # any position past the ancestor length is out of bounds
+        # (int32-safe: maps narrowed to int32 positions)
+        m.tgt_pos[sel[0]] = (1 << 31) - 1
         errs2 = hal.hal_validate(bad2)
         assert any("out of bounds" in e for e in errs2), errs2
 

@@ -41,22 +41,79 @@ def _run_pair(root_len: int, seed: int):
     step = res.steps["root"]
     cols = int(step.caf.blocks.block_length()[
         np.flatnonzero(step.caf.alive)].sum())
-    return sim, step, wall, rss_gb, cols
+    return sim, res, step, wall, rss_gb, cols
+
+
+def _accuracy(sim, res, a: str, b: str):
+    """Truth-pair recall/precision (the mafComparator oracle; the
+    reference's scale evidence is always accuracy-gated,
+    test/evolverTest.py:1208-1269 — coverage alone is cheap on
+    low-divergence pairs)."""
+    from cactus_tpu import progressive
+    from cactus_tpu.testutil.comparator import score_pairs
+    truth = sim.truth_pairs_arr(a, b)
+    pred = progressive.leaf_pairs_arr(res, a, b)
+    return score_pairs(truth, pred)
 
 
 @pytest.mark.skipif(not RUN_SLOW, reason="RUN_SLOW not set")
 def test_scale_20mb_pair():
-    sim, step, wall, rss_gb, cols = _run_pair(20_000_000, seed=12)
+    sim, res, step, wall, rss_gb, cols = _run_pair(20_000_000, seed=12)
     # memory: stays under ~7x the 5 Mb anchor (i.e. roughly linear)
     assert rss_gb < 36, f"peak RSS {rss_gb:.1f} GB"
     # coverage: most of the genome lands in alignment columns
     assert cols > 0.85 * 20_000_000, f"{cols} columns"
-    print(f"20Mb pair: {wall:.0f}s, {rss_gb:.1f} GB, {cols} cols")
+    s = _accuracy(sim, res, "a", "b")
+    assert s.recall > 0.90 and s.precision > 0.90, s
+    print(f"20Mb pair: {wall:.0f}s, {rss_gb:.1f} GB, {cols} cols, "
+          f"recall={s.recall:.4f} precision={s.precision:.4f}")
 
 
 @pytest.mark.skipif(not RUN_100, reason="RUN_SCALE_100MB not set")
 def test_scale_100mb_pair():
-    sim, step, wall, rss_gb, cols = _run_pair(100_000_000, seed=13)
+    sim, res, step, wall, rss_gb, cols = _run_pair(100_000_000, seed=13)
     assert rss_gb < 110, f"peak RSS {rss_gb:.1f} GB"
     assert cols > 0.85 * 100_000_000, f"{cols} columns"
-    print(f"100Mb pair: {wall:.0f}s, {rss_gb:.1f} GB, {cols} cols")
+    s = _accuracy(sim, res, "a", "b")
+    assert s.recall > 0.90 and s.precision > 0.90, s
+    print(f"100Mb pair: {wall:.0f}s, {rss_gb:.1f} GB, {cols} cols, "
+          f"recall={s.recall:.4f} precision={s.precision:.4f}")
+
+
+RUN_5WAY = os.environ.get("RUN_SCALE_5WAY", "") or (RUN_SLOW == "3")
+
+MAMMAL_NEWICK = (
+    "((simHuman:0.144018,(simMouse:0.084509,simRat:0.091589)"
+    "mr:0.271974)anc1:0.020593,(simCow:0.18908,simDog:0.16303)"
+    "anc2:0.032898)root;")
+
+
+@pytest.mark.skipif(not RUN_5WAY, reason="RUN_SCALE_5WAY not set")
+def test_scale_5way_mammal_50mb():
+    """5 genomes at mammal divergence, 50 Mb each: the reference-style
+    multi-genome scale proof, accuracy-gated on every within-clade pair
+    plus one cross-clade pair (evolverTest.py:1208-1269 analog)."""
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu import progressive
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.utils.trees import parse_newick
+
+    tree = parse_newick(MAMMAL_NEWICK)
+    sim = evolver.simulate(tree, root_len=50_000_000, seed=77)
+    genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
+               for ev in tree.leaf_names()}
+    t0 = time.perf_counter()
+    res = progressive.ProgressiveAligner(tree, genomes).run()
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    scores = {}
+    for a, b in [("simMouse", "simRat"), ("simCow", "simDog"),
+                 ("simHuman", "simMouse")]:
+        scores[(a, b)] = s = _accuracy(sim, res, a, b)
+        assert s.recall > 0.80 and s.precision > 0.85, (a, b, s)
+    avg = float(np.mean([(s.recall + s.precision) / 2
+                         for s in scores.values()]))
+    assert avg >= 0.89, (avg, scores)
+    print(f"5way 50Mb: {wall:.0f}s, {rss_gb:.1f} GB, avg={avg:.4f} | "
+          + " ".join(f"{a}-{b}: r={s.recall:.3f} p={s.precision:.3f}"
+                     for (a, b), s in scores.items()))
