@@ -351,6 +351,12 @@ class ReferenceParams:
     number_of_ns: int = 10
     min_sequences_to_support_adjacency: int = 1
     make_scaffolds: bool = True
+    # streamed Felsenstein: ancestral reconstruction runs per column
+    # window of this size so the (C, E, 4) observation tensor and its
+    # per-segment-base expansion stay bounded at genome scale (the
+    # reference streams blocks through its RecordHolder machinery,
+    # recursiveThreadBuilder.h:19-37)
+    felsenstein_window_columns: int = 8_000_000
 
 
 @dataclass

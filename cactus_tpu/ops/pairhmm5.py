@@ -369,6 +369,11 @@ def posterior_banded_batch5(q, t_shift, m_len, n_len, lo, em,
                             band=band)
 
 
+# widest band the fused five-state kernel compiles at (16 MB scoped
+# vmem; see posterior5_default_backend)
+MAX_PALLAS_BAND5 = 1024
+
+
 def posterior5_default_backend():
     """Fused Pallas kernel on TPU (hardware-validated 2026-08-19 on a
     v5e: max posterior diff vs the XLA scan 1.7e-3, 4.10 Gcells/s vs
@@ -381,10 +386,11 @@ def posterior5_default_backend():
         dev = jax.devices()[0]
 
         def run(q, t_shift, m_len, n_len, lo, em, **kw):
-            from .pairhmm import MAX_PALLAS_BAND
-            if kw.get("band", 0) > MAX_PALLAS_BAND:
-                # scoped-vmem limit (see pairhmm.MAX_PALLAS_BAND): wide
-                # bands route to the XLA scan
+            if kw.get("band", 0) > MAX_PALLAS_BAND5:
+                # scoped-vmem limit: the five-state kernel carries more
+                # per-step scratch than the 3-state one (measured on a
+                # v5e: band 2048 fails AOT compile at 18.6 MB vs the
+                # 16 MB cap) — wide bands route to the XLA scan
                 return posterior_banded_batch5(q, t_shift, m_len, n_len,
                                                lo, em, **kw)
             # callers may have committed inputs to host CPU (smart_put);

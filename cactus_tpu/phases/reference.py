@@ -111,6 +111,18 @@ def overlay_outgroup_observations(caf: CafResult, obs: np.ndarray,
                                   col_off: dict, og_records,
                                   og_codes: dict[str, np.ndarray],
                                   event_names: list[str]) -> int:
+    """Apply og votes directly to a whole-genome obs tensor (legacy
+    unchunked entry; run_reference streams via overlay_vote_arrays)."""
+    rows, evs, bases = overlay_vote_arrays(caf, col_off, og_records,
+                                           og_codes, event_names)
+    obs[rows, evs, :] *= np.float32(1e-3)
+    obs[rows, evs, bases] *= np.float32(1e3)
+    return len(rows)
+
+
+def overlay_vote_arrays(caf: CafResult, col_off: dict, og_records,
+                        og_codes: dict[str, np.ndarray],
+                        event_names: list[str]):
     """Project outgroup alignments onto existing block columns as
     Felsenstein votes WITHOUT pinching them into the graph.
 
@@ -121,7 +133,8 @@ def overlay_outgroup_observations(caf: CafResult, obs: np.ndarray,
     column gets a soft vote for t's base.  This is the reconstruction
     role outgroups play in the reference (ancestral ML bases,
     blockMLString.c) with none of the structural interference.
-    Returns the number of votes applied.
+    Returns (rows, events, bases) int arrays sorted by global column
+    row, ready for chunked application.
     """
     from ..io.fasta import complement
     eidx = {n: i for i, n in enumerate(event_names)}
@@ -136,7 +149,7 @@ def overlay_outgroup_observations(caf: CafResult, obs: np.ndarray,
         sel = order[sseq == si]
         seg_by_seq[int(si)] = (blocks.seg_start[sel], blocks.seg_len[sel],
                                blocks.seg_strand[sel], blocks.seg_block[sel])
-    n_votes = 0
+    out_rows, out_evs, out_bases = [], [], []
     for r in og_records:
         # orient: q side must be the INGROUP sequence
         qname, tname = r.qname, r.tname
@@ -187,36 +200,53 @@ def overlay_outgroup_observations(caf: CafResult, obs: np.ndarray,
         offs = np.array([col_off.get(int(bb), -1) for bb in b])
         okc = (offs >= 0) & (base < 4)
         rows = offs[okc] + col[okc]
-        # soft vote: same scheme as direct observations
-        obs[rows, e, :] *= 1e-3
-        obs[rows, e, base[okc]] *= 1e3
-        n_votes += len(rows)
-    return n_votes
+        out_rows.append(rows)
+        out_evs.append(np.full(len(rows), e, np.int32))
+        out_bases.append(base[okc].astype(np.int32))
+    if not out_rows:
+        z = np.zeros(0, np.int64)
+        return z, z.astype(np.int32), z.astype(np.int32)
+    rows = np.concatenate(out_rows)
+    evs = np.concatenate(out_evs)
+    bases = np.concatenate(out_bases)
+    order = np.argsort(rows, kind="stable")
+    return rows[order], evs[order], bases[order]
 
 
 def block_observations(caf: CafResult, gcodes: np.ndarray,
-                       event_names: list[str]):
-    """Build the (C, E, 4) observation tensor over all live block columns.
+                       event_names: list[str], live_slice=None,
+                       col_base: int = 0):
+    """Build the (C, E, 4) observation tensor over live block columns.
 
     Column order within block b is the block's column chain; a -1-strand
     segment contributes complemented bases in reversed order (bidirected
     column semantics, graph/columns.py).
     Returns (obs, counts, block_ids (C,), block_col_lens {b: L}).
-    """
+
+    live_slice=(i0, i1): restrict to live blocks [i0, i1) of the live
+    list, with col_base = the global column offset of live block i0 —
+    the streaming window run_reference iterates so the observation
+    tensor and its per-base expansion stay bounded at genome scale
+    (unchunked, the expansion is ~65 B per segment base: >100 GB for a
+    1 Gb pair)."""
     blocks = caf.blocks
     table = caf.table
     eidx = {n: i for i, n in enumerate(event_names)}
-    live = np.flatnonzero(caf.alive)
+    live_all = np.flatnonzero(caf.alive)
+    live = (live_all if live_slice is None
+            else live_all[live_slice[0]:live_slice[1]])
     lens = blocks.block_length()
     live_lens = lens[live].astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(live_lens)])
     total = int(offs[-1])
-    col_off = {int(b): int(o) for b, o in zip(live, offs[:-1])}
+    col_off = {int(b): col_base + int(o) for b, o in zip(live, offs[:-1])}
     E = len(event_names)
     block_ids = np.repeat(live.astype(np.int64), live_lens)
     seq_event = np.array([eidx.get(event_of(n), -1) for n in table.names])
     coloff_arr = np.full(blocks.n_blocks, -1, dtype=np.int64)
     coloff_arr[live] = offs[:-1]
+    in_window = np.zeros(blocks.n_blocks, dtype=bool)
+    in_window[live] = True
 
     # vectorized over all segment bases (no per-segment Python loop):
     # obs[c,e,s] = 1e-3^N(c,e) * 1e3^n(c,e,s) with N = #observations of
@@ -224,7 +254,7 @@ def block_observations(caf: CafResult, gcodes: np.ndarray,
     # to the sequential multiplicative form, computed via bincounts;
     # per-(c,e) max-normalization guards float32 underflow on deep
     # paralogous columns.
-    sel = np.flatnonzero(caf.alive[blocks.seg_block]
+    sel = np.flatnonzero(in_window[blocks.seg_block]
                          & (seq_event[blocks.seg_seq] >= 0))
     if len(sel):
         ln = blocks.seg_len[sel]
@@ -955,17 +985,47 @@ def run_reference(caf: CafResult, gcodes: np.ndarray, tree: Tree,
     see overlay_outgroup_observations).
     """
     event_names = [n.name for n in tree.preorder()]
-    obs, counts, block_ids, col_off = block_observations(
-        caf, gcodes, event_names)
-    if og_records and len(obs):
-        overlay_outgroup_observations(caf, obs, col_off, og_records,
-                                      og_codes or {}, event_names)
-    if len(obs):
-        root_codes = felsenstein_ml(obs, counts, tree, event_names)
-    else:
-        root_codes = np.zeros(0, dtype=np.uint8)
-
     lens = caf.blocks.block_length()
+    live = np.flatnonzero(caf.alive)
+    live_lens = lens[live].astype(np.int64)
+    goffs = np.concatenate([[0], np.cumsum(live_lens)])
+    total_cols = int(goffs[-1])
+    col_off = {int(b): int(o) for b, o in zip(live, goffs[:-1])}
+
+    # STREAMED ancestral reconstruction: the observation tensor and its
+    # per-base expansion are built per column window (~bounded MB), not
+    # for the whole genome at once — the reference-phase RSS spike at
+    # scale (measured +3 GB at a 20 Mb pair, extrapolating >100 GB at
+    # 1 Gb) becomes O(window).  The og overlay votes are materialized
+    # once as sorted (row, event, base) arrays and applied per window.
+    if og_records:
+        v_rows, v_evs, v_bases = overlay_vote_arrays(
+            caf, col_off, og_records, og_codes or {}, event_names)
+    else:
+        v_rows = np.zeros(0, np.int64)
+        v_evs = v_bases = np.zeros(0, np.int32)
+    root_codes = np.empty(total_cols, dtype=np.uint8)
+    target_cols = max(1, int(cfg.felsenstein_window_columns))
+    i0 = 0
+    while i0 < len(live):
+        i1 = int(np.searchsorted(goffs, goffs[i0] + target_cols,
+                                 side="left"))
+        i1 = max(i1, i0 + 1)
+        lo, hi = int(goffs[i0]), int(goffs[min(i1, len(live))])
+        obs, counts, _bi, _co = block_observations(
+            caf, gcodes, event_names, live_slice=(i0, i1), col_base=lo)
+        if len(v_rows):
+            a = np.searchsorted(v_rows, lo, side="left")
+            z = np.searchsorted(v_rows, hi, side="left")
+            if z > a:
+                rows_l = v_rows[a:z] - lo
+                obs[rows_l, v_evs[a:z], :] *= np.float32(1e-3)
+                obs[rows_l, v_evs[a:z], v_bases[a:z]] *= np.float32(1e3)
+        if len(obs):
+            root_codes[lo:hi] = felsenstein_ml(obs, counts, tree,
+                                               event_names)
+        i0 = i1
+
     block_codes = {}
     for b, o in col_off.items():
         block_codes[b] = root_codes[o:o + int(lens[b])]

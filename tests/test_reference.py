@@ -216,3 +216,36 @@ def test_reference_reconstruction_accuracy():
     assert n > 1000
     identity = same / n
     assert identity > 0.97, f"ancestor identity {identity:.4f}"
+
+
+def test_streamed_felsenstein_window_invariance():
+    """run_reference's streamed reconstruction must be window-size
+    invariant: a tiny felsenstein window (many chunks) reproduces the
+    single-window ancestor exactly (bases, coords, threads)."""
+    import dataclasses
+
+    from cactus_tpu.config import Config
+    from cactus_tpu.io.fasta import Sequence
+    from cactus_tpu import progressive
+    from cactus_tpu.testutil import evolver
+    from cactus_tpu.utils.trees import parse_newick
+
+    tree = parse_newick("((a:0.05,b:0.06)ab:0.03,c:0.09)root;")
+    sim = evolver.simulate(tree, root_len=30_000, seed=5)
+    genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
+               for ev in tree.leaf_names()}
+
+    outs = []
+    for window in (1 << 60, 1000):
+        cfg = Config.default()
+        cfg.reference.felsenstein_window_columns = window
+        res = progressive.ProgressiveAligner(
+            tree, genomes, config=cfg, check_tree=False).run()
+        outs.append(res)
+    for anc in ("ab", "root"):
+        a = outs[0].steps[anc].ref
+        b = outs[1].steps[anc].ref
+        assert list(a.sequences) == list(b.sequences)
+        for n in a.sequences:
+            assert (a.sequences[n].codes == b.sequences[n].codes).all(), n
+        assert a.block_coord == b.block_coord
