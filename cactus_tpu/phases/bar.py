@@ -56,27 +56,151 @@ def _warn_once(msg: str) -> None:
 
 
 def _check_pecan_knobs(pec) -> None:
-    """Loudly flag pecan knobs whose non-default values this engine
-    cannot honor (the star/backbone + anchor-split design has no poset
-    spanning-tree merge and its band geometry is the adaptive band, not
-    cPecan's anchor-diagonal expansion) — never a silent no-op.
-    Defaults come from PecanParams itself so they cannot drift."""
+    """Flag the one pecan knob this engine cannot honor (never a
+    silent no-op).  spanningTrees / useProgressiveMerging / gapGamma /
+    diagonalExpansion are honored since round 4 (poset pair selection,
+    MEA threshold, band floor — see spanning_tree_pairs and the pecan
+    branch of star_align_ends)."""
     from ..config import PecanParams
     ref = PecanParams()
-    if pec.gap_gamma != ref.gap_gamma:
-        _warn_once("pecan gapGamma != 0 has no indel-probability term "
-                   "in this engine; value ignored")
-    if pec.spanning_trees != ref.spanning_trees:
-        _warn_once("pecan spanningTrees is n/a to the star/backbone MSA "
-                   "(no poset pair merge); value ignored")
-    if pec.use_progressive_merging != ref.use_progressive_merging:
-        _warn_once("pecan useProgressiveMerging=0 is n/a to the "
-                   "star/backbone MSA; value ignored")
-    if (pec.diagonal_expansion != ref.diagonal_expansion
-            or pec.constraint_diagonal_trim
-            != ref.constraint_diagonal_trim):
-        _warn_once("pecan diagonalExpansion/constraintDiagonalTrim are "
-                   "n/a to the adaptive-band design; values ignored")
+    if pec.constraint_diagonal_trim != ref.constraint_diagonal_trim:
+        _warn_once("pecan constraintDiagonalTrim is n/a to the "
+                   "MUM-split banded design (no per-anchor constraint "
+                   "diagonals to trim); value ignored")
+
+
+def _minhash_sim(codes_list, k: int = 12, n_hash: int = 48):
+    """Pairwise Jaccard-ish similarity via per-string minhash sketches
+    (the cheap stand-in for cPecan's pairwise-alignment-score spanning
+    trees).  Returns a (m, m) float matrix."""
+    sketches = []
+    mod = (1 << 61) - 1
+    for c in codes_list:
+        c = np.asarray(c, np.int64)
+        if len(c) < k:
+            sketches.append(np.zeros(n_hash, np.int64))
+            continue
+        h = np.zeros(len(c) - k + 1, np.int64)
+        for j in range(k):
+            h = (h * 4 + np.clip(c[j:j + len(c) - k + 1], 0, 3)) % mod
+        # n_hash independent permutations via multiply-shift
+        rng = np.random.default_rng(12345)
+        a = rng.integers(1, mod, n_hash)
+        sk = ((h[None, :] * a[:, None]) % mod).min(axis=1)
+        sketches.append(sk)
+    S = np.stack(sketches)
+    m = len(codes_list)
+    sim = np.zeros((m, m))
+    for i in range(m):
+        sim[i, i + 1:] = (S[i] == S[i + 1:]).mean(axis=1)
+        sim[i + 1:, i] = sim[i, i + 1:]
+    return sim
+
+
+def spanning_tree_pairs(codes_list, n_trees: int,
+                        progressive: bool = True) -> list[tuple[int, int]]:
+    """Pair selection for the pecan poset MSA: `n_trees` EDGE-DISJOINT
+    spanning trees over the end's members (reference: cPecan
+    makeAlignment's spanningTrees parameter, consumed at
+    bar/impl/endAligner.c:87; config XML :272 spanningTrees=5).
+
+    Tree 0 is the MAXIMUM-similarity spanning tree — with
+    useProgressiveMerging (config :283) this is the progressive merge
+    order (closest members pair first); subsequent trees exclude used
+    edges so the pair set covers diverse member combinations, which is
+    what lets the transitive poset (pinch) columns capture
+    non-backbone homology a star misses.  Falls back to all pairs when
+    that is no more work."""
+    m = len(codes_list)
+    if m < 2:
+        return []
+    all_pairs = [(i, j) for i in range(m) for j in range(i + 1, m)]
+    if len(all_pairs) <= n_trees * (m - 1):
+        return all_pairs
+    sim = _minhash_sim(codes_list)
+    if not progressive:
+        # non-progressive: same edge-disjoint construction but from an
+        # arbitrary (index) order rather than similarity
+        sim = -np.abs(np.subtract.outer(np.arange(m), np.arange(m))) \
+            .astype(float)
+    used: set[tuple[int, int]] = set()
+    for _t in range(n_trees):
+        cands = sorted(((i, j) for i, j in all_pairs
+                        if (i, j) not in used),
+                       key=lambda p: -sim[p[0], p[1]])
+        parent = list(range(m))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        added = 0
+        for i, j in cands:
+            ri, rj = find(i), find(j)
+            if ri == rj:
+                continue
+            parent[ri] = rj
+            used.add((i, j))
+            added += 1
+            if added == m - 1:
+                break
+        if added == 0:
+            break
+    return sorted(used)
+
+
+def estimate_block_identity(caf: CafResult, gcodes: np.ndarray,
+                            max_bases: int = 200_000) -> float | None:
+    """Observed per-column member agreement over sampled live blocks —
+    the last-train role (reference: last-train via paf/last_scoring.py
+    trains the scoring/HMM on the data's own divergence; cPecan's HMM
+    is likewise divergence-trained).  Drives the pecan pair-HMM's
+    emission p_match so posteriors stay confident at high divergence
+    (measured: the stock p_match=0.94 emission collapses posterior
+    recall to 0.41 on a divergence-0.4 ancestor pair)."""
+    blocks, alive = caf.blocks, caf.alive
+    sel = np.flatnonzero(alive[blocks.seg_block])
+    if not len(sel):
+        return None
+    blk = blocks.seg_block[sel]
+    order = np.argsort(blk, kind="stable")
+    sel, blk = sel[order], blk[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(blk)) + 1])
+    counts = np.diff(np.concatenate([starts, [len(blk)]]))
+    two = counts >= 2
+    if not two.any():
+        return None
+    first = sel[starts[two]]
+    second = sel[starts[two] + 1]
+    ln = blocks.seg_len[first].astype(np.int64)
+    # cap total sampled bases
+    cum = np.cumsum(ln)
+    n_blocks = int(np.searchsorted(cum, max_bases)) + 1
+    first, second, ln = first[:n_blocks], second[:n_blocks], ln[:n_blocks]
+    n = int(ln.sum())
+    if n == 0:
+        return None
+    seg_of = np.repeat(np.arange(len(ln)), ln)
+    k = np.arange(n) - np.repeat(np.cumsum(ln) - ln, ln)
+    table = caf.table
+
+    def base_at(seg_idx):
+        s = seg_idx[seg_of]
+        st = blocks.seg_strand[s].astype(np.int64)
+        pos = np.where(st == 1, k, ln[seg_of] - 1 - k)
+        g = (table.offsets[blocks.seg_seq[s]]
+             + blocks.seg_start[s] + pos)
+        from ..io.fasta import complement
+        raw = gcodes[g]
+        return np.where(st == 1, raw, complement(raw))
+
+    b1, b2 = base_at(first), base_at(second)
+    ok = (b1 < 4) & (b2 < 4)
+    if not ok.any():
+        return None
+    return float((b1[ok] == b2[ok]).mean())
 
 
 def global_codes(table: SeqTable, seqs: dict[str, Sequence]) -> np.ndarray:
@@ -205,7 +329,8 @@ def star_align_ends(per_end: dict[int, list[EndString]],
                     gcodes: np.ndarray, cfg: BarParams,
                     max_band: int = 2048,
                     ingroup_seqs: np.ndarray | None = None,
-                    gap_pairs: list[GapPair] | None = None):
+                    gap_pairs: list[GapPair] | None = None,
+                    est_identity: float | None = None):
     """Batched star MSA over all ends → global match runs.
 
     Returns a list of (ga, gb, ln, strand) runs (edges_from_runs format).
@@ -314,6 +439,46 @@ def star_align_ends(per_end: dict[int, list[EndString]],
                      start[1], start[3], run_len)
         by_band = {}
 
+    if engine == "pecan":
+        # poset MSA pair selection (reference makeFlowerAlignment ->
+        # cPecan makeAlignment, endAligner.c:87): spanningTrees
+        # edge-disjoint trees per end replace the star's
+        # member-vs-backbone jobs; every selected pair emits match
+        # runs, and the pinch graph's transitive column merge IS the
+        # poset combine — homology between non-backbone members no
+        # longer has to transit two backbone alignments
+        pec = cfg.pecan
+        by_band = {}
+        for end, members in per_end.items():
+            if len(members) < 2:
+                continue
+            members = sorted(members,
+                             key=lambda e: (not is_ingroup(e),
+                                            -e.length()))
+            short = [m for m in members if m.length() <= poa.window]
+            if len(short) < 2:
+                continue
+            for i, j in spanning_tree_pairs(
+                    [m.codes(gcodes) for m in short],
+                    pec.spanning_trees,
+                    progressive=pec.use_progressive_merging):
+                a, b = short[i], short[j]
+                la = a.length()
+                t_len = min(b.length(), la + poa.band_constant // 4)
+                # band floor honors diagonalExpansion (config :278):
+                # cPecan bands anchor diagonals by +-expansion
+                need = abs(t_len - la) + max(
+                    2 * pec.diagonal_expansion,
+                    min(poa.band_constant + int(poa.band_fraction * la),
+                        max_band))
+                band = 128
+                while band <= need:
+                    band *= 2
+                if band > max_band:
+                    long_jobs.append((a, b))
+                    continue
+                by_band.setdefault(band, []).append((a, b, t_len, band))
+
     for band, group in by_band.items():
         pairs = [(m.codes(gcodes), b.codes(gcodes)[:t_len])
                  for m, b, t_len, _ in group]
@@ -359,22 +524,33 @@ def star_align_ends(per_end: dict[int, list[EndString]],
             else:
                 pieces = [(gi, 0, 0) for gi in range(len(pairs))]
                 piece_pairs = pairs
+            # MEA acceptance honoring gapGamma (config :272): the
+            # decoder picks match over gap when p >= gapGamma*(1-p),
+            # i.e. p >= gapGamma/(1+gapGamma); matchGamma floors it
+            gamma_eff = max(pec.match_gamma,
+                            pec.gap_gamma / (1.0 + pec.gap_gamma))
             pband = band
             if not pec.use_banding and piece_pairs:
                 # full (unbanded) DP: the band must cover every column
                 full = max(max(len(a), len(b)) for a, b in piece_pairs) + 8
                 pband = 1 << (full - 1).bit_length()
+            # divergence-trained emissions (the last-train role,
+            # estimate_block_identity): the stock p_match=0.94 is a
+            # low-divergence model and its posteriors collapse at
+            # divergence ~0.4 (measured: cross-clade recall 0.41)
+            pm = (float(np.clip(est_identity, 0.60, 0.95))
+                  if est_identity is not None else 0.94)
             if pec.five_state:
                 from ..ops.pairhmm5 import (Hmm5Params,
                                             posterior_pairs_banded5)
                 piece_hits = posterior_pairs_banded5(
-                    piece_pairs, Hmm5Params(), band=pband,
-                    gamma=pec.match_gamma)
+                    piece_pairs, Hmm5Params(p_match=pm), band=pband,
+                    gamma=gamma_eff)
             else:
                 from ..ops.pairhmm import HmmParams, posterior_pairs_banded
                 piece_hits = posterior_pairs_banded(
-                    piece_pairs, HmmParams(), band=pband,
-                    gamma=pec.match_gamma)
+                    piece_pairs, HmmParams(p_match=pm), band=pband,
+                    gamma=gamma_eff)
             hits = [[] for _ in pairs]
             for (gi, q0, t0), ph in zip(pieces, piece_hits):
                 hits[gi].extend((i + q0, j + t0, p) for i, j, p in ph)
@@ -495,9 +671,13 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
             if name.split(".", 1)[0] in ingroup_events:
                 o = int(caf.table.offsets[i])
                 ingroup_seqs[o:o + int(caf.table.lengths[i])] = True
+    est_identity = None
+    if cfg.msa_engine == "pecan" or not cfg.partial_order_alignment:
+        est_identity = estimate_block_identity(caf, gcodes)
     bar_runs = star_align_ends(per_end, gcodes, cfg,
                                ingroup_seqs=ingroup_seqs,
-                               gap_pairs=gaps if cfg.best_cut else None)
+                               gap_pairs=gaps if cfg.best_cut else None,
+                               est_identity=est_identity)
     caf_runs = blocks_to_match_edges(caf.blocks, caf.alive)
     bar_arr = (np.asarray(bar_runs, np.int64).reshape(-1, 4)
                if len(bar_runs) else np.zeros((0, 4), np.int64))
