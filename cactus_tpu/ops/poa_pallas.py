@@ -210,187 +210,122 @@ def poa_default_backend():
 # convex (dual-affine) kernel — poa_align_scan_affine's fused backend
 # --------------------------------------------------------------------------
 
-_CHAIN_CONSTS: dict[tuple, list] = {}
+def _node_gather_general(n_slots, v, offs, b_idx, row0_at, j,
+                         preds_ref, off_ref, Hs, F1s, F2s, *, B, Bp, G):
+    """Predecessor band rows for one node, arbitrary topology.
+
+    Loads the (H, F1, F2) triple per (problem, slot) from the three
+    (Np, G, Bp) scratch planes and aligns the pred band to this node's
+    offset with one dynamic-amount lane roll."""
+    any_flags = [None] * G
+    Hp, F1p, F2p, Hd = [], [], [], []
+    for slot in range(n_slots):
+        hp_g, f1_g, f2_g, hd_g = [], [], [], []
+        for g in range(G):
+            pv = preds_ref[g, 0, v * MAX_PREDS + slot]
+            has = pv >= 0
+            any_flags[g] = has if any_flags[g] is None else \
+                jnp.logical_or(any_flags[g], has)
+            pidx = jnp.maximum(pv, 0)
+            d = offs[g] - off_ref[g, 0, pidx]
+            gidx = d + b_idx[0:1, :]
+            amt = jnp.remainder(-d, Bp)
+            rows3 = jnp.concatenate(
+                [Hs[pl.ds(pidx, 1), g, :],
+                 F1s[pl.ds(pidx, 1), g, :],
+                 F2s[pl.ds(pidx, 1), g, :]], axis=0)
+            rolled = pltpu.roll(rows3, amt, axis=1)
+            hrow = rolled[0:1, :]
+            ok_g = has & (gidx >= 0) & (gidx < B)
+            hp_g.append(jnp.where(ok_g, hrow, NEG))
+            f1_g.append(jnp.where(ok_g, rolled[1:2, :], NEG))
+            f2_g.append(jnp.where(ok_g, rolled[2:3, :], NEG))
+            hd = jnp.concatenate([hrow[:, -1:], hrow[:, :-1]], axis=1)
+            ok_d = has & (gidx >= 1) & (gidx <= B)
+            hd_g.append(jnp.where(ok_d, hd, NEG))
+        Hp.append(jnp.concatenate(hp_g, axis=0))
+        F1p.append(jnp.concatenate(f1_g, axis=0))
+        F2p.append(jnp.concatenate(f2_g, axis=0))
+        Hd.append(jnp.concatenate(hd_g, axis=0))
+    # source nodes read the virtual start row instead (bool scalars
+    # can't relayout on Mosaic: stack as int32, compare)
+    any_col = jnp.stack([f.astype(jnp.int32)
+                         for f in any_flags]).reshape(G, 1) > 0
+    Hp[0] = jnp.where(any_col, Hp[0], row0_at(j))
+    Hd[0] = jnp.where(any_col, Hd[0], row0_at(j - 1))
+    return Hp, F1p, F2p, Hd
 
 
-def _chain_consts(Bp: int, o1: int, e1: int, o2: int, e2: int):
-    """Precomputed tropical-matrix powers for the in-row convex chain.
-
-    The A-matrix evolution in _maxplus_chain (ops/poa.py:328) is
-    data-independent — only (Bp, gap params) shape it — so the per-node
-    kernel can skip 8 shifts + 12 max/adds per doubling step and use
-    these (1, Bp) int32 constants instead.  Same int32 arithmetic and
-    NEG clamps as the traced version (values are <= 0; sums stay above
-    int32 min)."""
-    key = (Bp, o1, e1, o2, e2)
-    got = _CHAIN_CONSTS.get(key)
-    if got is not None:
-        return got
-    A11 = np.full((1, Bp), -e1, np.int32)
-    A12 = np.full((1, Bp), -(o1 + e1), np.int32)
-    A21 = np.full((1, Bp), -(o2 + e2), np.int32)
-    A22 = np.full((1, Bp), -e2, np.int32)
-    consts = []
-    off = 1
-    while off < Bp:
-        consts.append((A11, A12, A21, A22))
-
-        def sh(x, off=off):
-            return np.concatenate(
-                [np.full((1, off), NEG, np.int32), x[:, :-off]], axis=1)
-        G11, G12 = sh(A11), sh(A12)
-        G21, G22 = sh(A21), sh(A22)
-        nA11 = np.maximum(np.maximum(A11 + G11, A12 + G21), NEG)
-        nA12 = np.maximum(np.maximum(A11 + G12, A12 + G22), NEG)
-        nA21 = np.maximum(np.maximum(A21 + G11, A22 + G21), NEG)
-        nA22 = np.maximum(np.maximum(A21 + G12, A22 + G22), NEG)
-        A11, A12, A21, A22 = nA11, nA12, nA21, nA22
-        off *= 2
-    _CHAIN_CONSTS[key] = consts
-    return consts
-
-def _affine_kernel(llen_ref, submat_ref,                # scalar prefetch
-                   q_ref,                               # (G, 1, Lq) VMEM
-                   chain_ref,                           # (4K, Bp) VMEM
-                   nslots_ref,                          # (G, 1, S) SMEM
-                   bases_ref,                           # (G, 1, Np) SMEM
-                   preds_ref,                           # (G,1,Np*MP) SMEM
-                   off_ref,                             # (G, 1, Np) SMEM
-                   H_out, dirs_ref,                     # outputs
-                   *scratch,                            # 3G x (Np, Bp)
-                   n_nodes: int, band: int, b_pad: int, l_pad: int,
-                   o1: int, e1: int, o2: int, e2: int,
-                   nodes_per_step: int, n_group: int):
-    """G problems per program, packed on the SUBLANE axis: the node
-    body is vector-instruction-bound on (1, Bp) rows (measured: static
-    vs dynamic addressing makes no difference), so G problems share the
-    same instruction stream with G× the data.  Scratch is (Np, G*Bp)
-    2D — a 3D (Np, G, Bp) layout would pad the G sublane dim to 8 and
-    4x the VMEM.  Node topology rides per-problem SMEM block windows
-    (whole-table scalar prefetch exceeded the 1 MB SMEM above P=8)."""
-    step = pl.program_id(1)
-    pg = pl.program_id(0)
-    R = nodes_per_step
-    N = n_nodes
-    B = band
-    Bp = b_pad
-    Lq = l_pad
-    G = n_group
-    Hs, F1s, F2s = (scratch[:G], scratch[G:2 * G], scratch[2 * G:3 * G])
-    # per-problem true query length as a (G, 1) column
-    L = jnp.stack([llen_ref[pg * G + g] for g in range(G)]).reshape(G, 1)
-
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Bp), 1)
-
-    # match the XLA scan's NEG init: preds may point at rows the scan
-    # has not reached yet (see the linear kernel's note)
-    @pl.when(step == 0)
-    def _init():
-        for buf in scratch:
-            buf[...] = jnp.full(buf.shape, NEG, jnp.int32)
-
-    def row0_at(j):
-        c = jnp.minimum(o1 + j * e1, o2 + j * e2)
-        return jnp.where(j == 0, 0,
-                         jnp.where(j > 0, -c, NEG)).astype(jnp.int32)
-
-    # the step's nodes run with exactly as many pred slots as any of
-    # them needs (~95% of POA nodes are single-pred).  Outputs are
-    # bit-identical: trailing invalid slots contribute NEG rows that
-    # can never win a first-max tie, and the a % n // n decode yields
-    # the same (slot, ext) pair either way.
-    ns = nslots_ref[0, 0, step]
-    for g in range(1, G):
-        ns = jnp.maximum(ns, nslots_ref[g, 0, step])
-
-    @pl.when(ns <= 1)
-    def _fast():
-        _affine_nodes(1, step, L, b_idx, row0_at, q_ref,
-                      bases_ref, preds_ref, off_ref, submat_ref,
-                      chain_ref, H_out, dirs_ref, Hs, F1s, F2s,
-                      R=R, N=N, B=B, Bp=Bp, Lq=Lq, G=G,
-                      o1=o1, e1=e1, o2=o2, e2=e2)
-
-    @pl.when(ns > 1)
-    def _full():
-        _affine_nodes(MAX_PREDS, step, L, b_idx, row0_at, q_ref,
-                      bases_ref, preds_ref, off_ref, submat_ref,
-                      chain_ref, H_out, dirs_ref, Hs, F1s, F2s,
-                      R=R, N=N, B=B, Bp=Bp, Lq=Lq, G=G,
-                      o1=o1, e1=e1, o2=o2, e2=e2)
-
-
-def _affine_nodes(n_slots, step, L, b_idx, row0_at, q_ref,
-                  bases_ref, preds_ref, off_ref, submat_ref,
-                  chain_ref, H_out, dirs_ref, Hs, F1s, F2s,
-                  *, R, N, B, Bp, Lq, G, o1, e1, o2, e2):
+def _affine_nodes(n_slots, linear, step, L, b_idx, row0_at, qt_ref,
+                  bases_ref, preds_ref, off_ref, H_out, dirs_ref,
+                  Hs, F1s, F2s,
+                  *, R, B, Bp, G, o1, e1, o2, e2, valtab, w):
+    pen1, pen2 = o1 + e1, o2 + e2
+    # ramp constants for the convex chains (see the chain comment
+    # below); both models ride one PACKED (2G, Bp) prefix-max
+    b2 = jnp.concatenate([b_idx, b_idx], axis=0)                # (2G, Bp)
+    eRow = jnp.concatenate([jnp.full((G, 1), e1, jnp.int32),
+                            jnp.full((G, 1), e2, jnp.int32)], axis=0)
+    oRow = jnp.concatenate([jnp.full((G, 1), o1, jnp.int32),
+                            jnp.full((G, 1), o2, jnp.int32)], axis=0)
+    rampZ = eRow * b2                                           # (2G, Bp)
+    rampE = rampZ + oRow
+    neg1 = jnp.full((G, 1), NEG, jnp.int32)
+    neg2 = jnp.full((2 * G, 1), NEG, jnp.int32)
+    prevH = prevF1 = prevF2 = None
+    off_prev = None
     for r in range(R):
         v = step * R + r
         offs = [off_ref[g, 0, v] for g in range(G)]
         off_col = jnp.stack(offs).reshape(G, 1)
         j = off_col + b_idx
-        # query codes at columns j (per problem): cyclic left-roll by
-        # off; wrap lanes are masked by `valid` downstream
-        qv = jnp.concatenate(
-            [pltpu.roll(q_ref[g, 0:1, :].astype(jnp.int32),
-                        jnp.remainder(-offs[g], Lq), axis=1)[:, :Bp]
-             for g in range(G)], axis=0)                     # (G, Bp)
+        # substitution row from the CLASS-PACKED strided window table:
+        # qt[g, j0, b] holds, for query position j0+b, the 6 per-base
+        # class indices at w bits each; one dynamic-sublane load aligns
+        # the node's band window, then shift/mask + a static select
+        # chain over the (compile-time) distinct submat values
+        qp = jnp.concatenate(
+            [qt_ref[g, pl.ds(offs[g], 1), :] for g in range(G)], axis=0)
         base_col = jnp.stack(
             [bases_ref[g, 0, v] for g in range(G)]).reshape(G, 1)
-        s = jnp.zeros((G, Bp), jnp.int32)
-        for bcode in range(6):
-            row_s = jnp.zeros((G, Bp), jnp.int32)
-            for t in range(6):
-                row_s = jnp.where(qv == t, submat_ref[bcode, t], row_s)
-            s = jnp.where(base_col == bcode, row_s, s)
+        cls = (qp >> (base_col * w)) & ((1 << w) - 1)
+        s = jnp.full((G, Bp), valtab[0], jnp.int32)
+        for k in range(1, len(valtab)):
+            s = jnp.where(cls == k, valtab[k], s)
 
-        any_flags = [None] * G
-        Hp, F1p, F2p, Hd = [], [], [], []
-        for slot in range(n_slots):
-            hp_g, f1_g, f2_g, hd_g = [], [], [], []
-            for g in range(G):
-                pv = preds_ref[g, 0, v * MAX_PREDS + slot]
-                has = pv >= 0
-                any_flags[g] = has if any_flags[g] is None else \
-                    jnp.logical_or(any_flags[g], has)
-                pidx = jnp.maximum(pv, 0)
-                d = offs[g] - off_ref[g, 0, pidx]
-                gidx = d + b_idx[0:1, :]
-                amt = jnp.remainder(-d, Bp)
-                # ONE dynamic-amount roll per (g, slot): H/F1/F2 rows
-                # share the band shift; the diagonal row is a static
-                # rotate-by-1 of the rolled H row.  Each problem owns
-                # its own (Np, Bp) scratch triple — dynamic sublane
-                # loads/stores must start at lane 0 on Mosaic.
-                rows3 = jnp.concatenate(
-                    [Hs[g][pl.ds(pidx, 1), :],
-                     F1s[g][pl.ds(pidx, 1), :],
-                     F2s[g][pl.ds(pidx, 1), :]], axis=0)
-                rolled = pltpu.roll(rows3, amt, axis=1)
-                hrow = rolled[0:1, :]
-                ok_g = has & (gidx >= 0) & (gidx < B)
-                hp_g.append(jnp.where(ok_g, hrow, NEG))
-                f1_g.append(jnp.where(ok_g, rolled[1:2, :], NEG))
-                f2_g.append(jnp.where(ok_g, rolled[2:3, :], NEG))
-                hd = jnp.concatenate([hrow[:, -1:], hrow[:, :-1]],
-                                     axis=1)
-                ok_d = has & (gidx >= 1) & (gidx <= B)
-                hd_g.append(jnp.where(ok_d, hd, NEG))
-            Hp.append(jnp.concatenate(hp_g, axis=0))
-            F1p.append(jnp.concatenate(f1_g, axis=0))
-            F2p.append(jnp.concatenate(f2_g, axis=0))
-            Hd.append(jnp.concatenate(hd_g, axis=0))
-        # bool scalars can't relayout on Mosaic ("insertion of minor
-        # dim ... only for 32-bit types"): stack as int32, compare
-        any_col = jnp.stack([f.astype(jnp.int32)
-                             for f in any_flags]).reshape(G, 1) > 0
-        vHp = row0_at(j)
-        vHd = row0_at(j - 1)
-        Hp[0] = jnp.where(any_col, Hp[0], vHp)
-        Hd[0] = jnp.where(any_col, Hd[0], vHd)
+        if linear:
+            # whole step certified: single pred = v-1, delta d in
+            # {0, 1}; the pred triple is CARRIED IN REGISTERS across
+            # the step as three (G, Bp) planes and the roll collapses
+            # to a static rotate-by-one select — no dynamic loads, no
+            # dynamic rolls, no per-problem loops
+            if prevH is None:
+                prevH = Hs[pl.ds(v - 1, 1), :, :][0]
+                prevF1 = F1s[pl.ds(v - 1, 1), :, :][0]
+                prevF2 = F2s[pl.ds(v - 1, 1), :, :][0]
+                off_prev = jnp.stack(
+                    [off_ref[g, 0, v - 1] for g in range(G)]).reshape(G, 1)
+            d_col = off_col - off_prev                          # (G, 1)
+            shift1 = d_col > 0
+            def rot(x):
+                return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+            hrow = jnp.where(shift1, rot(prevH), prevH)
+            f1r = jnp.where(shift1, rot(prevF1), prevF1)
+            f2r = jnp.where(shift1, rot(prevF2), prevF2)
+            gidx = d_col + b_idx
+            ok_g = gidx < B                                     # gidx >= 0
+            Hp = [jnp.where(ok_g, hrow, NEG)]
+            F1p = [jnp.where(ok_g, f1r, NEG)]
+            F2p = [jnp.where(ok_g, f2r, NEG)]
+            hd = jnp.concatenate([hrow[:, -1:], hrow[:, :-1]], axis=1)
+            Hd = [jnp.where(gidx >= 1, hd, NEG)]                # gidx <= B
+        else:
+            Hp, F1p, F2p, Hd = _node_gather_general(
+                n_slots, v, offs, b_idx, row0_at, j,
+                preds_ref, off_ref, Hs, F1s, F2s, B=B, Bp=Bp, G=G)
 
         # F_k over open/extend candidates (argmax decode, first-max-wins
-        # with candidate order [opens slots 0..3, extends slots 0..3])
+        # with candidate order [opens slots 0..n-1, extends slots 0..n-1])
         def maxdec(cands):
             best = cands[0]
             arg = jnp.zeros((G, Bp), jnp.int32)
@@ -400,33 +335,36 @@ def _affine_nodes(n_slots, step, L, b_idx, row0_at, q_ref,
                 arg = jnp.where(upd, ci, arg)
             return best, arg
 
-        F1n, a1 = maxdec([h - (o1 + e1) for h in Hp]
-                         + [f - e1 for f in F1p])
-        F2n, a2 = maxdec([h - (o2 + e2) for h in Hp]
-                         + [f - e2 for f in F2p])
-        f1_slot, f1_ext = a1 % n_slots, a1 // n_slots
-        f2_slot, f2_ext = a2 % n_slots, a2 // n_slots
+        ns = len(Hp)
+        F1n, a1 = maxdec([h - pen1 for h in Hp] + [f - e1 for f in F1p])
+        F2n, a2 = maxdec([h - pen2 for h in Hp] + [f - e2 for f in F2p])
+        f1_slot, f1_ext = a1 % ns, a1 // ns
+        f2_slot, f2_ext = a2 % ns, a2 // ns
         diag, dslot = maxdec([h + s for h in Hd])
         h0 = jnp.maximum(diag, jnp.maximum(F1n, F2n))
 
-        # in-row convex insertion chains: two INDEPENDENT doubling
-        # max-scans (cross-model mixing terms are strictly dominated
-        # for o1,o2 > 0 — see ops/poa.py:_maxplus_chain; halves the
-        # chain op count, the kernel's hottest loop)
-        neg1 = jnp.full((G, 1), NEG, jnp.int32)
-        def sr1(x):
-            return jnp.concatenate([neg1, x[:, :-1]], axis=1)
-        y1 = sr1(h0) - (o1 + e1)
-        y2 = sr1(h0) - (o2 + e2)
+        # in-row convex insertion chains: E_k[b] = max_{k'>=1}
+        # (h0[b-k'] - o_k - e_k k').  With Z = h0 + e_k*b this is a
+        # shifted PREFIX-MAX of Z minus (o_k + e_k*b) — the banded
+        # kernel's ramp trick: the Kogge-Stone rounds are one shift +
+        # one max each (no per-round subtract/clamp), both gap models
+        # packed on the sublane axis.  The final NEG floor reproduces
+        # the traced chain's per-round clamps exactly (max is monotone:
+        # intermediate clamps only ever raise sub-NEG values to NEG,
+        # which the final floor does too).
+        def sr1(x, nc=neg1):
+            return jnp.concatenate([nc, x[:, :-1]], axis=1)
+        z2 = jnp.concatenate([h0, h0], axis=0) + rampZ
+        y = sr1(z2, neg2)
         offk = 1
         while offk < Bp:
-            def sh(x, o=offk):
-                return jnp.concatenate(
-                    [jnp.full((G, o), NEG, jnp.int32), x[:, :-o]], axis=1)
-            y1 = jnp.maximum(jnp.maximum(y1, sh(y1) - e1 * offk), NEG)
-            y2 = jnp.maximum(jnp.maximum(y2, sh(y2) - e2 * offk), NEG)
+            y = jnp.maximum(
+                y, jnp.concatenate(
+                    [jnp.full((2 * G, offk), NEG, jnp.int32),
+                     y[:, :-offk]], axis=1))
             offk *= 2
-        E1, E2 = y1, y2
+        y = jnp.maximum(y - rampE, NEG)
+        E1, E2 = y[:G], y[G:]
         Hn = jnp.maximum(h0, jnp.maximum(E1, E2))
         valid = (j <= L) & (b_idx < B)
         Hn = jnp.where(valid, Hn, NEG)
@@ -445,12 +383,91 @@ def _affine_nodes(n_slots, step, L, b_idx, row0_at, q_ref,
                 + 256 * f2_slot + 1024 * f2_ext + 2048 * e1_ext
                 + 4096 * e2_ext)
 
-        for g in range(G):
-            Hs[g][pl.ds(v, 1), :] = Hn[g:g + 1, :]
-            F1s[g][pl.ds(v, 1), :] = F1n[g:g + 1, :]
-            F2s[g][pl.ds(v, 1), :] = F2n[g:g + 1, :]
-            H_out[g, pl.ds(r, 1), :] = Hn[g:g + 1, :]
-            dirs_ref[g, pl.ds(r, 1), :] = dirs[g:g + 1, :]
+        Hs[pl.ds(v, 1), :, :] = Hn[None]
+        F1s[pl.ds(v, 1), :, :] = F1n[None]
+        F2s[pl.ds(v, 1), :, :] = F2n[None]
+        if linear:
+            prevH, prevF1, prevF2 = Hn, F1n, F2n
+            off_prev = off_col
+        H_out[:, r, :] = Hn
+        dirs_ref[:, r, :] = dirs
+
+
+def _affine_kernel(llen_ref,                          # scalar prefetch
+                   qt_ref,                            # (G, Lqs, Bp) VMEM
+                   bases_ref,                         # (G, 1, Np) SMEM
+                   nslots_ref,                        # (G, 1, S) SMEM
+                   lin_ref,                           # (G, 1, S) SMEM
+                   preds_ref,                         # (G,1,Np*MP) SMEM
+                   off_ref,                           # (G, 1, Np) SMEM
+                   H_out, dirs_ref,                   # outputs
+                   Hs, F1s, F2s,                      # (Np, G, Bp) scratch
+                   *, n_nodes: int, band: int, b_pad: int,
+                   o1: int, e1: int, o2: int, e2: int,
+                   nodes_per_step: int, n_group: int,
+                   valtab: tuple, w: int):
+    """G problems per program, packed on the SUBLANE axis: the node
+    body is vector-instruction-bound on (1, Bp) rows, so G problems
+    share the same instruction stream with G× the data.  The (H, F1,
+    F2) carries live in three (Np, G, Bp) scratch planes whose (G, Bp)
+    trailing dims tile exactly onto (8, 128) vregs — a node store is
+    three full-plane row writes, no per-problem slicing.  Substitution
+    rows decode from a class-packed strided window table (see
+    _batch_impl) with one dynamic-sublane load per problem plus a
+    static select chain.  Node topology rides per-problem SMEM block
+    windows (whole-table scalar prefetch exceeded the 1 MB SMEM above
+    P=8).  Three body variants per step: a certified linear-chain fast
+    path (register carries, static shifts), a single-pred path, and
+    the full MAX_PREDS path."""
+    step = pl.program_id(1)
+    pg = pl.program_id(0)
+    R = nodes_per_step
+    B = band
+    Bp = b_pad
+    G = n_group
+    # per-problem true query length as a (G, 1) column
+    L = jnp.stack([llen_ref[pg * G + g] for g in range(G)]).reshape(G, 1)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Bp), 1)
+
+    # match the XLA scan's NEG init: preds may point at rows the scan
+    # has not reached yet (see the linear kernel's note)
+    @pl.when(step == 0)
+    def _init():
+        for buf in (Hs, F1s, F2s):
+            buf[...] = jnp.full(buf.shape, NEG, jnp.int32)
+
+    def row0_at(j):
+        c = jnp.minimum(o1 + j * e1, o2 + j * e2)
+        return jnp.where(j == 0, 0,
+                         jnp.where(j > 0, -c, NEG)).astype(jnp.int32)
+
+    # the step's nodes run with exactly as many pred slots as any of
+    # them needs (~95% of POA nodes are single-pred).  Outputs are
+    # bit-identical: trailing invalid slots contribute NEG rows that
+    # can never win a first-max tie, and the a % n // n decode yields
+    # the same (slot, ext) pair either way.
+    ns = nslots_ref[0, 0, step]
+    lin = lin_ref[0, 0, step]
+    for g in range(1, G):
+        ns = jnp.maximum(ns, nslots_ref[g, 0, step])
+        lin = jnp.minimum(lin, lin_ref[g, 0, step])
+
+    args = (step, L, b_idx, row0_at, qt_ref, bases_ref, preds_ref,
+            off_ref, H_out, dirs_ref, Hs, F1s, F2s)
+    kw = dict(R=R, B=B, Bp=Bp, G=G, o1=o1, e1=e1, o2=o2, e2=e2,
+              valtab=valtab, w=w)
+
+    @pl.when(lin > 0)
+    def _linear():
+        _affine_nodes(1, True, *args, **kw)
+
+    @pl.when((lin == 0) & (ns <= 1))
+    def _fast():
+        _affine_nodes(1, False, *args, **kw)
+
+    @pl.when((lin == 0) & (ns > 1))
+    def _full():
+        _affine_nodes(MAX_PREDS, False, *args, **kw)
 
 
 from functools import lru_cache
@@ -467,36 +484,34 @@ def _group_size(Np: int, Bp: int, budget: int = 10 << 20) -> int:
 
 
 @lru_cache(maxsize=None)
-def _affine_call(P: int, Np: int, B: int, Bp: int, Lq: int,
+def _affine_call(P: int, Np: int, B: int, Bp: int, Lqs: int,
                  o1: int, e1: int, o2: int, e2: int, R: int,
-                 chain_rows: int, G: int, interpret: bool):
+                 G: int, valtab: tuple, w: int, interpret: bool):
     """Construct (once per static signature) the raw pallas_call.
 
-    The call is invoked DIRECTLY (one eager XLA dispatch), not through
-    a jax.jit wrapper: on the remote-relay backend a pjit-decorated
-    wrapper measured ~20 ms of per-call dispatch overhead around a
-    0.5 ms kernel — 40x of pure launch tax.  Host-side prep/epilogue
-    moved to numpy for the same reason."""
+    The call is jit-wrapped at the _batch_jit layer together with its
+    input prep (padding, window-table build, step flags)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(P // G, Np // R),
         in_specs=[
-            # (P, 1, Lq): a (G, 1, Lq) block satisfies the (8, 128)
-            # tiling rule (last two dims equal the array dims)
-            pl.BlockSpec((G, 1, Lq), lambda p, i, *_: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # precomputed tropical chain matrix powers (4K, Bp)
-            pl.BlockSpec((chain_rows, Bp), lambda p, i, *_: (0, 0),
+            # class-packed strided window table, one (G, Lqs, Bp) VMEM
+            # block per program (constant across steps): row j0 lane b
+            # packs the 6 per-base-code substitution CLASSES of query
+            # position j0+b at w bits each
+            pl.BlockSpec((G, Lqs, Bp), lambda p, i, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             # per-PROBLEM topology rows in SMEM (NOT scalar prefetch:
             # whole-table prefetch exceeded the 1 MB SMEM at real batch
             # sizes and dominated per-call dispatch; blocks must keep
             # their trailing dims equal to the array dims — the (8,128)
             # tiling rule applies to SMEM blocks too)
-            pl.BlockSpec((G, 1, Np // R), lambda p, i, *_: (p, 0, 0),
-                         memory_space=pltpu.SMEM),            # nslots
             pl.BlockSpec((G, 1, Np), lambda p, i, *_: (p, 0, 0),
                          memory_space=pltpu.SMEM),            # bases
+            pl.BlockSpec((G, 1, Np // R), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.SMEM),            # nslots
+            pl.BlockSpec((G, 1, Np // R), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.SMEM),            # lin flag
             # preds flattened to (P, 1, Np*MP): a trailing dim of
             # MAX_PREDS would pad to 128 lanes in the SMEM window
             pl.BlockSpec((G, 1, Np * MAX_PREDS),
@@ -511,12 +526,12 @@ def _affine_call(P: int, Np: int, B: int, Bp: int, Lq: int,
             pl.BlockSpec((G, R, Bp), lambda p, i, *_: (p, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((Np, Bp), jnp.int32)] * (3 * G),
+        scratch_shapes=[pltpu.VMEM((Np, G, Bp), jnp.int32)] * 3,
     )
     return pl.pallas_call(
-        partial(_affine_kernel, n_nodes=Np, band=B, b_pad=Bp, l_pad=Lq,
+        partial(_affine_kernel, n_nodes=Np, band=B, b_pad=Bp,
                 o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R,
-                n_group=G),
+                n_group=G, valtab=valtab, w=w),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
@@ -528,14 +543,19 @@ def _affine_call(P: int, Np: int, B: int, Bp: int, Lq: int,
 
 @lru_cache(maxsize=None)
 def _batch_jit(band: int, o1: int, e1: int, o2: int, e2: int,
-               interpret: bool):
+               smt: tuple, interpret: bool):
     """jit closure per static signature, called with POSITIONAL args
     only: calling a static_argnames-decorated pjit with keyword statics
     measured ~20 ms of per-call HOST dispatch on the relay backend
     (shape-invariant; the kernel itself is ~0.5 ms) — the positional
-    fast path dispatches in microseconds."""
-    def impl(bases, preds, off, q_ext, l_len, submat):
-        return _batch_impl(bases, preds, off, q_ext, l_len, submat,
+    fast path dispatches in microseconds.
+
+    The 6x6 substitution matrix rides in the KEY (smt, 36 ints): its
+    distinct values become compile-time constants of the kernel's
+    class-decode select chain, and the class-word constants of the
+    window-table build."""
+    def impl(bases, preds, off, q_ext, l_len):
+        return _batch_impl(bases, preds, off, q_ext, l_len, smt,
                            band, o1, e1, o2, e2, interpret)
     return jax.jit(impl)
 
@@ -543,19 +563,46 @@ def _batch_jit(band: int, o1: int, e1: int, o2: int, e2: int,
 def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
                                        submat, band: int, o1: int,
                                        e1: int, o2: int, e2: int,
-                                       interpret: bool = False):
+                                       interpret: bool = False,
+                                       chain: bool | None = None):
     """Batched fused convex POA: P independent problems on grid axis 0.
 
     bases (P, N) uint8; preds (P, N, MAX_PREDS); off (P, N); q_ext
     (P, Lq) with q_ext[:, 0] = pad; l_len (P,) true query lengths.
     Returns (H (P, N, B) int32, dirs (P, N, B) int32 with the
-    poa_align_scan_affine bit layout, ends (P, N))."""
-    return _batch_jit(band, o1, e1, o2, e2, interpret)(
-        bases, preds, off, q_ext, l_len, submat)
+    poa_align_scan_affine bit layout, ends (P, N)).
+
+    chain=True certifies every problem is a pure chain (node 0 has no
+    pred; node v>0's single pred is v-1; band offsets advance by 0 or
+    1) and routes to the register-carry chain kernel — the caller owns
+    the certificate when passing device arrays (poa_msa_batch keys its
+    shape bins on it); numpy inputs are auto-checked when chain=None.
+    Wrong certificates produce wrong alignments, not crashes."""
+    smt = tuple(int(x) for x in np.asarray(submat).reshape(-1))
+    assert len(smt) == 36, len(smt)
+    if chain is None:
+        chain = _chain_check_np(preds, off)
+    if chain and len(set(smt)) <= 32:
+        return _chain_batch_jit(band, o1, e1, o2, e2, smt, interpret)(
+            bases, off, q_ext, l_len)
+    if len(set(smt)) > 32:
+        # >32 distinct submat values cannot class-pack into 6 fields of
+        # one int32 — fall back to the vmapped XLA scan (bit-identical
+        # reference path; unseen in practice: production matrices have
+        # a handful of distinct scores)
+        from .poa import poa_align_scan_affine
+        H, dirs, ends = jax.jit(jax.vmap(
+            lambda b, pr, of, qe, ll: poa_align_scan_affine(
+                b, pr, of, qe, jnp.asarray(np.asarray(submat), jnp.int32),
+                band=band, o1=o1, e1=e1, o2=o2, e2=e2, l_len=ll)))(
+            bases, preds, off, q_ext, l_len)
+        return H, dirs.astype(jnp.int32), ends
+    return _batch_jit(band, o1, e1, o2, e2, smt, interpret)(
+        bases, preds, off, q_ext, l_len)
 
 
-def _batch_impl(bases, preds, off, q_ext, l_len,
-                submat, band: int, o1: int,
+def _batch_impl(bases, preds, off, q_ext, l_len, smt,
+                band: int, o1: int,
                 e1: int, o2: int, e2: int,
                 interpret: bool = False):
     P, N = bases.shape
@@ -564,17 +611,32 @@ def _batch_impl(bases, preds, off, q_ext, l_len,
     R = NODES_PER_STEP
     Np = -(-N // R) * R
     Bp = -(-B // 128) * 128
-    Lq = max(-(-Lp1 // 128) * 128, Bp)
-    bases_p = jnp.pad(bases.astype(jnp.int32), ((0, 0), (0, Np - N)),
-                      constant_values=255)
+    Lqs = -(-Lp1 // 8) * 8
     preds_p = jnp.pad(preds.astype(jnp.int32),
                       ((0, 0), (0, Np - N), (0, 0)), constant_values=-1)
     off_p = jnp.pad(off.astype(jnp.int32), ((0, 0), (0, Np - N)))
-    q_p = jnp.pad(q_ext.astype(jnp.uint8), ((0, 0), (0, Lq - Lp1)),
-                  constant_values=5)
-    chain_arr = np.concatenate(
-        [np.concatenate(step4, axis=0)
-         for step4 in _chain_consts(Bp, o1, e1, o2, e2)], axis=0)
+    l_len_i = l_len.astype(jnp.int32)
+    bases_p = jnp.pad(bases.astype(jnp.int32), ((0, 0), (0, Np - N)))
+
+    # class-packed strided window table.  The submat's distinct values
+    # (compile-time constants) index a per-(base, query-code) class
+    # map; the six w-bit class fields of every query position pack into
+    # one int32, and 128 STATIC slices build the (P, Lqs, Bp) sliding
+    # windows — no gather anywhere (a take_along_axis window gather
+    # measured 36 ms/call on a v5e; this whole build is ~0.2 ms)
+    sm = np.asarray(smt, np.int64).reshape(6, 6)
+    valtab = tuple(sorted(set(int(x) for x in sm.reshape(-1))))
+    vidx = {val: k for k, val in enumerate(valtab)}
+    w = max(1, (len(valtab) - 1).bit_length())
+    clsword = [sum(vidx[int(sm[c, t])] << (c * w) for c in range(6))
+               for t in range(6)]
+    qc = q_ext.astype(jnp.int32)
+    qc = jnp.pad(qc, ((0, 0), (0, Lqs + Bp - Lp1)), constant_values=5)
+    cw = jnp.full(qc.shape, clsword[5], jnp.int32)
+    for t in range(5):
+        cw = jnp.where(qc == t, clsword[t], cw)
+    qt = jnp.stack([cw[:, b:b + Lqs] for b in range(Bp)], axis=2)
+
     # per-(problem, step) pred-slot requirement for the kernel's
     # fast-path dispatch (slots are packed from 0, so the count is the
     # highest valid slot index + 1, floored at 1)
@@ -584,28 +646,38 @@ def _batch_impl(bases, preds, off, q_ext, l_len,
     nslots = jnp.maximum(
         slot_idx.reshape(P, Np // R, R).max(axis=2), 1
     ).astype(jnp.int32)                                      # (P, steps)
+    # certified-chain steps: every node's single pred is v-1 and the
+    # band offset advances by 0 or 1 — the kernel's register fast path
+    iot = jnp.arange(Np, dtype=jnp.int32)
+    prev_off = jnp.concatenate([off_p[:, :1], off_p[:, :-1]], axis=1)
+    dd = off_p - prev_off
+    islin = ((preds_p[:, :, 0] == iot[None, :] - 1)
+             & (slot_idx == 1) & (dd >= 0) & (dd <= 1))
+    lin = islin.reshape(P, Np // R, R).all(axis=2).astype(jnp.int32)
 
     # group problems on the sublane axis; pad P to a multiple of G
     G = _group_size(Np, Bp)
     Pp = -(-P // G) * G
     if Pp != P:
         zpad = ((0, Pp - P), (0, 0))
-        bases_p = jnp.pad(bases_p, zpad, constant_values=255)
         off_p = jnp.pad(off_p, zpad)
+        bases_p = jnp.pad(bases_p, zpad)
         preds_p = jnp.pad(preds_p, ((0, Pp - P), (0, 0), (0, 0)),
                           constant_values=-1)
-        q_p = jnp.pad(q_p, zpad, constant_values=5)
+        qt = jnp.pad(qt, ((0, Pp - P), (0, 0), (0, 0)))
         nslots = jnp.pad(nslots, zpad, constant_values=1)
-        l_len_p = jnp.pad(l_len.astype(jnp.int32), (0, Pp - P))
+        # pad problems never touch preds on the linear path: flag 1 so
+        # they cannot demote a real group to the general path
+        lin = jnp.pad(lin, zpad, constant_values=1)
+        l_len_p = jnp.pad(l_len_i, (0, Pp - P))
     else:
-        l_len_p = l_len.astype(jnp.int32)
+        l_len_p = l_len_i
 
-    call = _affine_call(Pp, Np, B, Bp, Lq, o1, e1, o2, e2, R,
-                        chain_arr.shape[0], G, interpret)
+    call = _affine_call(Pp, Np, B, Bp, Lqs, o1, e1, o2, e2, R, G,
+                        valtab, w, interpret)
     H_rows, dirs_rows = call(
-        l_len_p, submat.astype(jnp.int32),
-        q_p.reshape(Pp, 1, Lq), jnp.asarray(chain_arr),
-        nslots[:, None, :], bases_p[:, None, :],
+        l_len_p, qt, bases_p[:, None, :],
+        nslots[:, None, :], lin[:, None, :],
         preds_p.reshape(Pp, 1, Np * MAX_PREDS), off_p[:, None, :])
 
     H_all = H_rows[:P, :N, :B]
@@ -656,3 +728,303 @@ def poa_affine_default_backend():
                                          e2=e2)
         return route
     return poa_align_scan_affine
+
+
+# --------------------------------------------------------------------------
+# chain-topology fast path — the dominant production bin
+# --------------------------------------------------------------------------
+
+def _chain_g(P: int) -> int:
+    """Problems per program for the chain kernel: the ramp-scan rounds
+    are DEPENDENT (7 for Bp=128), so per-op width is what hides their
+    latency — pack as many problems on the sublane axis as the window
+    table's VMEM block allows.  A multi-program grid double-buffers the
+    (G, Lqs, Bp) window block, so G=32 (8.5 MB at Lq~512) only fits
+    when the whole batch is one program; larger batches run G=16."""
+    if P <= 32:
+        return 32 if P >= 16 else 8
+    return 16
+
+
+def _chain_nodes(first, step, L, b_idx, row0_at, qt_ref, bases_ref,
+                 off_ref, H_out, dirs_ref, cH, cF1, cF2,
+                 *, R, B, Bp, G, o1, e1, o2, e2, valtab, w):
+    pen1, pen2 = o1 + e1, o2 + e2
+    b2 = jnp.concatenate([b_idx, b_idx], axis=0)
+    eRow = jnp.concatenate([jnp.full((G, 1), e1, jnp.int32),
+                            jnp.full((G, 1), e2, jnp.int32)], axis=0)
+    oRow = jnp.concatenate([jnp.full((G, 1), o1, jnp.int32),
+                            jnp.full((G, 1), o2, jnp.int32)], axis=0)
+    rampZ = eRow * b2
+    rampE = rampZ + oRow
+    neg1 = jnp.full((G, 1), NEG, jnp.int32)
+    neg2 = jnp.full((2 * G, 1), NEG, jnp.int32)
+    prevH = prevF1 = prevF2 = None
+    off_prev = None
+
+    def sr1(x, nc=neg1):
+        return jnp.concatenate([nc, x[:, :-1]], axis=1)
+
+    for r in range(R):
+        v = step * R + r
+        offs = [off_ref[g, 0, v] for g in range(G)]
+        off_col = jnp.stack(offs).reshape(G, 1)
+        j = off_col + b_idx
+        qp = jnp.concatenate(
+            [qt_ref[g, pl.ds(offs[g], 1), :] for g in range(G)], axis=0)
+        base_col = jnp.stack(
+            [bases_ref[g, 0, v] for g in range(G)]).reshape(G, 1)
+        cls = (qp >> (base_col * w)) & ((1 << w) - 1)
+        s = jnp.full((G, Bp), valtab[0], jnp.int32)
+        for k in range(1, len(valtab)):
+            s = jnp.where(cls == k, valtab[k], s)
+
+        if first and r == 0:
+            # the chain's source node: virtual start row only
+            Hp = row0_at(j)
+            Hd = row0_at(j - 1)
+            F1p = jnp.full((G, Bp), NEG, jnp.int32)
+            F2p = F1p
+        else:
+            if prevH is None:
+                prevH = cH[...]
+                prevF1 = cF1[...]
+                prevF2 = cF2[...]
+                off_prev = jnp.stack(
+                    [off_ref[g, 0, v - 1] for g in range(G)]).reshape(G, 1)
+            d_col = off_col - off_prev                       # in {0, 1}
+            shift1 = d_col > 0
+
+            def rot(x):
+                return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+            hrow = jnp.where(shift1, rot(prevH), prevH)
+            gidx = d_col + b_idx
+            ok_g = gidx < B                                  # gidx >= 0
+            Hp = jnp.where(ok_g, hrow, NEG)
+            F1p = jnp.where(ok_g, jnp.where(shift1, rot(prevF1), prevF1),
+                            NEG)
+            F2p = jnp.where(ok_g, jnp.where(shift1, rot(prevF2), prevF2),
+                            NEG)
+            hd = jnp.concatenate([hrow[:, -1:], hrow[:, :-1]], axis=1)
+            Hd = jnp.where(gidx >= 1, hd, NEG)
+
+        # single-slot F decode: candidate order [open, extend]
+        F1n = jnp.maximum(Hp - pen1, F1p - e1)
+        a1 = (F1p - e1 > Hp - pen1).astype(jnp.int32)
+        F2n = jnp.maximum(Hp - pen2, F2p - e2)
+        a2 = (F2p - e2 > Hp - pen2).astype(jnp.int32)
+        diag = Hd + s
+        h0 = jnp.maximum(diag, jnp.maximum(F1n, F2n))
+
+        # packed ramp prefix-max convex chains (see _affine_nodes)
+        z2 = jnp.concatenate([h0, h0], axis=0) + rampZ
+        y = sr1(z2, neg2)
+        offk = 1
+        while offk < Bp:
+            y = jnp.maximum(
+                y, jnp.concatenate(
+                    [jnp.full((2 * G, offk), NEG, jnp.int32),
+                     y[:, :-offk]], axis=1))
+            offk *= 2
+        y = jnp.maximum(y - rampE, NEG)
+        E1, E2 = y[:G], y[G:]
+        Hn = jnp.maximum(h0, jnp.maximum(E1, E2))
+        valid = (j <= L) & (b_idx < B)
+        Hn = jnp.where(valid, Hn, NEG)
+        E1 = jnp.where(valid, E1, NEG)
+        E2 = jnp.where(valid, E2, NEG)
+        F1n = jnp.where(valid, F1n, NEG)
+        F2n = jnp.where(valid, F2n, NEG)
+
+        move = jnp.where(Hn == diag, 0,
+                jnp.where(Hn == F1n, 1,
+                 jnp.where(Hn == F2n, 2,
+                  jnp.where(Hn == E1, 3, 4))))
+        e1_ext = (E1 == sr1(E1) - e1).astype(jnp.int32)
+        e2_ext = (E2 == sr1(E2) - e2).astype(jnp.int32)
+        dirs = (move + 128 * a1 + 1024 * a2
+                + 2048 * e1_ext + 4096 * e2_ext)
+
+        prevH, prevF1, prevF2 = Hn, F1n, F2n
+        off_prev = off_col
+        H_out[:, r, :] = Hn
+        dirs_ref[:, r, :] = dirs
+
+    cH[...] = prevH
+    cF1[...] = prevF1
+    cF2[...] = prevF2
+
+
+def _chain_kernel(llen_ref,                          # scalar prefetch
+                  qt_ref,                            # (G, Lqs, Bp) VMEM
+                  bases_ref,                         # (G, 1, Np) SMEM
+                  off_ref,                           # (G, 1, Np) SMEM
+                  H_out, dirs_ref,                   # outputs
+                  cH, cF1, cF2,                      # (G, Bp) carry
+                  *, band: int, b_pad: int,
+                  o1: int, e1: int, o2: int, e2: int,
+                  nodes_per_step: int, n_group: int,
+                  valtab: tuple, w: int):
+    """Fully-linear (chain-topology) POA problems: node v's only pred
+    is v-1 with band delta in {0, 1}, so the DP carry is ONE row triple
+    held in registers within a step and in three (G, Bp) buffers across
+    steps — no (Np, ...) history scratch at all.  That frees VMEM for
+    G=32 problems per program: every ramp-scan round works on 8 vregs
+    of independent data, hiding the round-to-round latency that limits
+    the general kernel to ~1.3 Gcells/s.  Bit-identical to the general
+    kernel and the XLA scan on chain graphs (single-slot dirs decode:
+    dslot = f_slot = 0, ext bits from the 2-candidate argmax)."""
+    step = pl.program_id(1)
+    pg = pl.program_id(0)
+    R = nodes_per_step
+    G = n_group
+    B = band
+    Bp = b_pad
+    L = jnp.stack([llen_ref[pg * G + g] for g in range(G)]).reshape(G, 1)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Bp), 1)
+
+    def row0_at(j):
+        c = jnp.minimum(o1 + j * e1, o2 + j * e2)
+        return jnp.where(j == 0, 0,
+                         jnp.where(j > 0, -c, NEG)).astype(jnp.int32)
+
+    kw = dict(R=R, B=B, Bp=Bp, G=G, o1=o1, e1=e1, o2=o2, e2=e2,
+              valtab=valtab, w=w)
+
+    @pl.when(step == 0)
+    def _first():
+        _chain_nodes(True, step, L, b_idx, row0_at, qt_ref, bases_ref,
+                     off_ref, H_out, dirs_ref, cH, cF1, cF2, **kw)
+
+    @pl.when(step > 0)
+    def _rest():
+        _chain_nodes(False, step, L, b_idx, row0_at, qt_ref, bases_ref,
+                     off_ref, H_out, dirs_ref, cH, cF1, cF2, **kw)
+
+
+@lru_cache(maxsize=None)
+def _chain_call(P: int, Np: int, B: int, Bp: int, Lqs: int,
+                o1: int, e1: int, o2: int, e2: int, R: int,
+                G: int, valtab: tuple, w: int, interpret: bool):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P // G, Np // R),
+        in_specs=[
+            pl.BlockSpec((G, Lqs, Bp), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, Np), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.SMEM),            # bases
+            pl.BlockSpec((G, 1, Np), lambda p, i, *_: (p, 0, 0),
+                         memory_space=pltpu.SMEM),            # off
+        ],
+        out_specs=[
+            pl.BlockSpec((G, R, Bp), lambda p, i, *_: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R, Bp), lambda p, i, *_: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((G, Bp), jnp.int32)] * 3,
+    )
+    return pl.pallas_call(
+        partial(_chain_kernel, band=B, b_pad=Bp,
+                o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R,
+                n_group=G, valtab=valtab, w=w),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _pack_submat(smt: tuple):
+    """Distinct-value table + class map of a 6x6 int submat (static)."""
+    sm = np.asarray(smt, np.int64).reshape(6, 6)
+    valtab = tuple(sorted(set(int(x) for x in sm.reshape(-1))))
+    vidx = {val: k for k, val in enumerate(valtab)}
+    w = max(1, (len(valtab) - 1).bit_length())
+    clsword = tuple(sum(vidx[int(sm[c, t])] << (c * w) for c in range(6))
+                    for t in range(6))
+    return valtab, w, clsword
+
+
+def _build_qt(q_ext, Lp1: int, Lqs: int, Bp: int, clsword):
+    """Class-packed strided window table (P, Lqs, Bp) — see _batch_impl."""
+    qc = q_ext.astype(jnp.int32)
+    qc = jnp.pad(qc, ((0, 0), (0, Lqs + Bp - Lp1)), constant_values=5)
+    cw = jnp.full(qc.shape, clsword[5], jnp.int32)
+    for t in range(5):
+        cw = jnp.where(qc == t, clsword[t], cw)
+    return jnp.stack([cw[:, b:b + Lqs] for b in range(Bp)], axis=2)
+
+
+@lru_cache(maxsize=None)
+def _chain_batch_jit(band: int, o1: int, e1: int, o2: int, e2: int,
+                     smt: tuple, interpret: bool):
+    def impl(bases, off, q_ext, l_len):
+        return _chain_batch_impl(bases, off, q_ext, l_len, smt,
+                                 band, o1, e1, o2, e2, interpret)
+    return jax.jit(impl)
+
+
+def _chain_batch_impl(bases, off, q_ext, l_len, smt, band: int,
+                      o1: int, e1: int, o2: int, e2: int,
+                      interpret: bool = False):
+    P, N = bases.shape
+    B = band
+    Lp1 = q_ext.shape[1]
+    R = NODES_PER_STEP
+    Np = -(-N // R) * R
+    Bp = -(-B // 128) * 128
+    Lqs = -(-Lp1 // 8) * 8
+    off_p = jnp.pad(off.astype(jnp.int32), ((0, 0), (0, Np - N)))
+    bases_p = jnp.pad(bases.astype(jnp.int32), ((0, 0), (0, Np - N)))
+    l_len_i = l_len.astype(jnp.int32)
+    valtab, w, clsword = _pack_submat(smt)
+    qt = _build_qt(q_ext, Lp1, Lqs, Bp, clsword)
+
+    G = _chain_g(P)
+    Pp = -(-P // G) * G
+    if Pp != P:
+        zpad = ((0, Pp - P), (0, 0))
+        off_p = jnp.pad(off_p, zpad)
+        bases_p = jnp.pad(bases_p, zpad)
+        qt = jnp.pad(qt, ((0, Pp - P), (0, 0), (0, 0)))
+        l_len_p = jnp.pad(l_len_i, (0, Pp - P))
+    else:
+        l_len_p = l_len_i
+
+    call = _chain_call(Pp, Np, B, Bp, Lqs, o1, e1, o2, e2, R, G,
+                       valtab, w, interpret)
+    H_rows, dirs_rows = call(
+        l_len_p, qt, bases_p[:, None, :], off_p[:, None, :])
+
+    H_all = H_rows[:P, :N, :B]
+    dirs = dirs_rows[:P, :N, :B]
+    bL = l_len.astype(jnp.int32)[:, None] - off.astype(jnp.int32)[:, :N]
+    ends = jnp.where((bL >= 0) & (bL < B),
+                     jnp.take_along_axis(
+                         H_all, jnp.clip(bL, 0, B - 1)[:, :, None],
+                         2)[:, :, 0],
+                     NEG)
+    return H_all, dirs, ends
+
+
+def _chain_check_np(preds, off) -> bool:
+    """Host-side chain-topology certificate (numpy inputs only — a
+    device fetch per call would defeat the point; callers with device
+    arrays pass chain= explicitly)."""
+    if not (isinstance(preds, np.ndarray) and isinstance(off, np.ndarray)):
+        return False
+    N = preds.shape[1]
+    if N < 2:
+        return False
+    if (preds[:, :, 1:] >= 0).any():
+        return False
+    if (preds[:, 0, 0] != -1).any():
+        return False
+    if (preds[:, 1:, 0] != np.arange(N - 1)).any():
+        return False
+    dd = np.diff(off.astype(np.int64), axis=1)
+    return bool(((dd >= 0) & (dd <= 1)).all())
