@@ -149,21 +149,16 @@ def bench_pairhmm5(jax, jnp) -> float:
     return 3 * P * M * band / dt
 
 
-def bench_poa(jax, jnp) -> float:
-    """Batched convex-affine POA kernel (the abPOA analog BAR launches:
-    poa_msa_batch stacks same-bin graph-vs-sequence jobs onto
-    poa_align_scan_affine_pallas_batch / the vmapped XLA scan)."""
+def _poa_shape_bench(jax, jnp, P, N, B, L, branchy: bool,
+                     n_iter: int = 8) -> float:
+    """One POA bin through the PRODUCTION entry
+    (poa_align_scan_affine_pallas_batch with host chain certification,
+    exactly as poa_msa_batch calls it)."""
     from cactus_tpu.config import PoaParams
     from cactus_tpu.ops.banded import score_matrix_6
     from cactus_tpu.ops.poa import MAX_PREDS, _affine_pallas_batch_or_none
     from cactus_tpu.ops.poa import poa_align_scan_affine
 
-    platform = jax.devices()[0].platform
-    # the dominant BAR production bin (poa_msa_batch shape bins for
-    # 10 kb windows land here); the kernel groups G=8 problems per
-    # program on the sublane axis at this scratch footprint
-    P, N, B, L = (32, 512, 128, 512) if platform == "tpu" \
-        else (2, 256, 128, 256)
     params = PoaParams()
     o1, e1 = params.gap_open1, params.gap_extend1
     o2, e2 = params.gap_open2, params.gap_extend2
@@ -173,11 +168,13 @@ def bench_poa(jax, jnp) -> float:
     bases = jnp.asarray(rng.integers(0, 4, (P, N)).astype(np.uint8))
     preds = np.full((P, N, MAX_PREDS), -1, dtype=np.int32)
     preds[:, 1:, 0] = np.arange(N - 1)
-    preds = jnp.asarray(preds)
+    if branchy:
+        # bubbled graphs as progressive rounds >= 2 produce them
+        for k in range(10, N - 3, 37):
+            preds[:, k + 2, 1] = k
     off = np.maximum.accumulate(
         np.clip((np.arange(N) * (L / N)).astype(np.int32) - B // 2,
-                0, L + 1 - B))[None, :].repeat(P, 0).astype(np.int32)
-    off = jnp.asarray(off)
+                0, max(0, L + 1 - B)))[None, :].repeat(P, 0).astype(np.int32)
     q_ext = np.full((P, L + 1), 5, np.uint8)
     q_ext[:, 1:] = rng.integers(0, 4, (P, L))
     q_ext = jnp.asarray(q_ext)
@@ -185,10 +182,12 @@ def bench_poa(jax, jnp) -> float:
 
     batch = _affine_pallas_batch_or_none(N, B)
     # every timed call must see a DISTINCT input (the remote relay
-    # caches results for identical inputs; 3 variants measured a
-    # degenerate zero slope once the kernel shapes were disk-cached)
+    # caches results for identical inputs; a too-small variant pool
+    # measured degenerate slopes AND bogus 150 G readings in round 5 —
+    # the pool must exceed the total call count of both chains)
+    pool = n_iter + 8
     rolled = [jnp.asarray(np.roll(np.asarray(bases), i + 1, axis=0))
-              for i in range(16)]
+              for i in range(pool)]
     import itertools
     cnt = itertools.count()
     if batch is None:
@@ -196,14 +195,49 @@ def bench_poa(jax, jnp) -> float:
             lambda b, pr, of, qe, ll: poa_align_scan_affine(
                 b, pr, of, qe, sm, band=B, o1=o1, e1=e1, o2=o2, e2=e2,
                 l_len=ll)))
-        run = lambda i: vbatch(rolled[next(cnt) % 16], preds,
-                               off, q_ext, l_len)[2]
+        pj, oj = jnp.asarray(preds), jnp.asarray(off)
+        run = lambda i: vbatch(rolled[next(cnt) % pool], pj,
+                               oj, q_ext, l_len)[2]
     else:
-        run = lambda i: batch(rolled[next(cnt) % 16], preds,
-                              off, q_ext, l_len, sm, band=B,
-                              o1=o1, e1=e1, o2=o2, e2=e2)[2]
-    dt = _bench(run, 6, fetch=lambda o: float(o[0, 0]))
+        # device-resident topology + an explicit chain certificate,
+        # exactly like poa_msa_batch (which certifies once per launch
+        # on its host stacks); numpy inputs here would re-upload the
+        # same preds/off through the relay tunnel every call and
+        # measure tunnel bandwidth, not the kernel
+        cert = None if branchy else True
+        pj, oj = jnp.asarray(preds), jnp.asarray(off)
+        run = lambda i: batch(rolled[next(cnt) % pool], pj,
+                              oj, q_ext, l_len, sm, band=B,
+                              o1=o1, e1=e1, o2=o2, e2=e2,
+                              chain=cert)[2]
+    dt = _bench(run, n_iter, fetch=lambda o: float(o[0, 0]))
     return P * N * B / dt
+
+
+def bench_poa(jax, jnp) -> float:
+    """Batched convex-affine POA (the abPOA analog BAR launches via
+    poa_msa_batch), measured at the DOMINANT production bin: a 150 kb
+    evolverMammals run logs (Nb=64, B=64) bins with P = 1000-4000 jobs
+    per progressive round (CACTUS_POA_LOG_BINS evidence, round 5).
+    Round-1 bins are certified chains and route to the register-carry
+    chain kernel; the entry's chunking caps one launch at 2048."""
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        return _poa_shape_bench(jax, jnp, 2, 256, 128, 256, False,
+                                n_iter=2)
+    return _poa_shape_bench(jax, jnp, 2048, 64, 64, 64, False)
+
+
+def bench_poa_extras(jax, jnp) -> dict:
+    """Secondary POA bins: the big 512-node chain bin and the
+    general-topology (bubbled-graph) kernel that progressive rounds
+    >= 2 use."""
+    return {
+        "poa_bin512_cell_updates_per_s": round(
+            _poa_shape_bench(jax, jnp, 1024, 512, 128, 512, False), 1),
+        "poa_general_cell_updates_per_s": round(
+            _poa_shape_bench(jax, jnp, 2048, 64, 64, 64, True), 1),
+    }
 
 
 def bench_end_to_end() -> dict:
@@ -240,6 +274,11 @@ def main() -> None:
         "pairhmm5_cell_updates_per_s": round(bench_pairhmm5(jax, jnp), 1),
         "poa_cell_updates_per_s": round(bench_poa(jax, jnp), 1),
     }
+    if platform == "tpu":
+        try:
+            extras.update(bench_poa_extras(jax, jnp))
+        except Exception as e:
+            extras["poa_extras_error"] = repr(e)[:200]
     # measured CPU anchor: the same banded kernel on the XLA CPU backend
     try:
         cpu = jax.devices("cpu")[0]

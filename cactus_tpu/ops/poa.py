@@ -38,6 +38,7 @@ path.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -678,16 +679,28 @@ def poa_msa_batch(groups: list[list[np.ndarray]], params) -> list[PoaGraph]:
             bins.setdefault((prep["Nb"], prep["B"], l_bin),
                             []).append((job, seq, prep))
         for (Nb, B, l_bin), items in bins.items():
-            stack = {k: jnp.asarray(np.stack([p[k] for _j, _s, p in items]))
-                     for k in ("bases", "preds", "off", "q_ext")}
+            if os.environ.get("CACTUS_POA_LOG_BINS"):
+                print(f"POA_BIN round={round_no} Nb={Nb} B={B} "
+                      f"l_bin={l_bin} P={len(items)}", flush=True)
+            stack_np = {k: np.stack([p[k] for _j, _s, p in items])
+                        for k in ("bases", "preds", "off", "q_ext")}
+            stack = {k: jnp.asarray(v) for k, v in stack_np.items()}
             l_arr = jnp.asarray([p["L"] for _j, _s, p in items],
                                 jnp.int32)
             pallas_batch = _affine_pallas_batch_or_none(Nb, B)
             if pallas_batch is not None:
+                # certify chain topology on the HOST stacks (round 1:
+                # every graph is PoaGraph.from_sequence = a pure chain)
+                # so the register-carry chain kernel can route — the
+                # device-side auto-check always returns False
+                from .poa_pallas import _chain_check_np
+                is_chain = _chain_check_np(stack_np["preds"],
+                                           stack_np["off"])
                 _H, dirs, ends = pallas_batch(
                     stack["bases"], stack["preds"], stack["off"],
                     stack["q_ext"], l_arr, jnp.asarray(submat),
-                    band=B, o1=o1, e1=e1, o2=o2, e2=e2)
+                    band=B, o1=o1, e1=e1, o2=o2, e2=e2,
+                    chain=is_chain)
             else:
                 run = jax.vmap(
                     lambda b, pr, of, qe, ll: poa_align_scan_affine(

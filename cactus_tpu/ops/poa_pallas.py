@@ -24,6 +24,7 @@ back to the XLA scan in the router.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 
 import jax
@@ -560,6 +561,18 @@ def _batch_jit(band: int, o1: int, e1: int, o2: int, e2: int,
     return jax.jit(impl)
 
 
+# biggest single-launch problem count: production BAR bins reach
+# P ~ 4000 (150 kb evolver run, dominant (Nb=64, B=64) bin).  The
+# GENERAL kernel's Mosaic lowering runs out of HBM well before the
+# chain kernel does (measured on a v5e: general OOMs at 32M padded
+# cells — P=3975 N=64 B=128 and P=512 N=512 B=128 both fail; the chain
+# kernel compiled and ran at 268M cells), so launches are chunked with
+# per-path budgets.  Chunking measured no throughput cost.
+MAX_BATCH_P = int(_os.environ.get("CACTUS_POA_MAX_BATCH", "2048"))
+GENERAL_MAX_CELLS = int(_os.environ.get(
+    "CACTUS_POA_GENERAL_MAX_CELLS", "12000000"))
+
+
 def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
                                        submat, band: int, o1: int,
                                        e1: int, o2: int, e2: int,
@@ -582,6 +595,24 @@ def poa_align_scan_affine_pallas_batch(bases, preds, off, q_ext, l_len,
     assert len(smt) == 36, len(smt)
     if chain is None:
         chain = _chain_check_np(preds, off)
+    P = int(bases.shape[0])
+    if chain:
+        max_p = MAX_BATCH_P
+    else:
+        R = NODES_PER_STEP
+        npp = -(-int(bases.shape[1]) // R) * R
+        bpp = -(-band // 128) * 128
+        max_p = max(8, GENERAL_MAX_CELLS // max(1, npp * bpp))
+    if P > max_p:
+        outs = []
+        for s in range(0, P, max_p):
+            e = min(s + max_p, P)
+            outs.append(poa_align_scan_affine_pallas_batch(
+                bases[s:e], preds[s:e], off[s:e], q_ext[s:e], l_len[s:e],
+                submat, band=band, o1=o1, e1=e1, o2=o2, e2=e2,
+                interpret=interpret, chain=chain))
+        return tuple(jnp.concatenate(parts, axis=0)
+                     for parts in zip(*outs))
     if chain and len(set(smt)) <= 32:
         return _chain_batch_jit(band, o1, e1, o2, e2, smt, interpret)(
             bases, off, q_ext, l_len)
@@ -734,66 +765,77 @@ def poa_affine_default_backend():
 # chain-topology fast path — the dominant production bin
 # --------------------------------------------------------------------------
 
-def _chain_g(P: int) -> int:
-    """Problems per program for the chain kernel: the ramp-scan rounds
-    are DEPENDENT (7 for Bp=128), so per-op width is what hides their
-    latency — pack as many problems on the sublane axis as the window
-    table's VMEM block allows.  A multi-program grid double-buffers the
-    (G, Lqs, Bp) window block, so G=32 (8.5 MB at Lq~512) only fits
-    when the whole batch is one program; larger batches run G=16."""
-    if P <= 32:
-        return 32 if P >= 16 else 8
-    return 16
+# chain-kernel tile knobs (hardware-sweep values; see _chain_tp)
+CHAIN_R = int(_os.environ.get("CACTUS_POA_CHAIN_R", "8"))
+CHAIN_TP_CAP = int(_os.environ.get("CACTUS_POA_CHAIN_TP", "256"))
+assert 128 % CHAIN_R == 0, CHAIN_R
 
 
-def _chain_nodes(first, step, L, b_idx, row0_at, qt_ref, bases_ref,
-                 off_ref, H_out, dirs_ref, cH, cF1, cF2,
-                 *, R, B, Bp, G, o1, e1, o2, e2, valtab, w):
+def _chain_tp(P: int, Bp: int) -> int:
+    """Problems per program on the SUBLANE axis.  The chain kernel has
+    no per-problem scalar work at all (topology rides packed int32
+    words, one lane-rotate per step serves every problem), so the only
+    cap is VMEM: target ~32 vregs per vector op (TP*Bp = 32k lanes)
+    and never fewer than 8 sublanes."""
+    cap = max(8, CHAIN_TP_CAP * 128 // Bp)
+    tp = 8
+    while tp < min(P, cap):
+        tp *= 2
+    return tp
+
+
+def _chain_nodes(first, step, b_idx, row0v_ref, row0d_ref,
+                 wa_ref, wq_ref, H_out, dirs_ref, cH, cF1, cF2, cQ,
+                 *, R, B, Bp, TP, o1, e1, o2, e2, valtab, w):
     pen1, pen2 = o1 + e1, o2 + e2
     b2 = jnp.concatenate([b_idx, b_idx], axis=0)
-    eRow = jnp.concatenate([jnp.full((G, 1), e1, jnp.int32),
-                            jnp.full((G, 1), e2, jnp.int32)], axis=0)
-    oRow = jnp.concatenate([jnp.full((G, 1), o1, jnp.int32),
-                            jnp.full((G, 1), o2, jnp.int32)], axis=0)
+    eRow = jnp.concatenate([jnp.full((TP, 1), e1, jnp.int32),
+                            jnp.full((TP, 1), e2, jnp.int32)], axis=0)
+    oRow = jnp.concatenate([jnp.full((TP, 1), o1, jnp.int32),
+                            jnp.full((TP, 1), o2, jnp.int32)], axis=0)
     rampZ = eRow * b2
     rampE = rampZ + oRow
-    neg1 = jnp.full((G, 1), NEG, jnp.int32)
-    neg2 = jnp.full((2 * G, 1), NEG, jnp.int32)
-    prevH = prevF1 = prevF2 = None
-    off_prev = None
+    neg1 = jnp.full((TP, 1), NEG, jnp.int32)
+    neg2 = jnp.full((2 * TP, 1), NEG, jnp.int32)
+    cmask = (1 << w) - 1
+    in_off = (step * R) % 128
 
     def sr1(x, nc=neg1):
         return jnp.concatenate([nc, x[:, :-1]], axis=1)
 
+    if first:
+        prevH = prevF1 = prevF2 = None
+        qcls = cQ[...]          # initial class-word window (prep-built)
+    else:
+        prevH, prevF1, prevF2 = cH[...], cF1[...], cF2[...]
+        qcls = cQ[...]
+    # ONE dynamic lane-rotate per step aligns this step's R node words
+    # to lanes 0..R-1; per-row extraction is then a free static slice
+    amt = (128 - in_off) % 128
+    wa_rot = pltpu.roll(wa_ref[...], amt, axis=1)
+    wq_rot = pltpu.roll(wq_ref[...], amt, axis=1)
+
     for r in range(R):
-        v = step * R + r
-        offs = [off_ref[g, 0, v] for g in range(G)]
-        off_col = jnp.stack(offs).reshape(G, 1)
-        j = off_col + b_idx
-        qp = jnp.concatenate(
-            [qt_ref[g, pl.ds(offs[g], 1), :] for g in range(G)], axis=0)
-        base_col = jnp.stack(
-            [bases_ref[g, 0, v] for g in range(G)]).reshape(G, 1)
-        cls = (qp >> (base_col * w)) & ((1 << w) - 1)
-        s = jnp.full((G, Bp), valtab[0], jnp.int32)
-        for k in range(1, len(valtab)):
-            s = jnp.where(cls == k, valtab[k], s)
+        # per-node scalars (band delta, node base, valid-lane count,
+        # incoming query class word) were bit-packed host-side
+        wa = wa_rot[:, r:r + 1]
+        wq = wq_rot[:, r:r + 1]
+        d_col = wa & 1                                       # (TP, 1)
+        base_col = (wa >> 1) & 7
+        nv_col = wa >> 4
+        shift1 = d_col > 0
 
         if first and r == 0:
             # the chain's source node: virtual start row only
-            Hp = row0_at(j)
-            Hd = row0_at(j - 1)
-            F1p = jnp.full((G, Bp), NEG, jnp.int32)
+            Hp = row0v_ref[...]
+            Hd = row0d_ref[...]
+            F1p = jnp.full((TP, Bp), NEG, jnp.int32)
             F2p = F1p
         else:
-            if prevH is None:
-                prevH = cH[...]
-                prevF1 = cF1[...]
-                prevF2 = cF2[...]
-                off_prev = jnp.stack(
-                    [off_ref[g, 0, v - 1] for g in range(G)]).reshape(G, 1)
-            d_col = off_col - off_prev                       # in {0, 1}
-            shift1 = d_col > 0
+            # band window advanced by d: shift the query-class carry
+            # and the register-carried DP triple together
+            qcls = jnp.where(
+                shift1, jnp.concatenate([qcls[:, 1:], wq], axis=1), qcls)
 
             def rot(x):
                 return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
@@ -807,6 +849,14 @@ def _chain_nodes(first, step, L, b_idx, row0_at, qt_ref, bases_ref,
                             NEG)
             hd = jnp.concatenate([hrow[:, -1:], hrow[:, :-1]], axis=1)
             Hd = jnp.where(gidx >= 1, hd, NEG)
+
+        # substitution row from the class-word carry: unpack this
+        # node's class field, then a static select over the (few)
+        # distinct submat values
+        cls = (qcls >> (base_col * w)) & cmask
+        s = jnp.full((TP, Bp), valtab[0], jnp.int32)
+        for k in range(1, len(valtab)):
+            s = jnp.where(cls == k, valtab[k], s)
 
         # single-slot F decode: candidate order [open, extend]
         F1n = jnp.maximum(Hp - pen1, F1p - e1)
@@ -823,13 +873,13 @@ def _chain_nodes(first, step, L, b_idx, row0_at, qt_ref, bases_ref,
         while offk < Bp:
             y = jnp.maximum(
                 y, jnp.concatenate(
-                    [jnp.full((2 * G, offk), NEG, jnp.int32),
+                    [jnp.full((2 * TP, offk), NEG, jnp.int32),
                      y[:, :-offk]], axis=1))
             offk *= 2
         y = jnp.maximum(y - rampE, NEG)
-        E1, E2 = y[:G], y[G:]
+        E1, E2 = y[:TP], y[TP:]
         Hn = jnp.maximum(h0, jnp.maximum(E1, E2))
-        valid = (j <= L) & (b_idx < B)
+        valid = b_idx < nv_col            # nvalid pre-capped at B
         Hn = jnp.where(valid, Hn, NEG)
         E1 = jnp.where(valid, E1, NEG)
         E2 = jnp.where(valid, E2, NEG)
@@ -846,89 +896,94 @@ def _chain_nodes(first, step, L, b_idx, row0_at, qt_ref, bases_ref,
                 + 2048 * e1_ext + 4096 * e2_ext)
 
         prevH, prevF1, prevF2 = Hn, F1n, F2n
-        off_prev = off_col
         H_out[:, r, :] = Hn
         dirs_ref[:, r, :] = dirs
 
     cH[...] = prevH
     cF1[...] = prevF1
     cF2[...] = prevF2
+    cQ[...] = qcls
 
 
-def _chain_kernel(llen_ref,                          # scalar prefetch
-                  qt_ref,                            # (G, Lqs, Bp) VMEM
-                  bases_ref,                         # (G, 1, Np) SMEM
-                  off_ref,                           # (G, 1, Np) SMEM
+def _chain_kernel(row0v_ref, row0d_ref, qcls0_ref,   # (TP, Bp) VMEM
+                  wa_ref, wq_ref,                    # (TP, 128) word slabs
                   H_out, dirs_ref,                   # outputs
-                  cH, cF1, cF2,                      # (G, Bp) carry
+                  cH, cF1, cF2, cQ,                  # (TP, Bp) carry
                   *, band: int, b_pad: int,
                   o1: int, e1: int, o2: int, e2: int,
-                  nodes_per_step: int, n_group: int,
+                  nodes_per_step: int, tile_p: int,
                   valtab: tuple, w: int):
     """Fully-linear (chain-topology) POA problems: node v's only pred
     is v-1 with band delta in {0, 1}, so the DP carry is ONE row triple
-    held in registers within a step and in three (G, Bp) buffers across
-    steps — no (Np, ...) history scratch at all.  That frees VMEM for
-    G=32 problems per program: every ramp-scan round works on 8 vregs
-    of independent data, hiding the round-to-round latency that limits
-    the general kernel to ~1.3 Gcells/s.  Bit-identical to the general
-    kernel and the XLA scan on chain graphs (single-slot dirs decode:
-    dslot = f_slot = 0, ext bits from the 2-candidate argmax)."""
+    held in registers within a step and in (TP, Bp) buffers across
+    steps — no (Np, ...) history scratch at all.
+
+    Structured like banded_pallas: TP problems packed on the SUBLANE
+    axis with zero per-problem scalar traffic.  Per-node topology
+    scalars are bit-packed into one int32 word per (problem, node),
+    streamed as (TP, 128) lane slabs and extracted with a single
+    lane-select per row; the query codes under the band ride a
+    class-word carry that shifts with the band window, so there is no
+    window table, no dynamic rolls, and no SMEM loops — the failure
+    modes that held the round-4 kernel to ~0.4 Gcells/s.  Bit-identical
+    to the XLA scan on chain graphs (single-slot dirs decode: dslot =
+    f_slot = 0, ext bits from the 2-candidate argmax)."""
     step = pl.program_id(1)
-    pg = pl.program_id(0)
     R = nodes_per_step
-    G = n_group
+    TP = tile_p
     B = band
     Bp = b_pad
-    L = jnp.stack([llen_ref[pg * G + g] for g in range(G)]).reshape(G, 1)
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Bp), 1)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (TP, Bp), 1)
 
-    def row0_at(j):
-        c = jnp.minimum(o1 + j * e1, o2 + j * e2)
-        return jnp.where(j == 0, 0,
-                         jnp.where(j > 0, -c, NEG)).astype(jnp.int32)
-
-    kw = dict(R=R, B=B, Bp=Bp, G=G, o1=o1, e1=e1, o2=o2, e2=e2,
+    kw = dict(R=R, B=B, Bp=Bp, TP=TP, o1=o1, e1=e1, o2=o2, e2=e2,
               valtab=valtab, w=w)
 
     @pl.when(step == 0)
     def _first():
-        _chain_nodes(True, step, L, b_idx, row0_at, qt_ref, bases_ref,
-                     off_ref, H_out, dirs_ref, cH, cF1, cF2, **kw)
+        cQ[...] = qcls0_ref[...]
+        _chain_nodes(True, step, b_idx, row0v_ref,
+                     row0d_ref, wa_ref, wq_ref, H_out, dirs_ref,
+                     cH, cF1, cF2, cQ, **kw)
 
     @pl.when(step > 0)
     def _rest():
-        _chain_nodes(False, step, L, b_idx, row0_at, qt_ref, bases_ref,
-                     off_ref, H_out, dirs_ref, cH, cF1, cF2, **kw)
+        _chain_nodes(False, step, b_idx, row0v_ref,
+                     row0d_ref, wa_ref, wq_ref, H_out, dirs_ref,
+                     cH, cF1, cF2, cQ, **kw)
 
 
 @lru_cache(maxsize=None)
-def _chain_call(P: int, Np: int, B: int, Bp: int, Lqs: int,
+def _chain_call(P: int, Np: int, B: int, Bp: int,
                 o1: int, e1: int, o2: int, e2: int, R: int,
-                G: int, valtab: tuple, w: int, interpret: bool):
+                TP: int, valtab: tuple, w: int, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(P // G, Np // R),
+        num_scalar_prefetch=0,
+        grid=(P // TP, Np // R),
         in_specs=[
-            pl.BlockSpec((G, Lqs, Bp), lambda p, i, *_: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, Np), lambda p, i, *_: (p, 0, 0),
-                         memory_space=pltpu.SMEM),            # bases
-            pl.BlockSpec((G, 1, Np), lambda p, i, *_: (p, 0, 0),
-                         memory_space=pltpu.SMEM),            # off
+            pl.BlockSpec((TP, Bp), lambda p, i: (p, 0),
+                         memory_space=pltpu.VMEM),            # row0v
+            pl.BlockSpec((TP, Bp), lambda p, i: (p, 0),
+                         memory_space=pltpu.VMEM),            # row0d
+            pl.BlockSpec((TP, Bp), lambda p, i: (p, 0),
+                         memory_space=pltpu.VMEM),            # qcls0
+            # packed word slabs stream 128 nodes at a time (R | 128)
+            pl.BlockSpec((TP, 128), lambda p, i: (p, (i * R) // 128),
+                         memory_space=pltpu.VMEM),            # wA
+            pl.BlockSpec((TP, 128), lambda p, i: (p, (i * R) // 128),
+                         memory_space=pltpu.VMEM),            # wQ
         ],
         out_specs=[
-            pl.BlockSpec((G, R, Bp), lambda p, i, *_: (p, i, 0),
+            pl.BlockSpec((TP, R, Bp), lambda p, i: (p, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, R, Bp), lambda p, i, *_: (p, i, 0),
+            pl.BlockSpec((TP, R, Bp), lambda p, i: (p, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((G, Bp), jnp.int32)] * 3,
+        scratch_shapes=[pltpu.VMEM((TP, Bp), jnp.int32)] * 4,
     )
     return pl.pallas_call(
         partial(_chain_kernel, band=B, b_pad=Bp,
-                o1=o1, e1=e1, o2=o2, e2=e2, nodes_per_step=R,
-                n_group=G, valtab=valtab, w=w),
+                o1=o1, e1=e1, o2=o2, e2=e2,
+                nodes_per_step=R, tile_p=TP, valtab=valtab, w=w),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((P, Np, Bp), jnp.int32),
@@ -973,41 +1028,75 @@ def _chain_batch_impl(bases, off, q_ext, l_len, smt, band: int,
                       interpret: bool = False):
     P, N = bases.shape
     B = band
-    Lp1 = q_ext.shape[1]
-    R = NODES_PER_STEP
+    R = CHAIN_R
     Np = -(-N // R) * R
+    Npc = -(-Np // 128) * 128     # word arrays pad to whole lane slabs
     Bp = -(-B // 128) * 128
-    Lqs = -(-Lp1 // 8) * 8
-    off_p = jnp.pad(off.astype(jnp.int32), ((0, 0), (0, Np - N)))
-    bases_p = jnp.pad(bases.astype(jnp.int32), ((0, 0), (0, Np - N)))
-    l_len_i = l_len.astype(jnp.int32)
     valtab, w, clsword = _pack_submat(smt)
-    qt = _build_qt(q_ext, Lp1, Lqs, Bp, clsword)
 
-    G = _chain_g(P)
-    Pp = -(-P // G) * G
+    off_i = off.astype(jnp.int32)
+    l_col = l_len.astype(jnp.int32)[:, None]
+    qc = q_ext.astype(jnp.int32)
+    # class word per query code (tiny select chain over 6 codes)
+    cw = jnp.full(qc.shape, clsword[5], jnp.int32)
+    for t in range(5):
+        cw = jnp.where(qc == t, clsword[t], cw)
+
+    # packed per-node words: wA = d | base<<1 | nvalid<<4,
+    # wQ = class word of the column entering the band at lane Bp-1
+    d = jnp.concatenate(
+        [jnp.zeros((P, 1), jnp.int32), off_i[:, 1:] - off_i[:, :-1]],
+        axis=1)
+    nvalid = jnp.clip(l_col - off_i + 1, 0, B)
+    wA = d | (bases.astype(jnp.int32) << 1) | (nvalid << 4)
+    inc_j = jnp.clip(off_i + (Bp - 1), 0, l_col)
+    # fused broadcast-compare reduces instead of gathers: XLA TPU
+    # take_along_axis lowers to an element gather that measured 3.4 ms
+    # at the (1024, 640) production scale; the virtual (P, N, Lq)
+    # compare+reduce fuses to 0.8 ms and never materializes
+    jt = jnp.arange(cw.shape[1], dtype=jnp.int32)
+    wQ = jnp.max(jnp.where(jt[None, None, :] == inc_j[:, :, None],
+                           cw[:, None, :], 0), axis=2)
+    wA = jnp.pad(wA, ((0, 0), (0, Npc - N)))
+    wQ = jnp.pad(wQ, ((0, 0), (0, Npc - N)))
+
+    # initial band window (class words) + virtual start rows
+    bb = jnp.arange(Bp, dtype=jnp.int32)[None, :]
+    j0 = off_i[:, :1] + bb
+    j0c = jnp.clip(j0, 0, l_col)
+    qcls0 = jnp.max(jnp.where(jt[None, None, :] == j0c[:, :, None],
+                              cw[:, None, :], 0), axis=2)
+    conv = jnp.minimum(o1 + j0 * e1, o2 + j0 * e2)
+    row0v = jnp.where(j0 == 0, 0,
+                      jnp.where(j0 > 0, -conv, NEG)).astype(jnp.int32)
+    jm = j0 - 1
+    convm = jnp.minimum(o1 + jm * e1, o2 + jm * e2)
+    row0d = jnp.where(jm == 0, 0,
+                      jnp.where(jm > 0, -convm, NEG)).astype(jnp.int32)
+
+    TP = _chain_tp(P, Bp)
+    Pp = -(-P // TP) * TP
     if Pp != P:
         zpad = ((0, Pp - P), (0, 0))
-        off_p = jnp.pad(off_p, zpad)
-        bases_p = jnp.pad(bases_p, zpad)
-        qt = jnp.pad(qt, ((0, Pp - P), (0, 0), (0, 0)))
-        l_len_p = jnp.pad(l_len_i, (0, Pp - P))
-    else:
-        l_len_p = l_len_i
+        wA = jnp.pad(wA, zpad)
+        wQ = jnp.pad(wQ, zpad)
+        qcls0 = jnp.pad(qcls0, zpad)
+        row0v = jnp.pad(row0v, zpad, constant_values=NEG)
+        row0d = jnp.pad(row0d, zpad, constant_values=NEG)
 
-    call = _chain_call(Pp, Np, B, Bp, Lqs, o1, e1, o2, e2, R, G,
+    call = _chain_call(Pp, Np, B, Bp, o1, e1, o2, e2, R, TP,
                        valtab, w, interpret)
-    H_rows, dirs_rows = call(
-        l_len_p, qt, bases_p[:, None, :], off_p[:, None, :])
+    H_rows, dirs_rows = call(row0v, row0d, qcls0, wA, wQ)
 
     H_all = H_rows[:P, :N, :B]
     dirs = dirs_rows[:P, :N, :B]
-    bL = l_len.astype(jnp.int32)[:, None] - off.astype(jnp.int32)[:, :N]
-    ends = jnp.where((bL >= 0) & (bL < B),
-                     jnp.take_along_axis(
-                         H_all, jnp.clip(bL, 0, B - 1)[:, :, None],
-                         2)[:, :, 0],
-                     NEG)
+    # masked reduce, not take_along_axis: the gather over the
+    # (P, N, B) tensor measured 7.6 ms vs 0.17 ms for the fused
+    # compare+max (out-of-band bL rows reduce to all-NEG = oracle)
+    bL = l_len.astype(jnp.int32)[:, None] - off_i[:, :N]
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    ends = jnp.max(jnp.where(bidx[None, None, :] == bL[:, :, None],
+                             H_all, NEG), axis=2)
     return H_all, dirs, ends
 
 

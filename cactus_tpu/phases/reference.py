@@ -115,8 +115,9 @@ def overlay_outgroup_observations(caf: CafResult, obs: np.ndarray,
     unchunked entry; run_reference streams via overlay_vote_arrays)."""
     rows, evs, bases = overlay_vote_arrays(caf, col_off, og_records,
                                            og_codes, event_names)
-    obs[rows, evs, :] *= np.float32(1e-3)
-    obs[rows, evs, bases] *= np.float32(1e3)
+    # accumulate over duplicate (row, event) votes (see run_reference)
+    np.multiply.at(obs, (rows, evs), np.float32(1e-3))
+    np.multiply.at(obs, (rows, evs, bases), np.float32(1e3))
     return len(rows)
 
 
@@ -1019,8 +1020,13 @@ def run_reference(caf: CafResult, gcodes: np.ndarray, tree: Tree,
             z = np.searchsorted(v_rows, hi, side="left")
             if z > a:
                 rows_l = v_rows[a:z] - lo
-                obs[rows_l, v_evs[a:z], :] *= np.float32(1e-3)
-                obs[rows_l, v_evs[a:z], v_bases[a:z]] *= np.float32(1e3)
+                # multiply.at accumulates over duplicate (row, event)
+                # indices — a column voted by k og records must be
+                # scaled k times (fancy `*=` applies only once)
+                np.multiply.at(obs, (rows_l, v_evs[a:z]),
+                               np.float32(1e-3))
+                np.multiply.at(obs, (rows_l, v_evs[a:z], v_bases[a:z]),
+                               np.float32(1e3))
         if len(obs):
             root_codes[lo:hi] = felsenstein_ml(obs, counts, tree,
                                                event_names)

@@ -149,3 +149,50 @@ def test_poa_affine_hw_parity_grouped():
         np.testing.assert_array_equal(
             np.asarray(d_x)[:N, :128].astype(np.int32),
             np.asarray(d_p)[i, :N, :128].astype(np.int32))
+
+
+def test_poa_chain_hw_parity():
+    """The round-5 chain kernel (banded-style sublane packing, packed
+    word slabs, class-word band carry) must match the XLA scan on the
+    chip, including B < Bp, N % R != 0, and a TP-padded big batch."""
+    _require_tpu()
+    import jax.numpy as jnp
+    from cactus_tpu.config import PoaParams
+    from cactus_tpu.ops.banded import score_matrix_6
+    from cactus_tpu.ops.poa import MAX_PREDS, poa_align_scan_affine
+    from cactus_tpu.ops.poa_pallas import (
+        _chain_check_np, poa_align_scan_affine_pallas_batch)
+
+    params = PoaParams()
+    kw = dict(o1=params.gap_open1, e1=params.gap_extend1,
+              o2=params.gap_open2, e2=params.gap_extend2)
+    sm = np.asarray(score_matrix_6(params.sub_matrix), np.int32)
+    rng = np.random.default_rng(11)
+    for (P, N, B, L) in [(5, 24, 64, 150), (2, 17, 128, 40),
+                         (300, 64, 64, 80)]:
+        bases = rng.integers(0, 4, (P, N)).astype(np.uint8)
+        preds = np.full((P, N, MAX_PREDS), -1, np.int32)
+        preds[:, 1:, 0] = np.arange(N - 1)
+        hi = max(0, L + 1 - B)
+        steps = rng.integers(0, 2, (P, N))
+        steps[:, 0] = 0
+        off = np.minimum(np.cumsum(steps, axis=1), hi).astype(np.int32)
+        q_ext = np.full((P, L + 1), 5, np.uint8)
+        q_ext[:, 1:] = rng.integers(0, 4, (P, L))
+        l_len = np.full(P, L, np.int32)
+        assert _chain_check_np(preds, off)
+        H, dirs, ends = poa_align_scan_affine_pallas_batch(
+            bases, preds, off, q_ext, jnp.asarray(l_len),
+            jnp.asarray(sm), band=B, **kw)
+        H = np.asarray(H)
+        dirs = np.asarray(dirs)
+        ends = np.asarray(ends)
+        for p in range(0, P, max(1, P // 7)):
+            Ho, do, eo = poa_align_scan_affine(
+                jnp.asarray(bases[p]), jnp.asarray(preds[p]),
+                jnp.asarray(off[p]), jnp.asarray(q_ext[p]),
+                jnp.asarray(sm), band=B, **kw)
+            np.testing.assert_array_equal(H[p], np.asarray(Ho))
+            np.testing.assert_array_equal(
+                dirs[p], np.asarray(do).astype(np.int32))
+            np.testing.assert_array_equal(ends[p], np.asarray(eo))

@@ -116,3 +116,78 @@ def test_linear_kernel_forward_pred_rows():
                                        mismatch=-5, interpret=True)
     np.testing.assert_array_equal(np.asarray(H1), np.asarray(H2))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+@pytest.mark.parametrize("seed,p,n,b,l", [
+    (3, 3, 40, 64, 48), (4, 2, 17, 128, 40), (5, 4, 24, 64, 150)])
+def test_poa_chain_kernel_matches_xla(seed, p, n, b, l):
+    """The register-carry chain kernel (round-5 rewrite: packed word
+    slabs + class-word band carry) must be bit-identical to the XLA
+    scan on certified chain graphs, incl. B < Bp and N % R != 0."""
+    from cactus_tpu.ops.poa import MAX_PREDS, poa_align_scan_affine
+    from cactus_tpu.ops.poa_pallas import (_chain_batch_impl,
+                                           _chain_check_np)
+    rng = np.random.default_rng(seed)
+    bases = rng.integers(0, 4, (p, n)).astype(np.uint8)
+    preds = np.full((p, n, MAX_PREDS), -1, np.int32)
+    preds[:, 1:, 0] = np.arange(n - 1)
+    hi = max(0, l + 1 - b)
+    steps = rng.integers(0, 2, (p, n))
+    steps[:, 0] = 0
+    off = np.minimum(np.cumsum(steps, axis=1), hi).astype(np.int32)
+    q_ext = np.full((p, l + 1), 5, np.uint8)
+    q_ext[:, 1:] = rng.integers(0, 4, (p, l))
+    l_len = np.full(p, l, np.int32)
+    assert _chain_check_np(preds, off)
+    from cactus_tpu.config import PoaParams
+    from cactus_tpu.ops.banded import score_matrix_6
+    sm = score_matrix_6(PoaParams().sub_matrix).astype(np.int32)
+    smt = tuple(int(x) for x in sm.reshape(-1))
+    kw = dict(o1=400, e1=30, o2=1200, e2=1)
+    H, dirs, ends = _chain_batch_impl(
+        jnp.asarray(bases), jnp.asarray(off), jnp.asarray(q_ext),
+        jnp.asarray(l_len), smt, b, kw["o1"], kw["e1"], kw["o2"],
+        kw["e2"], interpret=True)
+    for i in range(p):
+        Ho, do, eo = poa_align_scan_affine(
+            jnp.asarray(bases[i]), jnp.asarray(preds[i]),
+            jnp.asarray(off[i]), jnp.asarray(q_ext[i]),
+            jnp.asarray(sm), band=b, **kw)
+        np.testing.assert_array_equal(np.asarray(H[i]), np.asarray(Ho))
+        np.testing.assert_array_equal(
+            np.asarray(dirs[i]), np.asarray(do).astype(np.int32))
+        np.testing.assert_array_equal(np.asarray(ends[i]),
+                                      np.asarray(eo))
+
+
+def test_poa_batch_chunking_matches_single_launch():
+    """P > MAX_BATCH_P chunked launches must equal one launch (the
+    Mosaic lowering OOMed at P=3975 on a v5e; chunking is the guard)."""
+    from cactus_tpu.ops import poa_pallas as M
+    from cactus_tpu.ops.poa import MAX_PREDS
+    rng = np.random.default_rng(9)
+    p, n, b, l = 5, 16, 64, 20
+    bases = rng.integers(0, 4, (p, n)).astype(np.uint8)
+    preds = np.full((p, n, MAX_PREDS), -1, np.int32)
+    preds[:, 1:, 0] = np.arange(n - 1)
+    off = np.zeros((p, n), np.int32)
+    q_ext = np.full((p, l + 1), 5, np.uint8)
+    q_ext[:, 1:] = rng.integers(0, 4, (p, l))
+    l_len = jnp.asarray(np.full(p, l, np.int32))
+    from cactus_tpu.config import PoaParams
+    from cactus_tpu.ops.banded import score_matrix_6
+    sm = jnp.asarray(score_matrix_6(PoaParams().sub_matrix)
+                     .astype(np.int32))
+    kw = dict(band=b, o1=400, e1=30, o2=1200, e2=1, interpret=True)
+    args = (jnp.asarray(bases), jnp.asarray(preds), jnp.asarray(off),
+            jnp.asarray(q_ext), l_len, sm)
+    one = M.poa_align_scan_affine_pallas_batch(*args, **kw, chain=True)
+    old = M.MAX_BATCH_P
+    try:
+        M.MAX_BATCH_P = 2
+        chunked = M.poa_align_scan_affine_pallas_batch(*args, **kw,
+                                                       chain=True)
+    finally:
+        M.MAX_BATCH_P = old
+    for a, c in zip(one, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
