@@ -415,10 +415,46 @@ def cmd_conservation(args) -> int:
         _log(f"4d sites: {sum(len(v) for v in sites.values())} positions "
              f"from {len(tx)} transcripts")
     scale = phast.phylo_fit(blocks, tree, sites=sites)
-    scores, meta = phast.phylo_p(blocks, tree, neutral_scale=scale)
-    phast.write_wig(args.out, scores, meta)
+    method = getattr(args, "method", "LRT") or "LRT"
+    mode = getattr(args, "mode", "CONACC") or "CONACC"
+    subtrees = getattr(args, "subtree", None) or [None]
+
+    def emit(path, scores, meta):
+        phast.write_wig(path, scores, meta)
+        if getattr(args, "bigwig", False):
+            from .io.bigwig import write_bigwig
+            per: dict[str, list] = {}
+            for s, (seq, pos) in zip(scores, meta):
+                if seq is None or pos < 0:
+                    continue
+                per.setdefault(seq, []).append((pos, float(s)))
+            data = {}
+            sizes = {}
+            ref = args.ref_genome or tree.name
+            for seq, pts in per.items():
+                pts.sort()
+                import numpy as _np
+                data[seq] = (_np.array([p for p, _v in pts], _np.uint32),
+                             _np.array([v for _p, v in pts], _np.float32))
+                seqs = result.genomes.get(ref, {})
+                sizes[seq] = (len(seqs[seq].codes) if seq in seqs
+                              else int(data[seq][0][-1]) + 1)
+            write_bigwig(path + ".bw", data, sizes)
+            _log(f"wrote {path}.bw")
+
+    for name in subtrees:
+        # cactus_phast --subtree: one track per named node; naming the
+        # root yields the standard whole-tree track (no .s tag)
+        sub = None if (name is None or name == tree.name) else name
+        scores, meta = phast.phylo_p(blocks, tree, neutral_scale=scale,
+                                     method=method, mode=mode,
+                                     subtree=sub)
+        path = args.out if sub is None else f"{args.out}.{sub}.wig"
+        emit(path, scores, meta)
+        _log(f"track {'root' if sub is None else sub}: wrote {path}")
     with open(args.out + ".mod.json", "w") as fh:
-        json.dump({"model": "JC69", "rate_scale": scale}, fh)
+        json.dump({"model": "JC69", "rate_scale": scale,
+                   "method": method, "mode": mode}, fh)
     _log(f"neutral rate scale {scale:.3f}; wrote {args.out}")
     return 0
 
@@ -699,6 +735,19 @@ def main(argv=None) -> int:
     pv.add_argument("--annotation", default=None,
                     help="GFF with CDS rows: fit the neutral model on "
                          "4d sites only (cactus-phast phyloFit mode)")
+    pv.add_argument("--method", default="LRT",
+                    choices=["ratio", "LRT", "SCORE"],
+                    help="phyloP --method (cactus_phast.py:158)")
+    pv.add_argument("--mode", default="CONACC",
+                    choices=["CONACC", "CON", "ACC", "NNEUT"],
+                    help="phyloP --mode sign convention")
+    pv.add_argument("--subtree", nargs="+", default=None, metavar="NAME",
+                    help="one lineage-specific track per named internal "
+                         "node (phyloP --subtree; the root name gives "
+                         "the standard whole-tree track)")
+    pv.add_argument("--bigwig", action="store_true",
+                    help="also write .bw (native bbi writer, no "
+                         "wigToBigWig needed)")
     pv.set_defaults(fn=cmd_conservation)
 
     ph = sub.add_parser("hal", help="HAL archive tools (halStats/"

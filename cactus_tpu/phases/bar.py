@@ -697,7 +697,8 @@ def run_bar(caf: CafResult, seqs: dict[str, Sequence],
                                     ingroup_events or set(),
                                     outgroup_events or set())
     return CafResult(table=caf.table, blocks=blocks, alive=alive,
-                     events_of_seq=caf.events_of_seq)
+                     events_of_seq=caf.events_of_seq,
+                     outgroup_events=caf.outgroup_events)
 
 
 def rescue_outgroup_covered(caf: CafResult, og_records, cfg: BarParams
@@ -772,4 +773,5 @@ def rescue_outgroup_covered(caf: CafResult, og_records, cfg: BarParams
                  if blocks.support is not None else None))
     alive = np.concatenate([caf.alive, np.ones(n_new, dtype=bool)])
     return CafResult(table=table, blocks=new_blocks, alive=alive,
-                     events_of_seq=caf.events_of_seq)
+                     events_of_seq=caf.events_of_seq,
+                     outgroup_events=caf.outgroup_events)

@@ -37,6 +37,10 @@ class CafResult:
     blocks: Blocks
     alive: np.ndarray
     events_of_seq: list[str]
+    # events whose threads entered the graph as OUTGROUP evidence
+    # (caf.pinch_outgroups): downstream ordering must not let their
+    # alignment-boundary wobble break ingroup-proven chains
+    outgroup_events: frozenset = frozenset()
 
     def live_blocks(self) -> list[int]:
         return [b for b in range(self.blocks.n_blocks) if self.alive[b]]
@@ -126,7 +130,8 @@ def run_caf(records, seq_lengths: dict[str, int], cfg: CafParams,
 
     log(f"caf done: {int(alive.sum())}/{blocks.n_blocks} blocks live")
     return CafResult(table=table, blocks=blocks, alive=alive,
-                     events_of_seq=events)
+                     events_of_seq=events,
+                     outgroup_events=frozenset(outgroups))
 
 
 def megablock_mask(blocks: Blocks, events: list[str],

@@ -256,4 +256,5 @@ def refine_nested(caf: CafResult, seqs: dict[str, Sequence],
     alive = filter_blocks_by_events(blocks, alive, cfg.bar,
                                     ingroup_events, outgroup_events)
     return CafResult(table=table, blocks=blocks, alive=alive,
-                     events_of_seq=caf.events_of_seq)
+                     events_of_seq=caf.events_of_seq,
+                     outgroup_events=caf.outgroup_events)

@@ -316,20 +316,33 @@ class ReferenceResult:
         return sum(len(s) for s in self.sequences.values())
 
 
-def _end_adjacency_weights(caf: CafResult):
+def _end_adjacency_weights(caf: CafResult, ingroup_only: bool = False):
     """Aggregate DIRECT thread adjacencies between live block ends.
 
     Returns {(end_u, end_v) canonical: (support, median_gap)} — the
     countDAL analog (buildReference.c:1190: countAdapterFn direct
     adjacency support, used for minNumberOfSequencesToSupportAdjacency
     breaking) plus median gaps for scaffold sizing.
+
+    ingroup_only skips adjacencies carried by OUTGROUP threads
+    (caf.outgroup_events): with caf.pinch_outgroups, og alignment
+    boundaries wobble between independent og-vs-ingroup alignments, and
+    their threads exiting mid-run must not make an ingroup-proven chain
+    link look ambiguous (the reference's chains come from the cactus
+    graph, where a link needs only the shared adjacency component —
+    stubs wandering off do not break it; buildReference.c:413-476
+    orders CHAIN nodes, never individual wobble fragments).
     """
     from ..graph import chains as chain_graph
     adj = chain_graph.thread_adjacencies(caf.blocks, caf.alive)
+    skip_og = ingroup_only and caf.outgroup_events
     weights: dict[tuple[int, int], list[int]] = {}
     for k in range(len(adj.seq)):
         u, v = int(adj.end_u[k]), int(adj.end_v[k])
         if u < 0 or v < 0:
+            continue
+        if skip_og and caf.events_of_seq[int(adj.seq[k])] \
+                in caf.outgroup_events:
             continue
         key = (u, v) if u <= v else (v, u)
         gap = int(adj.gap_end[k] - adj.gap_start[k])
@@ -408,7 +421,9 @@ def build_chain_units(caf: CafResult):
     orientation within the unit (-1 / 0 for dead blocks).
     """
     live = [int(b) for b in np.flatnonzero(caf.alive)]
-    weights = _end_adjacency_weights(caf)
+    # chain links are proven by INGROUP threads; og wobble must not
+    # veto them (see _end_adjacency_weights docstring)
+    weights = _end_adjacency_weights(caf, ingroup_only=True)
     partners: dict[int, set[int]] = {}
     for (u, v) in weights:
         partners.setdefault(u, set()).add(v)
@@ -434,6 +449,69 @@ def build_chain_units(caf: CafResult):
         links[u] = v
         links[v] = u
         parent[ru] = rv
+    # second pass: MUTUAL-BEST links for ends unanimity left unlinked.
+    # A single ingroup thread's indel at a wobble boundary (thread A
+    # goes b1→b2, thread B skips to b3) breaks strict unanimity at
+    # every fragment boundary of an og-pinched graph; the reference's
+    # cactus chains still link b1—b2—b3 (the skipping thread rides the
+    # link's adjacency component, pinchToCactus.c).  Best = highest
+    # support, then SMALLEST median gap (the immediate neighbor beats
+    # the skip target at equal support).  Restricted to single-copy
+    # blocks — any block carrying two segments of one event is a
+    # duplication candidate whose continuations must stay strict.
+    seg_live = caf.alive[caf.blocks.seg_block]
+    ev_idx = {}
+    for n in set(caf.events_of_seq):
+        ev_idx.setdefault(n, len(ev_idx))
+    ev_of_seg = np.array([ev_idx[caf.events_of_seq[s]]
+                          for s in caf.blocks.seg_seq])
+    # dup guard counts INGROUP copies only: overlapping trimmed og
+    # fragments routinely put two og segments of one event in a block,
+    # and og copy count says nothing about ancestor ordering
+    ing_seg = np.array([caf.events_of_seq[s] not in caf.outgroup_events
+                        for s in caf.blocks.seg_seq])
+    key = (caf.blocks.seg_block.astype(np.int64) * len(ev_idx)
+           + ev_of_seg)[seg_live & ing_seg]
+    _u, cnt = np.unique(key, return_counts=True)
+    multi = np.zeros(caf.blocks.n_blocks, dtype=bool)
+    multi[(_u[cnt > 1] // len(ev_idx)).astype(np.int64)] = True
+
+    def mutual_best_pass(w):
+        part: dict[int, set[int]] = {}
+        for (u, v) in w:
+            part.setdefault(u, set()).add(v)
+            part.setdefault(v, set()).add(u)
+        best: dict[int, int] = {}
+        for e, ps in part.items():
+            if e in links or multi[e // 2]:
+                continue
+            cand = []
+            for p in ps:
+                k = (e, p) if e <= p else (p, e)
+                s, g = w[k]
+                cand.append((-s, g, p))
+            cand.sort()
+            if cand and not multi[cand[0][2] // 2]:
+                best[e] = cand[0][2]
+        pairs = sorted((min(u, v), max(u, v)) for u, v in best.items()
+                       if best.get(v) == u and u // 2 != v // 2)
+        for u, v in pairs:
+            if u in links or v in links:
+                continue
+            ru, rv = find(u // 2), find(v // 2)
+            if ru == rv:
+                continue
+            links[u] = v
+            links[v] = u
+            parent[ru] = rv
+
+    mutual_best_pass(weights)
+    if caf.outgroup_events:
+        # third pass: boundaries only an OUTGROUP thread crosses (no
+        # shared ingroup thread between two og-witnessed fragments) —
+        # the og genome's own contiguity is real adjacency evidence,
+        # exactly as its thread is in the reference's cactus graph
+        mutual_best_pass(_end_adjacency_weights(caf))
     units = walk_threads(live, links)
     n_blocks = caf.blocks.n_blocks
     unit_of = np.full(n_blocks, -1, dtype=np.int64)

@@ -207,22 +207,166 @@ def phylo_fit(blocks: list[MafBlock], tree: Tree,
     return (a + b) / 2
 
 
+def _subtree_events(tree: Tree, name: str) -> set[str]:
+    """Event names strictly inside the subtree rooted at `name` (the
+    subtree's own edges: every node whose branch lies below it,
+    including `name` itself — its branch to the parent belongs to the
+    lineage being tested, matching phyloP --subtree)."""
+    for n in tree.preorder():
+        if n.name == name:
+            return {d.name for d in n.preorder()}
+    raise ValueError(f"no node named {name!r} in the tree")
+
+
+def column_ll_multi(obs: np.ndarray, tree: Tree,
+                    edge_scales: np.ndarray) -> np.ndarray:
+    """log P(column) for MANY scale assignments in one batched pass.
+
+    edge_scales (R, n_edges): per-evaluation branch-length multipliers,
+    edges in tree.postorder() order (non-root nodes).  Returns (R, C).
+    One jitted Felsenstein sweep with every rate row vmapped on the
+    leading axis — the LRT grid costs one device pass, not R."""
+    import jax
+    import jax.numpy as jnp
+
+    events = [n.name for n in tree.preorder()]
+    eidx = {n: i for i, n in enumerate(events)}
+    post = [n for n in tree.postorder() if n.parent is not None]
+    R = edge_scales.shape[0]
+    Pmats = np.stack([
+        np.stack([jc_matrix((n.length or 0.0) * float(edge_scales[r, k]))
+                  for r in range(R)])
+        for k, n in enumerate(post)])                 # (nE, R, 4, 4)
+    edges = [(eidx[n.name], eidx[n.parent.name]) for n in post]
+    root = eidx[tree.name]
+    E = len(events)
+
+    @jax.jit
+    def run(obs, P):
+        # messages (R, C, 4) per event
+        msgs = [jnp.broadcast_to(obs[None, :, i, :],
+                                 (R,) + obs[:, i, :].shape)
+                for i in range(E)]
+        ll = jnp.zeros((R, obs.shape[0]), jnp.float32)
+        for k, (child, parent) in enumerate(edges):
+            lifted = jnp.einsum("rcb,rab->rca", msgs[child],
+                                P[k].astype(jnp.float32))
+            msgs[parent] = msgs[parent] * lifted
+            norm = jnp.maximum(jnp.sum(msgs[parent], axis=2,
+                                       keepdims=True), 1e-30)
+            msgs[parent] = msgs[parent] / norm
+            ll = ll + jnp.log(norm[:, :, 0])
+        return ll + jnp.log(jnp.maximum(
+            0.25 * jnp.sum(msgs[root], axis=2), 1e-30))
+
+    from .ops import smart_put
+    put = smart_put(obs.size * 8 * R)
+    return np.asarray(run(put(obs.astype(np.float32)),
+                          put(Pmats.astype(np.float32))))
+
+
+def _chi2_1_neglog10_sf(stat: np.ndarray) -> np.ndarray:
+    """-log10 of the chi-square(1df) survival function, stable for
+    large statistics (scipy.special.erfc underflows past ~1e-308;
+    switch to the asymptotic expansion)."""
+    from scipy.special import erfc
+    x = np.sqrt(np.maximum(stat, 0.0) / 2.0)
+    p = erfc(x)
+    small = p < 1e-300
+    out = np.where(small, 1.0, -np.log10(np.maximum(p, 1e-300)))
+    if np.any(small):
+        # erfc(x) ~ exp(-x^2) / (x sqrt(pi))
+        xs = x[small]
+        out[small] = (xs * xs + np.log(xs * np.sqrt(np.pi))) / np.log(10)
+    return out.astype(np.float32)
+
+
 def phylo_p(blocks: list[MafBlock], tree: Tree,
             neutral_scale: float | None = None,
-            rho: float = 0.3):
+            rho: float = 0.3, method: str = "ratio",
+            mode: str = "CONACC", subtree: str | None = None,
+            grid: int = 33):
     """Per-column conservation scores + reference coordinates.
 
-    Returns (scores (C,), meta [(ref_seq, ref_pos)]): score =
-    ll(conserved rho×neutral) − ll(neutral); positive = conserved.
-    """
+    method (cactus_phast.py:158 --method; SPH/GERP not offered):
+      'ratio' — legacy lite score ll(rho×neutral) − ll(neutral);
+      'LRT'   — per-column ML scale over a log grid, statistic
+                2·(ll_max − ll_neutral), chi-square(1df) p-value,
+                scores are −log10 p signed by the CONACC convention;
+      'SCORE' — score test at the neutral model: U²/I with U, I from
+                central differences of the log-likelihood in log-scale.
+    mode (--phyloPMode): CONACC (signed; positive = conserved),
+      CON / ACC (one-sided, clamped at 0), NNEUT (unsigned).
+    subtree: name of an internal node — only ITS subtree's branches
+      scale in the alternative model (phyloP --subtree lineage track).
+
+    Returns (scores (C,), meta [(ref_seq, ref_pos)])."""
     if neutral_scale is None:
         neutral_scale = phylo_fit(blocks, tree)
     obs, meta = columns_from_maf(blocks, tree)
     if not len(obs):
         return np.zeros(0, np.float32), []
-    ll_n = column_log_likelihoods(obs, tree, neutral_scale)
-    ll_c = column_log_likelihoods(obs, tree, neutral_scale * rho)
-    return (ll_c - ll_n), meta
+    post = [n for n in tree.postorder() if n.parent is not None]
+    nE = len(post)
+    if subtree is not None:
+        inside = _subtree_events(tree, subtree)
+        sub_mask = np.array([n.name in inside for n in post])
+        if not sub_mask.any():
+            raise ValueError(f"subtree {subtree!r} has no branches")
+    else:
+        sub_mask = np.ones(nE, bool)
+
+    def scales_for(rhos: np.ndarray) -> np.ndarray:
+        s = np.full((len(rhos), nE), neutral_scale, np.float64)
+        s[:, sub_mask] = neutral_scale * rhos[:, None]
+        return s
+
+    if method == "ratio":
+        ll = column_ll_multi(obs, tree,
+                             scales_for(np.array([1.0, rho])))
+        return (ll[1] - ll[0]).astype(np.float32), meta
+
+    if method == "LRT":
+        rhos = np.concatenate([np.logspace(np.log10(1 / 16), 0.0,
+                                           grid // 2, endpoint=False),
+                               [1.0],
+                               np.logspace(0.0, np.log10(16.0),
+                                           grid - grid // 2)[1:]])
+        ll = column_ll_multi(obs, tree, scales_for(rhos))
+        neutral_row = int(np.flatnonzero(rhos == 1.0)[0])
+        best = np.argmax(ll, axis=0)
+        stat = 2.0 * (ll[best, np.arange(ll.shape[1])]
+                      - ll[neutral_row])
+        nlp = _chi2_1_neglog10_sf(stat)
+        conserved = rhos[best] < 1.0
+    elif method == "SCORE":
+        h = 0.05
+        ll = column_ll_multi(
+            obs, tree, scales_for(np.array([1.0 - h, 1.0, 1.0 + h])))
+        U = (ll[2] - ll[0]) / (2 * h)
+        I = -(ll[2] - 2 * ll[1] + ll[0]) / (h * h)
+        # |I|: at fully-conserved columns the log-likelihood is convex
+        # in the rate near neutral (observed information < 0) — phast
+        # proper divides by the EXPECTED information, which is always
+        # positive; the magnitude is the lite stand-in, floored against
+        # numerically flat columns
+        stat = U * U / np.maximum(np.abs(I), 1e-3)
+        nlp = _chi2_1_neglog10_sf(stat)
+        conserved = U < 0.0   # likelihood falls as the rate rises
+    else:
+        raise ValueError(f"unknown phyloP method {method!r}")
+
+    if mode == "CONACC":
+        scores = np.where(conserved, nlp, -nlp)
+    elif mode == "CON":
+        scores = np.where(conserved, nlp, 0.0)
+    elif mode == "ACC":
+        scores = np.where(conserved, 0.0, nlp)
+    elif mode == "NNEUT":
+        scores = nlp
+    else:
+        raise ValueError(f"unknown phyloP mode {mode!r}")
+    return scores.astype(np.float32), meta
 
 
 def write_wig(path, scores: np.ndarray, meta) -> None:

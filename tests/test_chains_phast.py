@@ -167,3 +167,74 @@ def test_phylo_fit_on_4d_sites(tmp_path):
     s_4d = phast.phylo_fit(blocks, result.tree, sites=sites)
     assert 0.1 < s_4d < 8.0
     assert abs(s_4d - s_all) < 2.0
+
+
+def test_phylo_p_lrt_and_score_methods():
+    """LRT and SCORE tracks (cactus_phast.py:158 --method) separate a
+    conserved run from neutral background; CONACC signs agree."""
+    tree = parse_newick("(a:0.2,b:0.2,c:0.2)root;")
+    sim = evolver.simulate(tree, root_len=1500, seed=5, indel_rate=0.0)
+    codes = {g: sim.genomes[g].codes.copy() for g in ["a", "b", "c"]}
+    lo, hi = 500, 1000
+    for g in ("b", "c"):
+        codes[g][lo:hi] = codes["a"][lo:hi]
+    texts = {f"{g}.c": "".join("ACGT"[c] for c in codes[g])
+             for g in ["a", "b", "c"]}
+    blocks = _mk_blocks(texts)
+    for method in ("LRT", "SCORE"):
+        scores, meta = phast.phylo_p(blocks, tree, method=method)
+        assert len(scores) == 1500, method
+        assert scores[lo:hi].mean() > scores[:lo].mean() + 0.1, method
+        # CONACC: conserved columns sign positive on average
+        assert scores[lo:hi].mean() > 0, method
+        # CON clamps accelerations at zero; NNEUT is non-negative
+        con, _ = phast.phylo_p(blocks, tree, method=method, mode="CON")
+        assert (con >= 0).all(), method
+        nn, _ = phast.phylo_p(blocks, tree, method=method, mode="NNEUT")
+        assert (nn >= 0).all(), method
+
+
+def test_phylo_p_subtree_track():
+    """--subtree lineage track: acceleration ONLY on the named subtree
+    shows in its track, not (or much less) in the complement's."""
+    tree = parse_newick("((a:0.1,b:0.1)ab:0.1,(c:0.1,d:0.1)cd:0.1)root;")
+    sim = evolver.simulate(tree, root_len=1200, seed=9, indel_rate=0.0)
+    codes = {g: sim.genomes[g].codes.copy() for g in "abcd"}
+    # conserve a,b on [400,800) (the ab lineage slows down there)
+    lo, hi = 400, 800
+    codes["b"][lo:hi] = codes["a"][lo:hi]
+    texts = {f"{g}.c": "".join("ACGT"[c] for c in codes[g])
+             for g in "abcd"}
+    blocks = _mk_blocks(texts)
+    s_ab, _ = phast.phylo_p(blocks, tree, method="LRT", subtree="ab")
+    s_cd, _ = phast.phylo_p(blocks, tree, method="LRT", subtree="cd")
+    d_ab = s_ab[lo:hi].mean() - s_ab[:lo].mean()
+    d_cd = s_cd[lo:hi].mean() - s_cd[:lo].mean()
+    assert d_ab > d_cd + 0.05, (d_ab, d_cd)
+    import pytest
+    with pytest.raises(ValueError):
+        phast.phylo_p(blocks, tree, subtree="nope")
+
+
+def test_bigwig_roundtrip(tmp_path):
+    """Native bbi writer round-trips through its reader, incl. a
+    two-level R-tree (many sections)."""
+    from cactus_tpu.io.bigwig import read_bigwig, write_bigwig
+    rng = np.random.default_rng(3)
+    starts = np.sort(rng.choice(2_000_000, size=300_000, replace=False))
+    vals = rng.normal(size=starts.size).astype(np.float32)
+    data = {"chr1": (starts, vals),
+            "chr2": (np.arange(50, dtype=np.uint32),
+                     np.ones(50, np.float32))}
+    sizes = {"chr1": 2_000_000, "chr2": 1000}
+    p = str(tmp_path / "t.bw")
+    write_bigwig(p, data, sizes)
+    got, gsizes = read_bigwig(p)
+    assert gsizes == sizes
+    for c in data:
+        np.testing.assert_array_equal(got[c][0], data[c][0])
+        np.testing.assert_array_equal(got[c][1], data[c][1])
+    # header sanity: magic + version
+    import struct
+    magic, version = struct.unpack_from("<IH", open(p, "rb").read(6))
+    assert magic == 0x888FFC26 and version == 4

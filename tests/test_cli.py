@@ -192,3 +192,23 @@ def test_cli_pangenome_staged(sim_dir, tmp_path):
     for f in ["pangenome.gfa", "pangenome.vcf"]:
         assert (open(os.path.join(mono, f), "rb").read()
                 == open(os.path.join(staged, f), "rb").read()), f
+
+
+def test_cli_conservation_tracks(sim_dir, tmp_path):
+    """conservation verb: LRT method, per---subtree tracks, bigwig out
+    (cactus_phast.py:81,158-165 parity surface)."""
+    sim, seqfile, outdir = sim_dir
+    store = str(tmp_path / "cons.store")
+    assert cli.main(["align", seqfile, store, "--min-chain", "64"]) == 0
+    wig = str(tmp_path / "cons.wig")
+    rc = cli.main(["conservation", store, wig,
+                   "--method", "LRT", "--mode", "CONACC",
+                   "--subtree", "ab", "root", "--bigwig"])
+    assert rc == 0
+    import os
+    assert os.path.getsize(wig) > 0                  # root track
+    assert os.path.getsize(wig + ".ab.wig") > 0      # lineage track
+    assert os.path.getsize(wig + ".bw") > 0
+    from cactus_tpu.io.bigwig import read_bigwig
+    data, sizes = read_bigwig(wig + ".bw")
+    assert data and all(len(v[0]) for v in data.values())
