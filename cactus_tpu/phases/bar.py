@@ -75,10 +75,18 @@ def _minhash_sim(codes_list, k: int = 12, n_hash: int = 48):
     trees).  Returns a (m, m) float matrix."""
     sketches = []
     mod = (1 << 61) - 1
-    for c in codes_list:
+    short = np.zeros(len(codes_list), dtype=bool)
+    for idx, c in enumerate(codes_list):
         c = np.asarray(c, np.int64)
         if len(c) < k:
-            sketches.append(np.zeros(n_hash, np.int64))
+            # below-k members get a DISTINCT sentinel sketch (index
+            # salt): an all-zeros sketch made every short-short pair
+            # similarity 1.0 and biased spanning-tree-0 edges toward
+            # degenerate short pairs (round-5 advisor finding — and the
+            # measured mechanism of the pecan cross-clade collapse:
+            # ancestor-refinement members are mostly short gap strings)
+            short[idx] = True
+            sketches.append(np.full(n_hash, -(idx + 1), np.int64))
             continue
         h = np.zeros(len(c) - k + 1, np.int64)
         for j in range(k):
@@ -449,97 +457,108 @@ def star_align_ends(per_end: dict[int, list[EndString]],
         # longer has to transit two backbone alignments
         pec = cfg.pecan
         by_band = {}
+        pecan_pairs = []      # (member, member, t_len)
+        # members up to bandingLimit pecan-align when MUM anchoring can
+        # split their matrices (reference: adjacency sequences trimmed
+        # to bandingLimit=1e6 feed cPecan, flowerAligner.c;
+        # config :245); without anchors the full-matrix band explodes,
+        # so the POA-window cap stays
+        mcap = (min(cfg.banding_limit, cfg.max_end_string)
+                if pec.use_mum_anchors else poa.window)
         for end, members in per_end.items():
             if len(members) < 2:
                 continue
             members = sorted(members,
                              key=lambda e: (not is_ingroup(e),
                                             -e.length()))
-            short = [m for m in members if m.length() <= poa.window]
-            if len(short) < 2:
+            elig = [m for m in members if m.length() <= mcap]
+            if len(elig) < 2:
                 continue
             for i, j in spanning_tree_pairs(
-                    [m.codes(gcodes) for m in short],
+                    [m.codes(gcodes) for m in elig],
                     pec.spanning_trees,
                     progressive=pec.use_progressive_merging):
-                a, b = short[i], short[j]
-                la = a.length()
-                t_len = min(b.length(), la + poa.band_constant // 4)
-                # band floor honors diagonalExpansion (config :278):
-                # cPecan bands anchor diagonals by +-expansion
-                need = abs(t_len - la) + max(
-                    2 * pec.diagonal_expansion,
-                    min(poa.band_constant + int(poa.band_fraction * la),
-                        max_band))
-                band = 128
-                while band <= need:
-                    band *= 2
-                if band > max_band:
-                    long_jobs.append((a, b))
-                    continue
-                by_band.setdefault(band, []).append((a, b, t_len, band))
+                a, b = elig[i], elig[j]
+                t_len = min(b.length(),
+                            a.length() + poa.band_constant // 4)
+                pecan_pairs.append((a, b, t_len))
 
     for band, group in by_band.items():
         pairs = [(m.codes(gcodes), b.codes(gcodes)[:t_len])
                  for m, b, t_len, _ in group]
-        if engine == "star":
-            out = align_pairs_banded(pairs, submat, gap, band=band)
-            for (m, b, t_len, _), (_score, ops) in zip(group, out):
-                i = j = 0
-                for op, ln in ops:
-                    if op == "M":
-                        emit(m, b, i, j, ln)
-                        i += ln
-                        j += ln
-                    elif op == "I":
-                        i += ln
-                    else:
-                        j += ln
+        out = align_pairs_banded(pairs, submat, gap, band=band)
+        for (m, b, t_len, _), (_score, ops) in zip(group, out):
+            i = j = 0
+            for op, ln in ops:
+                if op == "M":
+                    emit(m, b, i, j, ln)
+                    i += ln
+                    j += ln
+                elif op == "I":
+                    i += ln
+                else:
+                    j += ln
+
+    if engine == "pecan" and pecan_pairs:
+        # pecan path: pair-HMM posterior matches (bar.c cPecan branch).
+        # Five-state machine by default (stateMachine5, bar.c:65); big
+        # matrices split at MUM-chain anchors first (useMumAnchors /
+        # splitMatrixBiggerThanThis semantics, config:276-285), then
+        # PIECES bin by their own band requirement — so a 500 kb member
+        # costs narrow anchored strips, never a member-sized band (the
+        # round-4 build silently dropped members > the 10 kb POA window
+        # to the star backbone path; reference pecan handles adjacency
+        # sequences up to bandingLimit = 1 Mb)
+        pec = cfg.pecan
+        _check_pecan_knobs(pec)
+        pairs = [(m.codes(gcodes), b.codes(gcodes)[:t_len])
+                 for m, b, t_len in pecan_pairs]
+        if pec.use_mum_anchors:
+            from ..ops.anchors import split_pair_by_mums
+            pieces = []      # (pair idx, q0, t0, qs, ts)
+            for gi, (qc, tc) in enumerate(pairs):
+                # matrices under anchorMatrixBiggerThanThis run
+                # without anchoring (cPecan semantics, config :278)
+                if (max(len(qc), len(tc))
+                        <= pec.anchor_matrix_bigger_than_this):
+                    pieces.append((gi, 0, 0, qc, tc))
+                    continue
+                for q0, t0, qs, ts in split_pair_by_mums(
+                        qc, tc,
+                        max_span=pec.split_matrix_bigger_than_this,
+                        recursive=pec.recursive_mums):
+                    pieces.append((gi, q0, t0, qs, ts))
         else:
-            # pecan path: pair-HMM posterior matches (bar.c cPecan
-            # branch).  Five-state machine by default (stateMachine5,
-            # bar.c:65); big matrices split at MUM-chain anchors first
-            # (useMumAnchors / splitMatrixBiggerThanThis semantics,
-            # config:276-285) so each piece runs a narrow band.
-            pec = cfg.pecan
-            _check_pecan_knobs(pec)
-            if pec.use_mum_anchors:
-                from ..ops.anchors import split_pair_by_mums
-                pieces = []      # (group idx, q0, t0)
-                piece_pairs = []
-                for gi, (qc, tc) in enumerate(pairs):
-                    # matrices under anchorMatrixBiggerThanThis run
-                    # without anchoring (cPecan semantics, config :278)
-                    if (max(len(qc), len(tc))
-                            <= pec.anchor_matrix_bigger_than_this):
-                        pieces.append((gi, 0, 0))
-                        piece_pairs.append((qc, tc))
-                        continue
-                    for q0, t0, qs, ts in split_pair_by_mums(
-                            qc, tc,
-                            max_span=pec.split_matrix_bigger_than_this,
-                            recursive=pec.recursive_mums):
-                        pieces.append((gi, q0, t0))
-                        piece_pairs.append((qs, ts))
+            pieces = [(gi, 0, 0, qc, tc)
+                      for gi, (qc, tc) in enumerate(pairs)]
+        # MEA acceptance honoring gapGamma (config :272): the
+        # decoder picks match over gap when p >= gapGamma*(1-p),
+        # i.e. p >= gapGamma/(1+gapGamma); matchGamma floors it
+        gamma_eff = max(pec.match_gamma,
+                        pec.gap_gamma / (1.0 + pec.gap_gamma))
+        # divergence-trained emissions (the last-train role,
+        # estimate_block_identity): the stock p_match=0.94 is a
+        # low-divergence model and its posteriors collapse at
+        # divergence ~0.4 (measured: cross-clade recall 0.41)
+        pm = (float(np.clip(est_identity, 0.60, 0.95))
+              if est_identity is not None else 0.94)
+        piece_bins: dict[int, list] = {}
+        for gi, q0, t0, qs, ts in pieces:
+            la = len(qs)
+            if pec.use_banding:
+                need = abs(len(ts) - la) + max(
+                    2 * pec.diagonal_expansion,
+                    min(poa.band_constant + int(poa.band_fraction * la),
+                        max_band))
             else:
-                pieces = [(gi, 0, 0) for gi in range(len(pairs))]
-                piece_pairs = pairs
-            # MEA acceptance honoring gapGamma (config :272): the
-            # decoder picks match over gap when p >= gapGamma*(1-p),
-            # i.e. p >= gapGamma/(1+gapGamma); matchGamma floors it
-            gamma_eff = max(pec.match_gamma,
-                            pec.gap_gamma / (1.0 + pec.gap_gamma))
-            pband = band
-            if not pec.use_banding and piece_pairs:
-                # full (unbanded) DP: the band must cover every column
-                full = max(max(len(a), len(b)) for a, b in piece_pairs) + 8
-                pband = 1 << (full - 1).bit_length()
-            # divergence-trained emissions (the last-train role,
-            # estimate_block_identity): the stock p_match=0.94 is a
-            # low-divergence model and its posteriors collapse at
-            # divergence ~0.4 (measured: cross-clade recall 0.41)
-            pm = (float(np.clip(est_identity, 0.60, 0.95))
-                  if est_identity is not None else 0.94)
+                need = max(len(qs), len(ts)) + 8
+            pband = 128
+            while pband <= need:
+                pband *= 2
+            piece_bins.setdefault(pband, []).append((gi, q0, t0, qs, ts))
+        hits = [[] for _ in pairs]
+        for pband, bin_pieces in piece_bins.items():
+            piece_pairs = [(qs, ts) for _g, _q, _t, qs, ts in bin_pieces]
             if pec.five_state:
                 from ..ops.pairhmm5 import (Hmm5Params,
                                             posterior_pairs_banded5)
@@ -551,29 +570,30 @@ def star_align_ends(per_end: dict[int, list[EndString]],
                 piece_hits = posterior_pairs_banded(
                     piece_pairs, HmmParams(p_match=pm), band=pband,
                     gamma=gamma_eff)
-            hits = [[] for _ in pairs]
-            for (gi, q0, t0), ph in zip(pieces, piece_hits):
+            for (gi, q0, t0, _qs, _ts), ph in zip(bin_pieces, piece_hits):
                 hits[gi].extend((i + q0, j + t0, p) for i, j, p in ph)
-            if not pec.align_ambiguity_characters:
-                # drop pairs touching an N (alignAmbiguityCharacters=0)
-                hits = [[(i, j, p) for i, j, p in h
-                         if pairs[gi][0][i] < 4 and pairs[gi][1][j] < 4]
-                        for gi, h in enumerate(hits)]
-            for (m, b, t_len, _), matched in zip(group, hits):
-                # merge consecutive (i,j) hits into runs
-                start = None
-                for k, (i, j, _p) in enumerate(matched):
-                    if (start is not None
-                            and i == matched[k - 1][0] + 1
-                            and j == matched[k - 1][1] + 1):
-                        continue
-                    if start is not None:
-                        i0, j0 = matched[start][:2]
-                        emit(m, b, i0, j0, matched[k - 1][0] - i0 + 1)
-                    start = k
+        for h in hits:
+            h.sort()
+        if not pec.align_ambiguity_characters:
+            # drop pairs touching an N (alignAmbiguityCharacters=0)
+            hits = [[(i, j, p) for i, j, p in h
+                     if pairs[gi][0][i] < 4 and pairs[gi][1][j] < 4]
+                    for gi, h in enumerate(hits)]
+        for (m, b, t_len), matched in zip(pecan_pairs, hits):
+            # merge consecutive (i,j) hits into runs
+            start = None
+            for k, (i, j, _p) in enumerate(matched):
+                if (start is not None
+                        and i == matched[k - 1][0] + 1
+                        and j == matched[k - 1][1] + 1):
+                    continue
                 if start is not None:
                     i0, j0 = matched[start][:2]
-                    emit(m, b, i0, j0, matched[-1][0] - i0 + 1)
+                    emit(m, b, i0, j0, matched[k - 1][0] - i0 + 1)
+                start = k
+            if start is not None:
+                i0, j0 = matched[start][:2]
+                emit(m, b, i0, j0, matched[-1][0] - i0 + 1)
 
     if long_jobs:
         # strings beyond the POA window: banded windows with carry-over
