@@ -685,6 +685,13 @@ def _batch_impl(bases, preds, off, q_ext, l_len, smt,
     islin = ((preds_p[:, :, 0] == iot[None, :] - 1)
              & (slot_idx == 1) & (dd >= 0) & (dd <= 1))
     lin = islin.reshape(P, Np // R, R).all(axis=2).astype(jnp.int32)
+    # step 0 always runs the general body: node 0 is the source row
+    # (pred -1 matches the v-1 = -1 idiom), and the linear fast path
+    # would issue Hs[pl.ds(-1, 1)] for it — correct only through
+    # Mosaic's implicit negative-index clamping, which is not a
+    # contract (round-5 advisor finding; also covers all-padding
+    # groups whose every flag is 1)
+    lin = lin.at[:, 0].set(0)
 
     # group problems on the sublane axis; pad P to a multiple of G
     G = _group_size(Np, Bp)

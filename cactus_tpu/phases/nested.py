@@ -31,41 +31,31 @@ def link_interiors(caf: CafResult, min_len: int, max_len: int):
     block pair.  Returns {frozenset{leftblock,rightblock}: [(seq_idx,
     start, end)]} — only interiors whose BOTH flanks are aligned (true
     link interiors; sequence tails are BAR's job, not a tangle)."""
-    table = caf.table
     blocks = caf.blocks
-    total = int(table.total)
-    bid = np.full(total, -1, np.int64)
-    sel = np.flatnonzero(caf.alive[blocks.seg_block])
-    if len(sel):
-        ln = blocks.seg_len[sel]
-        seg_of = np.repeat(np.arange(len(sel)), ln)
-        k = np.arange(int(ln.sum())) - np.repeat(np.cumsum(ln) - ln, ln)
-        gpos = (table.offsets[blocks.seg_seq[sel]][seg_of]
-                + blocks.seg_start[sel][seg_of] + k)
-        bid[gpos] = blocks.seg_block[sel][seg_of]
-
     groups: dict[frozenset, list] = {}
-    for si in range(len(table.names)):
-        o = int(table.offsets[si])
-        e = o + int(table.lengths[si])
-        arr = bid[o:e]
-        un = arr < 0
-        if not un.any():
-            continue
-        d = np.diff(un.astype(np.int8))
-        starts = np.flatnonzero(d == 1) + 1
-        ends = np.flatnonzero(d == -1) + 1
-        if un[0]:
-            starts = np.concatenate([[0], starts])
-        if un[-1]:
-            ends = np.concatenate([ends, [len(arr)]])
-        for s, t in zip(starts, ends):
-            if not (min_len <= t - s <= max_len):
-                continue
-            if s == 0 or t == len(arr):
-                continue                    # tail, not an interior
-            key = frozenset((int(arr[s - 1]), int(arr[t])))
-            groups.setdefault(key, []).append((si, int(s), int(t)))
+    sel = np.flatnonzero(caf.alive[blocks.seg_block])
+    if not len(sel):
+        return groups
+    # O(segments), NOT O(bases): the old per-base block-id raster was a
+    # whole-genome int64 array (8 B/base — 8 GB/Gb) plus int64
+    # expansions of every aligned base; gaps fall straight out of the
+    # per-sequence sorted segment list (a base is in at most one
+    # block, so segments are disjoint and a gap's flanks are the
+    # segments around it)
+    seq = blocks.seg_seq[sel]
+    start = blocks.seg_start[sel].astype(np.int64)
+    end = start + blocks.seg_len[sel]
+    blk = blocks.seg_block[sel]
+    order = np.lexsort((start, seq))
+    seq, start, end, blk = (seq[order], start[order],
+                            end[order], blk[order])
+    same = seq[1:] == seq[:-1]
+    gap = start[1:] - end[:-1]
+    ok = same & (gap >= min_len) & (gap <= max_len)
+    for i in np.flatnonzero(ok):
+        key = frozenset((int(blk[i]), int(blk[i + 1])))
+        groups.setdefault(key, []).append(
+            (int(seq[i]), int(end[i]), int(start[i + 1])))
     return {k: v for k, v in groups.items() if len(v) >= 2}
 
 

@@ -171,9 +171,9 @@ def compose_maps(m1: SeqMap, names1: list[str],
     total = int(offs[-1])
     if total == 0:
         return out
-    cat_idx = np.full(total, -1, np.int32)
-    cat_pos = np.full(total, -1, np.int32)
-    cat_str = np.zeros(total, np.int8)
+    cat_idx = _map_array(total, -1, np.int32)
+    cat_pos = _map_array(total, -1, np.int32)
+    cat_str = _map_array(total, 0, np.int8)
     for k, nm in enumerate(names1):
         m2 = maps2.get(nm)
         if m2 is None:
@@ -182,17 +182,23 @@ def compose_maps(m1: SeqMap, names1: list[str],
         cat_idx[o:o + len(m2.tgt_idx)] = m2.tgt_idx
         cat_pos[o:o + len(m2.tgt_idx)] = m2.tgt_pos
         cat_str[o:o + len(m2.tgt_idx)] = m2.strand
-    sel = np.flatnonzero((m1.tgt_idx >= 0) & (lens[np.maximum(
-        m1.tgt_idx, 0)] > 0))
-    if not len(sel):
-        return out
-    g = offs[m1.tgt_idx[sel]] + m1.tgt_pos[sel]
-    t_idx = cat_idx[g]
-    ok = t_idx >= 0
-    sel, g = sel[ok], g[ok]
-    out.tgt_idx[sel] = cat_idx[g]
-    out.tgt_pos[sel] = cat_pos[g]
-    out.strand[sel] = m1.strand[sel] * cat_str[g]
+    # windowed composition: the int64 index temporaries are the cost
+    # (up to ~32 B per aligned base at once); windows bound them to
+    # ~1 GB regardless of genome size
+    CHUNK = 32_000_000
+    for w0 in range(0, n, CHUNK):
+        w1 = min(n, w0 + CHUNK)
+        t1 = np.asarray(m1.tgt_idx[w0:w1])
+        sel = np.flatnonzero((t1 >= 0) & (lens[np.maximum(t1, 0)] > 0))
+        if not len(sel):
+            continue
+        g = offs[t1[sel]] + np.asarray(m1.tgt_pos[w0:w1])[sel]
+        ok = cat_idx[g] >= 0
+        sel, g = sel[ok], g[ok]
+        out.tgt_idx[w0:w1][sel] = cat_idx[g]
+        out.tgt_pos[w0:w1][sel] = cat_pos[g]
+        out.strand[w0:w1][sel] = \
+            np.asarray(m1.strand[w0:w1])[sel] * cat_str[g]
     return out
 
 
