@@ -119,7 +119,8 @@ class AlignmentStore:
                         seg_strand=data["seg_strand"],
                         n_blocks=len(data["alive"]))
         caf = CafResult(table=table, blocks=blocks, alive=data["alive"],
-                        events_of_seq=[n.split(".", 1)[0] for n in names])
+                        events_of_seq=[n.split(".", 1)[0] for n in names],
+                        outgroup_events=frozenset(meta["outgroups"]))
         anc_genome = self.load_genome(event)
         block_coord = {int(b): (n, int(s), int(o)) for b, n, s, o in zip(
             data["coord_block"], meta["coord_names"], data["coord_start"],
