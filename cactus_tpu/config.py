@@ -202,6 +202,14 @@ class BlastParams:
     aligner: str = "lastz"              # "lastz" | "fastga" | "minimap2"
     fastga_min_match: int = 20
     minimap2_window: int = 10           # minimizer window w
+    # whole-genome aligner modes keep the chunk-pair grid DEGENERATE:
+    # the reference bumps chunkSize to bigChunkSize=6e9 for GPU/FastGA
+    # runs (config XML :91, local_alignment.py:378-390) so the
+    # quadratic all-pairs grid collapses to ~one task per genome pair
+    # and the genome-scale index is built once — the same switch here
+    # (host-side exact join; the fixed-capacity device table only
+    # serves sub-chunk tasks)
+    big_chunk_size: int = 6_000_000_000
     seed: SeedParams = field(default_factory=SeedParams)
     extend: ExtendParams = field(default_factory=ExtendParams)
 

@@ -598,7 +598,10 @@ class ProgressiveAligner:
                                       fix_lengths, pack_small_contigs,
                                       split_packed_records)
         cfg = self.config.blast
-        eff_chunk = chunk_size or cfg.chunk_size
+        default_chunk = (cfg.big_chunk_size
+                         if cfg.aligner in ("fastga", "minimap2")
+                         else cfg.chunk_size)
+        eff_chunk = chunk_size or default_chunk
         packed: dict[str, dict] = {}
         pack_maps: dict = {}
         chunks: dict[str, list] = {}
