@@ -31,6 +31,7 @@ _BOOL = lambda s: s not in ("0", "false", "False", "")
 # (xml attribute, config field, cast) per section
 _BLAST = [
     ("chunkSize", "chunk_size", int),
+    ("bigChunkSize", "big_chunk_size", int),
     ("overlapSize", "overlap_size", int),
     ("minimumSequenceLengthForBlast", "minimum_sequence_length", int),
     ("chainGapOpen", "chain_gap_open", int),

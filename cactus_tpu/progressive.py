@@ -598,23 +598,33 @@ class ProgressiveAligner:
                                       fix_lengths, pack_small_contigs,
                                       split_packed_records)
         cfg = self.config.blast
-        default_chunk = (cfg.big_chunk_size
-                         if cfg.aligner in ("fastga", "minimap2")
-                         else cfg.chunk_size)
-        eff_chunk = chunk_size or default_chunk
+        big_mode = (cfg.aligner in ("fastga", "minimap2")
+                    and chunk_size is None)
+        eff_chunk = chunk_size or (cfg.big_chunk_size if big_mode
+                                   else cfg.chunk_size)
         packed: dict[str, dict] = {}
         pack_maps: dict = {}
         chunks: dict[str, list] = {}
+        qchunks: dict[str, list] = {}
         for ev in set(children) | set(outgroups):
             packed[ev], mp = pack_small_contigs(self.genomes[ev])
             pack_maps.update(mp)
             chunks[ev] = chunk_genome(packed[ev], eff_chunk,
                                       cfg.overlap_size)
+            # whole-genome-aligner grid: query chunks stream against the
+            # ONE whole-genome target index (minimap2/FastGA structure;
+            # the reference's bigChunkSize=6e9 degenerate grid) — task
+            # count and per-task memory stay LINEAR in genome size
+            qchunks[ev] = (chunk_genome(packed[ev], cfg.chunk_size,
+                                        cfg.overlap_size)
+                           if big_mode else chunks[ev])
 
         og_preset = preset if preset in ("one", "two", "three", "four",
                                          "five") else "default_og"
 
-        by_name = {c.name: c for ev in chunks for c in chunks[ev]
+        by_name = {c.name: c
+                   for clist in (chunks, qchunks)
+                   for ev in clist for c in clist[ev]
                    if c.name != c.origin}
 
         def chunk_pair_tasks(qchunks, tchunks, use_preset, out):
@@ -630,18 +640,19 @@ class ProgressiveAligner:
         tasks = []
         for i, a in enumerate(children):
             for b in children[i + 1:]:
-                chunk_pair_tasks(chunks[a], chunks[b], preset, tasks)
+                chunk_pair_tasks(qchunks[a], chunks[b], preset, tasks)
         if not cfg.trim_ingroups:
             for a in children:
                 for og in outgroups:
-                    chunk_pair_tasks(chunks[a], chunks[og], og_preset, tasks)
+                    chunk_pair_tasks(qchunks[a], chunks[og], og_preset,
+                                     tasks)
         elif outgroups:
             # cascade tier 0 aligns FULL ingroups to the nearest og —
             # independent of the ingroup-pair results, so its tasks
             # share the main dispatch (one device batch, no extra
             # barrier); later tiers depend on tier-0 coverage
             for a in children:
-                chunk_pair_tasks(chunks[a], chunks[outgroups[0]],
+                chunk_pair_tasks(qchunks[a], chunks[outgroups[0]],
                                  og_preset, tasks)
         if self.mesh is not None:
             self.log(f"{node.name}: {len(tasks)} blast tasks over "

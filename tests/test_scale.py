@@ -6,13 +6,17 @@ within a host-memory budget and an accuracy floor — the criteria from
 the round-1 verdict ("a >=100 Mb two-genome alignment completes on one
 chip within memory with accuracy held").
 
-Measured anchors (this repo; round 4, 2026-08-20, v5e chip attached):
-  20 Mb pair:  ~220 s, 4.5 GB peak RSS, 99.4% coverage
-  100 Mb pair: 2936 s, 37.1 GB peak RSS, recall 0.9975 /
-               precision 0.9978 (the round-4 accuracy gate; wall shared
-               the host with the full test suite for its last 15 min)
-(Round-3 anchors: 20 Mb 356 s / 7.2 GB; 100 Mb 2932 s / 51.7 GB,
-coverage-only.  Round-2: 20 Mb 2183 s CPU-only, 21.3 GB.)
+Measured anchors (this repo; round 5, 2026-08-20, CONTENDED 4-core
+host, chip busy — scratch/bigproof.py staged runs, minimap2 big-chunk
+grid):
+  20 Mb pair:  113 s, 3.5 GB peak RSS, recall 0.9974 / precision 0.9978
+  100 Mb pair: 665 s, 24.4 GB peak RSS, recall 0.9974 /
+               precision 0.9978 (4.4x round 4's 2936 s; driven by the
+               bigChunkSize whole-genome-index grid, O(segments)
+               tangle discovery, and windowed map composition)
+(Round-4 anchors: 20 Mb ~220 s / 4.5 GB; 100 Mb 2936 s / 37.1 GB.
+Round-3: 100 Mb 2932 s / 51.7 GB coverage-only.  Round-2: 20 Mb
+2183 s CPU-only, 21.3 GB.)
 """
 
 import os
