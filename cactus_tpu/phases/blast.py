@@ -706,6 +706,11 @@ def run_tasks(tasks: list[StrandTask], cfg: BlastParams,
     # host path scales k by task size; the device/mesh path is pinned
     # at the int32-hash limit (k=15)
     def _span(t):
+        if cfg.aligner == "minimap2":
+            # minimizer hashing is pinned at k: a length-adaptive merge
+            # span would extend seed runs past the hashed span (and off
+            # the end of a query chunk shorter than the whole target)
+            return cfg.seed.k
         if mesh is None or len(mesh.devices.flat) <= 1:
             return cfg.seed.span_for(t.preset, min(len(t.q), len(t.t)))
         return cfg.seed.span_for(t.preset)

@@ -31,6 +31,7 @@ RUN_100 = os.environ.get("RUN_SCALE_100MB", "") or (RUN_SLOW == "2")
 
 
 def _run_pair(root_len: int, seed: int):
+    from cactus_tpu.config import Config
     from cactus_tpu.io.fasta import Sequence
     from cactus_tpu import progressive
     from cactus_tpu.testutil import evolver
@@ -40,8 +41,13 @@ def _run_pair(root_len: int, seed: int):
     sim = evolver.simulate(tree, root_len=root_len, seed=seed)
     genomes = {ev: {f"{ev}.c": Sequence(f"{ev}.c", sim.genomes[ev].codes)}
                for ev in ("a", "b")}
+    cfg = Config.default()
+    # genome-scale pairs run the whole-genome-aligner grid, exactly as
+    # the reference switches to FastGA/bigChunkSize above laptop scale
+    cfg.blast.aligner = "minimap2"
     t0 = time.perf_counter()
-    res = progressive.ProgressiveAligner(tree, genomes).run()
+    res = progressive.ProgressiveAligner(tree, genomes,
+                                         config=cfg).run()
     wall = time.perf_counter() - t0
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     step = res.steps["root"]
