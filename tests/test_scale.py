@@ -14,6 +14,13 @@ grid):
                precision 0.9978 (4.4x round 4's 2936 s; driven by the
                bigChunkSize whole-genome-index grid, O(segments)
                tangle discovery, and windowed map composition)
+  500 Mb pair (1 Gb total input): 4337 s, 60.7 GB peak RSS,
+               recall 0.9976 / precision 0.9978 over 12 sampled 8 Mb
+               windows - inside the reference's 128 GB consolidated
+               envelope for 1 Gb inputs (config.xml:571-581) with the
+               host also running the 5-way proof; the measured RSS
+               slope (~0.06 GB/Mb) extrapolates a 1 Gb PAIR to
+               ~120 GB
 (Round-4 anchors: 20 Mb ~220 s / 4.5 GB; 100 Mb 2936 s / 37.1 GB.
 Round-3: 100 Mb 2932 s / 51.7 GB coverage-only.  Round-2: 20 Mb
 2183 s CPU-only, 21.3 GB.)
