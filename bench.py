@@ -266,6 +266,21 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # the remote relay admits ONE client session: if another long job
+    # (e.g. a scale proof) holds it, backend init raises — retry
+    # briefly, then fall back to the CPU backend so the bench always
+    # emits its one JSON line (the metric name carries the platform)
+    for attempt in range(3):
+        try:
+            jax.devices()
+            break
+        except RuntimeError:
+            if attempt == 2:
+                jax.config.update("jax_platforms", "cpu")
+                jax.devices()
+            else:
+                time.sleep(20)
+
     platform = jax.devices()[0].platform
     cells_per_s = bench_banded(jax, jnp)
 
