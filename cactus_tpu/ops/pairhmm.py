@@ -280,12 +280,19 @@ def posterior_default_backend():
         from .pairhmm_pallas import posterior_banded_batch_pallas
         dev = jax.devices()[0]
 
+        import os as _os
+        pallas_band_cap = int(_os.environ.get(
+            "CACTUS_PAIRHMM_PALLAS_BAND_CAP", "1024"))
+
         def run(q, t_shift, m_len, n_len, lo, em, **kw):
-            if kw.get("band", 0) > MAX_PALLAS_BAND:
-                # the fused kernel's per-step VMEM scratch exceeds the
-                # 16 MB scoped-vmem limit above band 2048 (measured on a
-                # v5e: band 4096 fails AOT compile with a 20 MB stack
-                # allocation) — route wide bands to the XLA scan
+            if kw.get("band", 0) > pallas_band_cap:
+                # the fused kernel's Mosaic per-step stack exceeds the
+                # 16 MB scoped-vmem limit at wide bands (measured on a
+                # v5e terminal: (64, 4096, 2048) fails AOT compile with
+                # a 16.5 MB stack — it sank a 5-way scale run mid-
+                # round-5 — and band 4096 needs 20 MB) — route wide
+                # bands to the XLA scan, which is slower but compiles
+                # at any shape
                 return posterior_banded_batch(q, t_shift, m_len, n_len,
                                               lo, em, **kw)
             # callers may have committed inputs to host CPU (smart_put);
