@@ -14,6 +14,10 @@ grid):
                precision 0.9978 (4.4x round 4's 2936 s; driven by the
                bigChunkSize whole-genome-index grid, O(segments)
                tangle discovery, and windowed map composition)
+  5-way 50 Mb mammals (250 Mb total, max_num_outgroups=1,
+               tree_workers=2): 5300 s, 45.5 GB peak RSS, avg 0.9739
+               (mouse-rat 0.996/0.985, cow-dog 0.983/0.984,
+               human-mouse 0.941/0.954) - gate PASS
   500 Mb pair (1 Gb total input): 4337 s, 60.7 GB peak RSS,
                recall 0.9976 / precision 0.9978 over 12 sampled 8 Mb
                windows - inside the reference's 128 GB consolidated
